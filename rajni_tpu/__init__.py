@@ -1,0 +1,51 @@
+"""rajni-tpu: TPU-native RAJNI token-pruning ViT inference framework.
+
+Public API surface mirrors the reference package
+(`/root/reference/rajni/__init__.py:1-2`, `wrapper/__init__.py:1-3`):
+``RAJNIViTWrapper`` / ``RAJNIAttention`` become the functional
+``vit_forward`` / ``pruned_attention``; ``evaluate_model`` and
+``compute_importance`` keep their names.
+"""
+
+from .eval import evaluate_model
+from .models.vit import (
+    VARIANTS,
+    ViTConfig,
+    get_config,
+    init_params,
+    model_stats,
+    vit_forward,
+)
+from .ops.attention import attention, pruned_attention
+from .ops.importance import compute_importance
+from .ops.pruning import gather_tokens, keep_count, select_tokens
+from .utils.schedule import (
+    PruneSpec,
+    load_schedule,
+    normalize_schedule,
+    schedule_to_dict,
+    token_count_trace,
+)
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "VARIANTS",
+    "ViTConfig",
+    "PruneSpec",
+    "attention",
+    "compute_importance",
+    "evaluate_model",
+    "gather_tokens",
+    "get_config",
+    "init_params",
+    "keep_count",
+    "load_schedule",
+    "model_stats",
+    "normalize_schedule",
+    "pruned_attention",
+    "schedule_to_dict",
+    "select_tokens",
+    "token_count_trace",
+    "vit_forward",
+]

@@ -1,0 +1,129 @@
+"""Evaluation harness with accounting-exact parity to the reference.
+
+Reimplements ``evaluate_model`` (`/root/reference/rajni/eval.py:6-75`) for
+JAX/TPU. The reference's CUDA-specific machinery maps as follows:
+
+  * ``torch.cuda.synchronize()`` fencing (eval.py:29, 52, 58)
+      → :func:`rajni_tpu.utils.timing.fence` on device results
+        (``block_until_ready`` plus a data-dependent scalar pull — see that
+        module for why ``block_until_ready`` alone is not a reliable fence on
+        every TPU runtime).
+  * ``.to(device)`` H2D copies *excluded* from the timed region
+    (eval.py:48-49 precede the timer at eval.py:53)
+      → ``jax.device_put(...)`` + block, before the timer starts.
+  * timed region = forward only (eval.py:53-59).
+
+Accounting contract (must match exactly — BASELINE.md):
+  * warmup: ``warmup`` batches, restarting the iterator on ``StopIteration``
+    (eval.py:19-26);
+  * ``acc = 100 * correct / max(total, 1)`` (eval.py:73);
+  * ``throughput = total_images / max(total_time, 1e-6)`` img/s (eval.py:74);
+  * tqdm progress bar with live ``acc`` / ``imgs_per_s`` postfix
+    (eval.py:37-42, 67-71).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable, Iterable
+
+import jax
+import numpy as np
+
+from .utils.timing import fence
+
+try:  # tqdm is a soft dependency (reference eval.py:3 hard-requires it)
+    from tqdm import tqdm
+except ImportError:  # pragma: no cover
+    tqdm = None
+
+
+def evaluate_model(
+    model: Callable,
+    dataloader: Iterable,
+    device: jax.Device | None = None,
+    max_batches: int | None = None,
+    warmup: int = 5,
+    progress: bool = True,
+) -> tuple[float, float]:
+    """Evaluate ``model`` over ``dataloader``; return ``(top1_acc, img/s)``.
+
+    Args:
+      model: callable mapping a device array of images ``[B, H, W, 3]`` to
+        logits ``[B, num_classes]`` (typically a jitted partial of
+        :func:`rajni_tpu.models.vit.vit_forward` closed over params).
+      dataloader: iterable of ``(images, labels)`` host batches (numpy). Must
+        be re-iterable (the warmup loop may restart it, and the timed loop
+        iterates it fresh — reference eval.py:19-26, 44).
+      device: JAX device for H2D placement; defaults to ``jax.devices()[0]``.
+      max_batches: stop after this many timed batches (reference eval.py:45).
+      warmup: untimed warmup batches (reference eval.py:19-26).
+      progress: show the tqdm bar (reference always does; off for tests).
+    """
+    if device is None:
+        device = jax.devices()[0]
+
+    # ---- Warmup (reference eval.py:18-26) ----
+    if warmup > 0:
+        print(f"Warming up {warmup} batches")
+        it = iter(dataloader)
+        for _ in range(warmup):
+            try:
+                x, _ = next(it)
+            except StopIteration:
+                it = iter(dataloader)
+                x, _ = next(it)
+            fence(model(jax.device_put(np.asarray(x), device)))
+
+    correct = 0
+    total = 0
+    total_images = 0
+    total_time = 0.0
+
+    iterator = dataloader
+    pbar = None
+    if progress and tqdm is not None:
+        try:
+            n = len(dataloader)  # type: ignore[arg-type]
+        except TypeError:
+            n = None
+        pbar = tqdm(
+            dataloader,
+            desc="Evaluating",
+            total=max_batches if max_batches is not None else n,
+            leave=False,
+        )
+        iterator = pbar
+
+    for i, (images, labels) in enumerate(iterator):
+        if max_batches is not None and i >= max_batches:
+            break
+
+        # Untimed H2D (reference eval.py:48-49).
+        images_dev = jax.device_put(np.asarray(images), device)
+        fence(images_dev)
+        labels = np.asarray(labels)
+
+        # Timed region: forward only, device-fenced (reference eval.py:51-59).
+        start = time.time()
+        logits = model(images_dev)
+        fence(logits)
+        total_time += time.time() - start
+
+        preds = np.asarray(jax.device_get(logits)).argmax(axis=1)
+        correct += int((preds == labels).sum())
+        total += int(labels.shape[0])
+        total_images += int(images.shape[0])
+
+        if pbar is not None and total > 0:
+            pbar.set_postfix(
+                acc=f"{100.0 * correct / total:.2f}%",
+                imgs_per_s=f"{total_images / max(total_time, 1e-6):.1f}",
+            )
+
+    if pbar is not None:
+        pbar.close()
+
+    acc = 100.0 * correct / max(total, 1)
+    throughput = total_images / max(total_time, 1e-6)
+    return acc, throughput

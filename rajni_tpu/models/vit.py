@@ -1,0 +1,321 @@
+"""TPU-native Vision Transformer with first-class RAJNI token pruning.
+
+This is *not* a wrapper. The reference monkey-patches a pretrained timm ViT
+(`/root/reference/rajni/wrapper/model.py:13-23`); here the ViT is built
+natively as a pure function over a parameter pytree, with pruning a
+schedule-parameterized part of the forward itself. The schedule is a static
+jit argument, so each (schedule, resolution, batch) tuple compiles to one XLA
+program with fully static per-block shapes (SURVEY.md §2 "critical insight").
+
+Forward semantics mirror the reference exactly (model.py:30-69):
+  patch-embed → CLS concat → pos-embed (sliced to seq len) + pos-drop →
+  12× pre-norm blocks (pruned or stock) → final norm → head on CLS only.
+
+Pruned block (model.py:51-59):
+  ``x_norm = norm1(x)``; attention scores/selects/prunes (see
+  :func:`rajni_tpu.ops.attention.pruned_attention`); the **pre-norm residual
+  stream is gathered with the same keep_idx before the residual add**
+  (model.py:55-56); then ``x += ls1(out)``; ``x += ls2(mlp(norm2(x)))``.
+  Drop-path is inference-inert (eval mode) and omitted; layer-scale is applied
+  when the params carry ``ls1``/``ls2`` (mirroring the hasattr fallbacks at
+  model.py:45-48).
+
+Stock block: standard timm pre-norm block; any stock block resets the threaded
+scores to ``None`` (model.py:61-63), so ``update=false`` only ever reuses
+scores from an *immediately preceding* pruned block.
+
+Data layout is NHWC (``[B, H, W, 3]``) — canonical for TPU; the patch-embed
+conv is expressed as an MXU-friendly patch-extract + single matmul.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.attention import attention, pruned_attention
+from ..ops.pruning import keep_count
+from ..utils.schedule import Schedule, normalize_schedule, token_count_trace
+
+Params = dict[str, Any]
+
+
+@dataclasses.dataclass(frozen=True)
+class ViTConfig:
+    """Static architecture config (hashable → usable as a jit-static arg)."""
+
+    img_size: int = 224
+    patch_size: int = 16
+    in_chans: int = 3
+    embed_dim: int = 768
+    depth: int = 12
+    num_heads: int = 12
+    mlp_ratio: float = 4.0
+    num_classes: int = 1000
+    layer_norm_eps: float = 1e-6
+    qkv_bias: bool = True
+    use_layer_scale: bool = False
+    layer_scale_init: float = 1e-5
+
+    @property
+    def grid_size(self) -> int:
+        return self.img_size // self.patch_size
+
+    @property
+    def num_patches(self) -> int:
+        return self.grid_size * self.grid_size
+
+    @property
+    def num_tokens(self) -> int:
+        """Patches + CLS (197 for ViT-B/16 @ 224; 577 @ 384)."""
+        return self.num_patches + 1
+
+    @property
+    def head_dim(self) -> int:
+        return self.embed_dim // self.num_heads
+
+    @property
+    def attn_scale(self) -> float:
+        """Softmax scale: ``head_dim ** -0.5`` (timm default; reference
+        attention.py:9 steals this from the wrapped module)."""
+        return self.head_dim**-0.5
+
+    @property
+    def mlp_hidden(self) -> int:
+        return int(self.embed_dim * self.mlp_ratio)
+
+
+# Registry keyed by the timm model names the reference CLI accepts
+# (reference run.py:28-29, README.md:19). deit_small shares vit_small's
+# architecture (distinct pretrained weights only).
+VARIANTS: dict[str, ViTConfig] = {
+    "vit_tiny_patch16_224": ViTConfig(embed_dim=192, depth=12, num_heads=3),
+    "vit_small_patch16_224": ViTConfig(embed_dim=384, depth=12, num_heads=6),
+    "deit_small_patch16_224": ViTConfig(embed_dim=384, depth=12, num_heads=6),
+    "vit_base_patch16_224": ViTConfig(embed_dim=768, depth=12, num_heads=12),
+    "vit_base_patch16_384": ViTConfig(
+        img_size=384, embed_dim=768, depth=12, num_heads=12
+    ),
+    "vit_large_patch16_224": ViTConfig(embed_dim=1024, depth=24, num_heads=16),
+}
+
+
+def get_config(name: str) -> ViTConfig:
+    if name not in VARIANTS:
+        raise ValueError(
+            f"unknown model {name!r}; known: {sorted(VARIANTS)}"
+        )
+    return VARIANTS[name]
+
+
+# --------------------------------------------------------------------------
+# Parameter init
+# --------------------------------------------------------------------------
+
+
+def init_params(
+    rng: jax.Array, config: ViTConfig, dtype: jnp.dtype = jnp.float32
+) -> Params:
+    """Initialize a ViT parameter pytree (trunc-normal-ish; inference focus).
+
+    Layout notes:
+      * ``patch_embed.kernel`` is ``[P*P*3, C]`` — the conv kernel flattened
+        in ``(ph, pw, c)`` order to match :func:`patch_embed`'s extraction;
+        the timm converter transposes torch's ``[C, 3, P, P]`` accordingly.
+      * ``qkv.kernel`` is ``[C, 3C]`` packed q|k|v (timm order).
+      * Linear kernels are ``[in, out]`` (transposed from torch's
+        ``[out, in]``).
+    """
+    C = config.embed_dim
+    H = config.mlp_hidden
+    P = config.patch_size
+    keys = iter(jax.random.split(rng, 6 + 4 * config.depth))
+
+    def dense(key, fan_in, fan_out):
+        bound = 1.0 / math.sqrt(fan_in)
+        return {
+            "kernel": jax.random.uniform(
+                key, (fan_in, fan_out), dtype, -bound, bound
+            ),
+            "bias": jnp.zeros((fan_out,), dtype),
+        }
+
+    def norm():
+        return {"scale": jnp.ones((C,), dtype), "bias": jnp.zeros((C,), dtype)}
+
+    params: Params = {
+        "patch_embed": dense(next(keys), P * P * config.in_chans, C),
+        "cls_token": jnp.zeros((1, 1, C), dtype),
+        "pos_embed": (
+            jax.random.normal(next(keys), (1, config.num_tokens, C), dtype) * 0.02
+        ),
+        "blocks": [],
+        "norm": norm(),
+        "head": dense(next(keys), C, config.num_classes),
+    }
+    for _ in range(config.depth):
+        block = {
+            "norm1": norm(),
+            "attn": {
+                "qkv": dense(next(keys), C, 3 * C),
+                "proj": dense(next(keys), C, C),
+            },
+            "norm2": norm(),
+            "mlp": {
+                "fc1": dense(next(keys), C, H),
+                "fc2": dense(next(keys), H, C),
+            },
+        }
+        if config.use_layer_scale:
+            block["ls1"] = jnp.full((C,), config.layer_scale_init, dtype)
+            block["ls2"] = jnp.full((C,), config.layer_scale_init, dtype)
+        params["blocks"].append(block)
+    return params
+
+
+# --------------------------------------------------------------------------
+# Building blocks (pure functions)
+# --------------------------------------------------------------------------
+
+
+def layer_norm(x: jax.Array, params: Params, eps: float) -> jax.Array:
+    """LayerNorm matching torch semantics (biased variance, eps inside sqrt).
+
+    Statistics accumulate in fp32 regardless of activation dtype.
+    """
+    dtype = x.dtype
+    x32 = x.astype(jnp.float32)
+    mean = x32.mean(axis=-1, keepdims=True)
+    var = x32.var(axis=-1, keepdims=True)
+    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    y = y * params["scale"].astype(jnp.float32) + params["bias"].astype(jnp.float32)
+    return y.astype(dtype)
+
+
+def patch_embed(x: jax.Array, params: Params, config: ViTConfig) -> jax.Array:
+    """Non-overlapping P×P patchify + single matmul (reference model.py:34).
+
+    The reference's Conv2d(3, C, P, stride=P) is exactly a blocked reshape +
+    one ``[B·N, P·P·3] @ [P·P·3, C]`` matmul — the MXU-friendly form: one
+    large dense contraction instead of a convolution XLA must tile itself.
+
+    Args:
+      x: ``[B, H, W, 3]`` (NHWC).
+    Returns:
+      ``[B, N, C]`` patch tokens in row-major (gh, gw) order — matching
+      torch's ``flatten(2).transpose(1, 2)`` of the conv output.
+    """
+    B = x.shape[0]
+    P, G = config.patch_size, config.grid_size
+    x = x.reshape(B, G, P, G, P, config.in_chans)
+    x = x.transpose(0, 1, 3, 2, 4, 5)  # [B, gh, gw, ph, pw, c]
+    x = x.reshape(B, config.num_patches, P * P * config.in_chans)
+    return x @ params["kernel"] + params["bias"]
+
+
+def mlp(x: jax.Array, params: Params) -> jax.Array:
+    """timm Mlp: Linear → exact (erf) GELU → Linear (dropout inference-inert).
+
+    timm's ``nn.GELU`` default is the exact erf form — ``approximate=False``
+    here; JAX's default would be the tanh approximation.
+    """
+    h = x @ params["fc1"]["kernel"] + params["fc1"]["bias"]
+    h = jax.nn.gelu(h, approximate=False)
+    return h @ params["fc2"]["kernel"] + params["fc2"]["bias"]
+
+
+def _layer_scale(out: jax.Array, block: Params, name: str) -> jax.Array:
+    """Apply layer-scale when present (reference model.py:45-48 fallbacks)."""
+    if name in block:
+        out = out * block[name]
+    return out
+
+
+def stock_block(x: jax.Array, block: Params, config: ViTConfig) -> jax.Array:
+    """Standard timm pre-norm block (the reference's ``blk(x)`` path,
+    model.py:61)."""
+    out = attention(
+        layer_norm(x, block["norm1"], config.layer_norm_eps),
+        block["attn"],
+        config.num_heads,
+        config.attn_scale,
+    )
+    x = x + _layer_scale(out, block, "ls1")
+    out = mlp(layer_norm(x, block["norm2"], config.layer_norm_eps), block["mlp"])
+    return x + _layer_scale(out, block, "ls2")
+
+
+# --------------------------------------------------------------------------
+# Full forward
+# --------------------------------------------------------------------------
+
+
+def vit_forward(
+    params: Params,
+    images: jax.Array,
+    config: ViTConfig,
+    schedule: Schedule | None = None,
+) -> jax.Array:
+    """Pruned ViT forward: ``[B, H, W, 3] -> [B, num_classes]`` logits.
+
+    ``config`` and ``schedule`` must be static when jitted::
+
+        fn = jax.jit(vit_forward, static_argnums=(2, 3))
+
+    The per-block token counts are a compile-time constant of
+    ``(config, schedule)`` — retrieve them with :func:`model_stats` (the
+    reference's ``get_last_stats`` contract, model.py:25-28).
+    """
+    schedule = normalize_schedule(schedule, config.depth)
+    B = images.shape[0]
+    dtype = params["cls_token"].dtype
+    x = patch_embed(images.astype(dtype), params["patch_embed"], config)
+    cls = jnp.broadcast_to(params["cls_token"], (B, 1, config.embed_dim))
+    x = jnp.concatenate([cls, x], axis=1)
+    # pos_embed sliced to the live sequence length (reference model.py:37).
+    x = x + params["pos_embed"][:, : x.shape[1]]
+
+    scores: jax.Array | None = None
+    for spec, block in zip(schedule, params["blocks"]):
+        if spec is not None:
+            n = x.shape[1]
+            keep = keep_count(spec.keep_ratio, n)
+            x_norm = layer_norm(x, block["norm1"], config.layer_norm_eps)
+            out, keep_idx, scores = pruned_attention(
+                x_norm,
+                block["attn"],
+                config.num_heads,
+                config.attn_scale,
+                keep,
+                spec.update,
+                scores,
+            )
+            # Residual-stream compaction BEFORE the residual add
+            # (reference model.py:55-56).
+            idx = keep_idx[..., None]
+            x = jnp.take_along_axis(x, idx, axis=1)
+            x = x + _layer_scale(out, block, "ls1")
+            out = mlp(
+                layer_norm(x, block["norm2"], config.layer_norm_eps), block["mlp"]
+            )
+            x = x + _layer_scale(out, block, "ls2")
+        else:
+            x = stock_block(x, block, config)
+            scores = None  # invalidate: token layout unchanged (model.py:63)
+
+    x = layer_norm(x, params["norm"], config.layer_norm_eps)
+    cls_out = x[:, 0]
+    return cls_out @ params["head"]["kernel"] + params["head"]["bias"]
+
+
+def model_stats(config: ViTConfig, schedule: Schedule | None = None) -> dict:
+    """The reference's ``get_last_stats()`` contract (model.py:25-28, 68).
+
+    Token counts are static in this framework, so stats need no forward pass.
+    """
+    schedule = normalize_schedule(schedule, config.depth)
+    return {"token_counts": token_count_trace(config.num_tokens, schedule)}

@@ -1,0 +1,126 @@
+"""Multi-head self-attention ops: stock and token-pruning variants.
+
+These are the XLA-reference implementations (pure ``jax.numpy`` /
+``jax.lax``); the Pallas fused kernels in :mod:`rajni_tpu.kernels` are
+drop-in replacements validated against these functions.
+
+The pruning variant mirrors the reference ``RAJNIAttention.forward``
+(`/root/reference/rajni/wrapper/attention.py:17-60`) exactly:
+
+  * QKV is projected on the **full** incoming token set, so importance scores
+    always reflect every token entering the block (attention.py:22-26 precede
+    the gather at attention.py:41-43).
+  * Scores are recomputed iff ``update or prev_scores is None``
+    (attention.py:25-28) — resolved at trace time here because the schedule is
+    static.
+  * Attention itself is standard softmax SDPA over the reduced token set with
+    the module's ``scale`` (attention.py:47-54), followed by the output
+    projection (attention.py:55-56). Dropout paths (`proj_drop`, `attn_drop`)
+    are inference-inert in the reference (eval mode, p=0) and are omitted.
+  * Returns ``(out, keep_idx, next_scores)`` where ``next_scores`` is the
+    surviving slice of the scores (attention.py:58-60) for reuse by a
+    downstream ``update=false`` block.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Mapping
+
+import jax
+import jax.numpy as jnp
+
+from .importance import compute_importance
+from .pruning import gather_tokens, select_tokens
+
+AttnParams = Mapping[str, Any]
+
+
+def _qkv_projection(x: jax.Array, params: AttnParams) -> jax.Array:
+    """Packed QKV linear: ``[B, N, C] -> [B, N, 3C]``."""
+    qkv = params["qkv"]
+    return x @ qkv["kernel"] + qkv["bias"]
+
+
+def _sdpa(
+    qkv: jax.Array,
+    num_heads: int,
+    scale: float,
+    *,
+    softmax_dtype: jnp.dtype = jnp.float32,
+) -> jax.Array:
+    """Unfused softmax SDPA on packed QKV ``[B, Np, 3C] -> [B, Np, C]``.
+
+    Matches reference attention.py:47-54 (and the stock timm path for
+    un-pruned blocks). Softmax runs in ``softmax_dtype`` (fp32 by default) for
+    bf16-safe accumulation; the matmuls request fp32 MXU accumulation via
+    ``preferred_element_type``.
+    """
+    B, Np, three_c = qkv.shape
+    C = three_c // 3
+    D = C // num_heads
+    qkv = qkv.reshape(B, Np, 3, num_heads, D).transpose(2, 0, 3, 1, 4)
+    q, k, v = qkv[0], qkv[1], qkv[2]  # [B, H, Np, D]
+
+    attn = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=softmax_dtype)
+    attn = attn * scale
+    attn = jax.nn.softmax(attn, axis=-1).astype(v.dtype)
+    out = jnp.einsum("bhqk,bhkd->bhqd", attn, v, preferred_element_type=jnp.float32)
+    out = out.astype(v.dtype)
+    return out.transpose(0, 2, 1, 3).reshape(B, Np, C)
+
+
+def attention(
+    x: jax.Array,
+    params: AttnParams,
+    num_heads: int,
+    scale: float,
+) -> jax.Array:
+    """Stock (un-pruned) multi-head self-attention on ``[B, N, C]``."""
+    qkv = _qkv_projection(x, params)
+    out = _sdpa(qkv, num_heads, scale)
+    proj = params["proj"]
+    return out @ proj["kernel"] + proj["bias"]
+
+
+def pruned_attention(
+    x: jax.Array,
+    params: AttnParams,
+    num_heads: int,
+    scale: float,
+    keep: int,
+    update: bool,
+    prev_scores: jax.Array | None,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Score → select → prune → attend (reference attention.py:17-60).
+
+    Args:
+      x: ``[B, N, C]`` post-norm1 activations (full token set).
+      params: ``{"qkv": {...}, "proj": {...}}``.
+      num_heads, scale: head count and softmax scale.
+      keep: static number of patch tokens to keep (see
+        :func:`rajni_tpu.ops.pruning.keep_count`).
+      update: schedule flag; recompute scores iff ``update or prev_scores is
+        None`` (attention.py:25-28). Static.
+      prev_scores: ``[B, N]`` scores surviving from the previous pruned block,
+        or ``None``.
+
+    Returns:
+      ``(out, keep_idx, next_scores)`` with shapes ``[B, K, C]``, ``[B, K]``,
+      ``[B, K]`` where ``K = keep + 1`` (CLS included).
+    """
+    qkv = _qkv_projection(x, params)  # full N (attention.py:22)
+
+    if update or prev_scores is None:
+        scores = compute_importance(qkv, num_heads)
+    else:
+        scores = prev_scores
+
+    keep_idx = select_tokens(scores, keep)
+    qkv = gather_tokens(qkv, keep_idx)
+
+    out = _sdpa(qkv, num_heads, scale)
+    proj = params["proj"]
+    out = out @ proj["kernel"] + proj["bias"]
+
+    next_scores = jnp.take_along_axis(scores, keep_idx, axis=1)
+    return out, keep_idx, next_scores

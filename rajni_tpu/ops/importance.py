@@ -1,0 +1,82 @@
+"""RAJNI token-importance scoring.
+
+TPU-native reimplementation of the reference scorer
+(`/root/reference/rajni/wrapper/importance.py:4-34`): a per-token importance
+signal combining
+
+  1. the CLS token's attention distribution over all tokens (head-averaged), and
+  2. a sigmoid-squashed z-score of each token's centered value-vector norm.
+
+Numerical contract (verified against the reference semantics):
+  * CLS attention uses ``1/sqrt(head_dim)`` directly, *not* a module `scale`
+    attribute (importance.py:20) — identical for standard ViT.
+  * The value signal head-averages first (importance.py:24), centers across the
+    token axis (importance.py:25), takes the L2 norm per token
+    (importance.py:27), then z-scores across tokens with an *unbiased* (ddof=1)
+    std — torch's `Tensor.std` default — plus ``eps=1e-6`` added to the std,
+    not the variance (importance.py:28-31).
+  * Output is elementwise product ``A_cls * sigmoid(z)`` → ``[B, N]``
+    (importance.py:34). The CLS position's own score is produced but never
+    ranked by the selector.
+
+Everything here is a pure function of its inputs: no RNG, no state, fully
+jittable, differentiable (the reference wraps this in ``no_grad``; in JAX we
+simply don't request gradients — callers that train through it may).
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+
+def compute_importance(
+    qkv: jax.Array,
+    num_heads: int,
+    eps: float = 1e-6,
+    *,
+    compute_dtype: jnp.dtype | None = jnp.float32,
+) -> jax.Array:
+    """Per-token importance from a block's full (unpruned) QKV projection.
+
+    Args:
+      qkv: ``[B, N, 3*C]`` — the packed QKV linear output *before* any head
+        reshape, with token 0 being CLS (reference importance.py:10).
+      num_heads: number of attention heads ``H``; ``D = C // H``.
+      eps: stabiliser added to the token-axis std (reference importance.py:5).
+      compute_dtype: dtype for the scoring math. The score is a tiny ``1×N``
+        attention row plus token statistics — fp32 costs nothing and keeps the
+        top-k ranking stable under bf16 activations. ``None`` keeps the input
+        dtype.
+
+    Returns:
+      ``[B, N]`` importance scores in ``compute_dtype``.
+    """
+    B, N, three_c = qkv.shape
+    C = three_c // 3
+    D = C // num_heads
+    if compute_dtype is not None:
+        qkv = qkv.astype(compute_dtype)
+
+    # [B, N, 3, H, D] -> 3 x [B, H, N, D]
+    qkv = qkv.reshape(B, N, 3, num_heads, D).transpose(2, 0, 3, 1, 4)
+    q, k, v = qkv[0], qkv[1], qkv[2]
+
+    # ---- CLS attention signal (reference importance.py:18-21) ----
+    q_cls = q[:, :, 0:1, :]  # [B, H, 1, D]
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q_cls, k) / math.sqrt(D)
+    attn = jax.nn.softmax(logits, axis=-1)  # [B, H, 1, N]
+    a_cls = attn.mean(axis=1)[:, 0, :]  # [B, N]
+
+    # ---- Value magnitude signal (reference importance.py:24-32) ----
+    V = v.mean(axis=1)  # head-mean first: [B, N, D]
+    V = V - V.mean(axis=1, keepdims=True)  # center across tokens
+    v_norm = jnp.linalg.norm(V, axis=-1)  # [B, N]
+    mu = v_norm.mean(axis=1, keepdims=True)
+    # torch Tensor.std defaults to the unbiased estimator (ddof=1).
+    std = jnp.std(v_norm, axis=1, keepdims=True, ddof=1) + eps
+    z = jax.nn.sigmoid((v_norm - mu) / std)
+
+    return a_cls * z

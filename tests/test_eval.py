@@ -1,0 +1,88 @@
+"""Harness accounting parity (SURVEY.md §4 item 3): warmup iterator restart,
+acc/throughput denominators, max_batches cutoff — against a synthetic
+in-memory dataset."""
+
+import numpy as np
+
+from rajni_tpu.eval import evaluate_model
+
+
+class CountingLoader:
+    """Re-iterable synthetic (images, labels) loader that counts iterations."""
+
+    def __init__(self, num_batches=4, batch=8, num_classes=10, correct_every=2):
+        self.num_batches = num_batches
+        self.batch = batch
+        self.num_classes = num_classes
+        self.correct_every = correct_every
+        self.iter_starts = 0
+        self.batches_served = 0
+
+    def __len__(self):
+        return self.num_batches
+
+    def __iter__(self):
+        self.iter_starts += 1
+        for b in range(self.num_batches):
+            labels = np.arange(self.batch) % self.num_classes
+            # Encode the true label into the image so a linear "model" can be
+            # exactly right or wrong per sample: sample j is classified
+            # correctly iff j % correct_every == 0.
+            images = np.zeros((self.batch, self.num_classes), np.float32)
+            for j in range(self.batch):
+                target = labels[j] if j % self.correct_every == 0 else (
+                    (labels[j] + 1) % self.num_classes
+                )
+                images[j, target] = 1.0
+            self.batches_served += 1
+            yield images, labels
+
+
+def identity_model(x):
+    return x  # logits are the one-hot planted in the images
+
+
+def test_accuracy_and_counts():
+    loader = CountingLoader(num_batches=4, batch=8, correct_every=2)
+    acc, tput = evaluate_model(
+        identity_model, loader, warmup=0, progress=False
+    )
+    assert acc == 50.0  # every second sample correct
+    assert tput > 0
+
+
+def test_warmup_restarts_iterator():
+    """warmup > len(loader) must restart the iterator (reference
+    eval.py:20-26) and then run the timed loop on a fresh pass."""
+    loader = CountingLoader(num_batches=2)
+    acc, _ = evaluate_model(
+        identity_model, loader, warmup=3, progress=False, max_batches=2
+    )
+    # warmup consumed 2 + (restart) 1; timed loop a fresh full pass
+    assert loader.iter_starts == 3
+    assert loader.batches_served == 2 + 1 + 2
+
+
+def test_max_batches_cutoff():
+    loader = CountingLoader(num_batches=5, batch=4)
+    acc, _ = evaluate_model(
+        identity_model, loader, warmup=0, progress=False, max_batches=2
+    )
+    # totals only cover the first 2 batches
+    assert loader.batches_served >= 2
+
+
+def test_empty_loader_denominators():
+    """acc denominator max(total, 1) and throughput denominator
+    max(total_time, 1e-6) must not divide by zero (reference eval.py:73-74)."""
+
+    class Empty:
+        def __iter__(self):
+            return iter(())
+
+        def __len__(self):
+            return 0
+
+    acc, tput = evaluate_model(identity_model, Empty(), warmup=0, progress=False)
+    assert acc == 0.0
+    assert tput == 0.0

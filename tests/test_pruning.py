@@ -1,0 +1,68 @@
+"""Selection arithmetic & gather semantics (SURVEY.md §4 item 1)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rajni_tpu.ops.pruning import gather_tokens, keep_count, select_tokens
+from .oracles import select_oracle
+
+
+@pytest.mark.parametrize(
+    "ratio,n,expected",
+    [
+        # floor semantics: int(ratio * (N-1)) (reference attention.py:31-32)
+        (0.88, 197, 172),
+        (0.8, 153, 121),
+        (0.72, 122, 87),
+        (0.95, 197, 186),
+        (0.85, 188, 158),
+        # floors at 1 patch even for tiny ratios
+        (1e-6, 197, 1),
+        (0.001, 5, 1),
+        # keep-all
+        (1.0, 197, 196),
+        # ViT-B/384
+        (0.95, 577, 547),
+    ],
+)
+def test_keep_count(ratio, n, expected):
+    assert keep_count(ratio, n) == expected
+
+
+def test_select_matches_oracle(rng):
+    scores = rng.standard_normal((4, 197)).astype(np.float32)
+    for ratio in (0.88, 0.5, 0.01, 1.0):
+        keep = keep_count(ratio, 197)
+        got = np.asarray(select_tokens(jnp.asarray(scores), keep))
+        want = select_oracle(scores, ratio)
+        np.testing.assert_array_equal(got, want)
+
+
+def test_select_always_keeps_cls_first(rng):
+    scores = rng.standard_normal((3, 17)).astype(np.float32)
+    scores[:, 0] = -1e9  # CLS score is never ranked (attention.py:34)
+    idx = np.asarray(select_tokens(jnp.asarray(scores), 4))
+    assert (idx[:, 0] == 0).all()
+    # remaining indices ascending and in [1, N)
+    assert (np.diff(idx[:, 1:], axis=1) > 0).all()
+    assert idx.min() >= 0 and idx.max() < 17
+
+
+def test_gather_tokens_matches_numpy(rng):
+    x = rng.standard_normal((2, 9, 5)).astype(np.float32)
+    scores = rng.standard_normal((2, 9)).astype(np.float32)
+    idx = select_tokens(jnp.asarray(scores), 3)
+    got = np.asarray(gather_tokens(jnp.asarray(x), idx))
+    idx_np = np.asarray(idx)
+    want = np.take_along_axis(x, idx_np[..., None], axis=1)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_gather_tokens_2d(rng):
+    """Score propagation gathers a [B, N] array (reference attention.py:58)."""
+    scores = rng.standard_normal((2, 9)).astype(np.float32)
+    idx = select_tokens(jnp.asarray(scores), 3)
+    got = np.asarray(gather_tokens(jnp.asarray(scores), idx))
+    want = np.take_along_axis(scores, np.asarray(idx), axis=1)
+    np.testing.assert_array_equal(got, want)

@@ -1,0 +1,85 @@
+"""Schedule parsing + the exact token-count traces from SURVEY.md §2."""
+
+import json
+
+import pytest
+
+from rajni_tpu.utils.schedule import (
+    PruneSpec,
+    load_schedule,
+    normalize_schedule,
+    schedule_to_dict,
+    token_count_trace,
+)
+
+README_SCHEDULE = {3: {"keep_ratio": 0.88}, 4: {"keep_ratio": 0.88},
+                   7: {"keep_ratio": 0.8}, 8: {"keep_ratio": 0.72}}
+SHIPPED_SCHEDULE = {  # reference schedule.json:1-7
+    "3": {"keep_ratio": 0.95, "update": False},
+    "4": {"keep_ratio": 0.95, "update": True},
+    "5": {"keep_ratio": 0.85, "update": True},
+    "6": {"keep_ratio": 0.85, "update": True},
+    "7": {"keep_ratio": 0.95, "update": True},
+}
+
+
+def test_string_keys_are_fixed():
+    """The reference CLI's str-vs-int key bug (SURVEY.md §2 quirk) must be
+    fixed: JSON string keys prune exactly like int keys."""
+    s = normalize_schedule(SHIPPED_SCHEDULE, 12)
+    assert s[3] == PruneSpec(0.95, False)
+    assert s[7] == PruneSpec(0.95, True)
+    assert sum(e is not None for e in s) == 5
+
+
+def test_update_defaults_true():
+    s = normalize_schedule(README_SCHEDULE, 12)
+    assert all(s[i].update for i in (3, 4, 7, 8))  # model.py:19 default
+
+
+def test_identity_schedule():
+    assert normalize_schedule(None, 12) == (None,) * 12
+    assert normalize_schedule({}, 12) == (None,) * 12
+
+
+def test_out_of_range_rejected():
+    with pytest.raises(ValueError):
+        normalize_schedule({12: {"keep_ratio": 0.5}}, 12)
+    with pytest.raises(ValueError):
+        normalize_schedule({3: {"keep_ratio": 0.0}}, 12)
+
+
+def test_roundtrip(tmp_path):
+    p = tmp_path / "s.json"
+    p.write_text(json.dumps(SHIPPED_SCHEDULE))
+    s = load_schedule(str(p), 12)
+    assert schedule_to_dict(s) == {
+        3: {"keep_ratio": 0.95, "update": False},
+        4: {"keep_ratio": 0.95, "update": True},
+        5: {"keep_ratio": 0.85, "update": True},
+        6: {"keep_ratio": 0.85, "update": True},
+        7: {"keep_ratio": 0.95, "update": True},
+    }
+
+
+def test_trace_readme_schedule_vitb224():
+    """SURVEY.md §2 worked trace #1 (verified against the reference
+    arithmetic, attention.py:31-32 / model.py:43)."""
+    s = normalize_schedule(README_SCHEDULE, 12)
+    assert token_count_trace(197, s) == [
+        197, 197, 197, 197, 173, 152, 152, 152, 121, 87, 87, 87,
+    ]
+
+
+def test_trace_shipped_schedule_vitb224():
+    s = normalize_schedule(SHIPPED_SCHEDULE, 12)
+    assert token_count_trace(197, s) == [
+        197, 197, 197, 197, 187, 177, 150, 127, 120, 120, 120, 120,
+    ]
+
+
+def test_trace_shipped_schedule_vitb384():
+    s = normalize_schedule(SHIPPED_SCHEDULE, 12)
+    assert token_count_trace(577, s) == [
+        577, 577, 577, 577, 548, 520, 442, 375, 356, 356, 356, 356,
+    ]

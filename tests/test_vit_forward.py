@@ -1,0 +1,170 @@
+"""End-to-end forward semantics: shapes, keep_ratio=1 equivalence, score
+propagation state machine (SURVEY.md §4 items 1-2)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import rajni_tpu.ops.attention as attention_ops
+from rajni_tpu.models.vit import (
+    ViTConfig,
+    init_params,
+    model_stats,
+    patch_embed,
+    vit_forward,
+)
+from rajni_tpu.utils.schedule import PruneSpec, normalize_schedule, token_count_trace
+
+TINY = ViTConfig(
+    img_size=32, patch_size=16, embed_dim=32, depth=5, num_heads=4, num_classes=10
+)
+
+
+@pytest.fixture
+def tiny_params():
+    return init_params(jax.random.key(0), TINY)
+
+
+def _images(rng, b=2, cfg=TINY):
+    return jnp.asarray(
+        rng.standard_normal((b, cfg.img_size, cfg.img_size, 3)).astype(np.float32)
+    )
+
+
+def test_forward_shape(rng, tiny_params):
+    x = _images(rng)
+    logits = vit_forward(tiny_params, x, TINY)
+    assert logits.shape == (2, 10)
+
+    sched = normalize_schedule({1: {"keep_ratio": 0.5}}, TINY.depth)
+    logits = vit_forward(tiny_params, x, TINY, sched)
+    assert logits.shape == (2, 10)
+
+
+def test_keep_ratio_one_equals_identity(rng, tiny_params):
+    """keep_ratio=1.0 keeps every patch; sorted indices are then the identity
+    permutation, so the pruned path must reproduce the stock forward exactly
+    (the reference's implicit no-op case, attention.py:31-39)."""
+    x = _images(rng)
+    base = vit_forward(tiny_params, x, TINY)
+    sched = normalize_schedule(
+        {i: {"keep_ratio": 1.0} for i in range(TINY.depth)}, TINY.depth
+    )
+    pruned = vit_forward(tiny_params, x, TINY, sched)
+    np.testing.assert_allclose(np.asarray(base), np.asarray(pruned), rtol=2e-5, atol=2e-5)
+
+
+def test_jit_matches_eager(rng, tiny_params):
+    x = _images(rng)
+    sched = normalize_schedule({1: {"keep_ratio": 0.6}, 3: {"keep_ratio": 0.5}}, 5)
+    eager = vit_forward(tiny_params, x, TINY, sched)
+    jitted = jax.jit(vit_forward, static_argnums=(2, 3))(tiny_params, x, TINY, sched)
+    np.testing.assert_allclose(np.asarray(eager), np.asarray(jitted), rtol=2e-5, atol=2e-5)
+
+
+def test_model_stats_contract():
+    sched = normalize_schedule({1: {"keep_ratio": 0.5}, 2: {"keep_ratio": 0.5}}, 5)
+    stats = model_stats(TINY, sched)
+    # 5 tokens → keep max(1, int(0.5*4)) = 2 → 3 tokens → keep 1 → 2 tokens
+    assert stats == {"token_counts": [5, 5, 3, 2, 2]}
+    assert stats["token_counts"] == token_count_trace(TINY.num_tokens, sched)
+
+
+def test_score_state_machine(rng, tiny_params, monkeypatch):
+    """The reference's update/invalidate semantics (model.py:39-63,
+    attention.py:25-28): recompute iff `update or prev_scores is None`; any
+    stock block resets scores to None."""
+    calls = []
+    real = attention_ops.compute_importance
+
+    def counting(qkv, num_heads, *a, **k):
+        calls.append(qkv.shape[1])
+        return real(qkv, num_heads, *a, **k)
+
+    monkeypatch.setattr(attention_ops, "compute_importance", counting)
+    x = _images(rng)
+
+    # blocks: 0 stock, 1 pruned(update=False), 2 pruned(update=False),
+    #         3 stock, 4 pruned(update=False)
+    sched = (
+        None,
+        PruneSpec(0.75, update=False),
+        PruneSpec(0.75, update=False),
+        None,
+        PruneSpec(0.75, update=False),
+    )
+    vit_forward(tiny_params, x, TINY, sched)
+    # block 1 computes (prev None); block 2 reuses; block 3 stock invalidates;
+    # block 4 computes again.
+    assert len(calls) == 2
+
+    calls.clear()
+    sched_update = (
+        None,
+        PruneSpec(0.75, update=True),
+        PruneSpec(0.75, update=True),
+        None,
+        PruneSpec(0.75, update=True),
+    )
+    vit_forward(tiny_params, x, TINY, sched_update)
+    assert len(calls) == 3  # every pruned block recomputes
+
+
+def test_reused_scores_drive_selection(rng):
+    """With update=False, selection must rank by the surviving previous
+    scores, not fresh ones (attention.py:25-28, 58)."""
+    from rajni_tpu.ops.attention import pruned_attention
+    from rajni_tpu.ops.pruning import select_tokens
+
+    B, N, C, H = 1, 9, 16, 2
+    k = jax.random.split(jax.random.key(1), 3)
+    params = {
+        "qkv": {
+            "kernel": jax.random.normal(k[0], (C, 3 * C)) * 0.2,
+            "bias": jnp.zeros((3 * C,)),
+        },
+        "proj": {
+            "kernel": jax.random.normal(k[1], (C, C)) * 0.2,
+            "bias": jnp.zeros((C,)),
+        },
+    }
+    x = jax.random.normal(k[2], (B, N, C))
+    prev = jnp.asarray(rng.standard_normal((B, N)).astype(np.float32))
+
+    _, keep_idx, next_scores = pruned_attention(
+        x, params, H, (C // H) ** -0.5, keep=4, update=False, prev_scores=prev
+    )
+    np.testing.assert_array_equal(
+        np.asarray(keep_idx), np.asarray(select_tokens(prev, 4))
+    )
+    np.testing.assert_allclose(
+        np.asarray(next_scores),
+        np.take_along_axis(np.asarray(prev), np.asarray(keep_idx), axis=1),
+    )
+
+
+def test_patch_embed_matches_conv(rng):
+    """Patchify+matmul must equal the reference's Conv2d(3,C,P,stride=P)
+    (model.py:34) — validated against lax.conv with an HWIO reshape of the
+    same kernel."""
+    cfg = TINY
+    P, C = cfg.patch_size, cfg.embed_dim
+    kernel = rng.standard_normal((P * P * 3, C)).astype(np.float32)
+    bias = rng.standard_normal((C,)).astype(np.float32)
+    x = rng.standard_normal((2, cfg.img_size, cfg.img_size, 3)).astype(np.float32)
+
+    got = patch_embed(
+        jnp.asarray(x), {"kernel": jnp.asarray(kernel), "bias": jnp.asarray(bias)}, cfg
+    )
+
+    hwio = kernel.reshape(P, P, 3, C)
+    conv = jax.lax.conv_general_dilated(
+        jnp.asarray(x),
+        jnp.asarray(hwio),
+        window_strides=(P, P),
+        padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    want = conv.reshape(2, cfg.num_patches, C) + bias
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4)
