@@ -1,0 +1,187 @@
+"""ImageNet-val data pipeline: ImageFolder discovery + reference-exact
+preprocessing + batched loading with background prefetch.
+
+Replaces the reference's torchvision stack (`/root/reference/rajni/run.py:62-82`):
+
+  * ``datasets.ImageFolder`` → :class:`ImageFolder`: class subdirectories in
+    sorted order define label indices; files sorted within each class —
+    torchvision's contract, reproduced so label indices agree.
+  * ``transforms.Compose([Resize(256, interpolation=3), CenterCrop(224),
+    ToTensor(), Normalize(ImageNet)])`` (run.py:62-70) → :func:`preprocess`:
+    PIL bicubic resize of the *shorter side* to 256, center crop 224, scale to
+    [0,1], normalize with mean [0.485, 0.456, 0.406] / std [0.229, 0.224,
+    0.225]. Output is NHWC float32 (TPU-canonical layout) rather than NCHW.
+  * ``DataLoader(batch_size, shuffle=False, num_workers, drop_last=False)``
+    (run.py:75-82) → :class:`DataLoader`: thread-pool decode (processes buy
+    nothing for PIL decode under the GIL-released JPEG path) with a bounded
+    prefetch queue so decode overlaps TPU compute.
+"""
+
+from __future__ import annotations
+
+import concurrent.futures
+import os
+from typing import Iterator, Sequence
+
+import numpy as np
+
+IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+IMG_EXTENSIONS = (
+    ".jpg", ".jpeg", ".png", ".ppm", ".bmp", ".pgm", ".tif", ".tiff", ".webp",
+)
+
+
+def find_classes(root: str) -> tuple[list[str], dict[str, int]]:
+    """Sorted class-subdirectory discovery (torchvision ImageFolder contract)."""
+    classes = sorted(
+        e.name for e in os.scandir(root) if e.is_dir()
+    )
+    if not classes:
+        raise FileNotFoundError(f"no class directories found in {root!r}")
+    return classes, {c: i for i, c in enumerate(classes)}
+
+
+class ImageFolder:
+    """``root/class_x/*.jpg``-style dataset (reference run.py:73)."""
+
+    def __init__(self, root: str, img_size: int = 224, resize: int = 256):
+        self.root = root
+        self.img_size = img_size
+        self.resize = resize
+        self.classes, self.class_to_idx = find_classes(root)
+        self.samples: list[tuple[str, int]] = []
+        for cls in self.classes:
+            d = os.path.join(root, cls)
+            files = sorted(
+                os.path.join(d, f)
+                for f in os.listdir(d)
+                if f.lower().endswith(IMG_EXTENSIONS)
+            )
+            self.samples += [(f, self.class_to_idx[cls]) for f in files]
+
+    def __len__(self) -> int:
+        return len(self.samples)
+
+    def load(self, index: int) -> tuple[np.ndarray, int]:
+        path, label = self.samples[index]
+        from PIL import Image
+
+        with Image.open(path) as im:
+            im = im.convert("RGB")
+            arr = preprocess(im, self.img_size, self.resize)
+        return arr, label
+
+
+def preprocess(im, img_size: int = 224, resize: int = 256) -> np.ndarray:
+    """Resize-shorter-side(bicubic) → center-crop → [0,1] → normalize.
+
+    Bit-matches the reference transform stack (run.py:62-70): torchvision's
+    ``Resize(256, interpolation=3)`` resizes the *shorter* edge to 256 with
+    PIL bicubic; ``CenterCrop`` uses round-half-down offsets reproduced here.
+
+    Returns NHWC float32 ``[img_size, img_size, 3]``.
+    """
+    from PIL import Image
+
+    w, h = im.size
+    if w <= h:
+        nw, nh = resize, max(1, round(h * resize / w))
+    else:
+        nh, nw = resize, max(1, round(w * resize / h))
+    im = im.resize((nw, nh), Image.BICUBIC)
+
+    # torchvision CenterCrop: offset = round((dim - crop) / 2) via int rounding
+    left = int(round((nw - img_size) / 2.0))
+    top = int(round((nh - img_size) / 2.0))
+    im = im.crop((left, top, left + img_size, top + img_size))
+
+    arr = np.asarray(im, np.float32) / 255.0
+    return (arr - IMAGENET_MEAN) / IMAGENET_STD
+
+
+class DataLoader:
+    """Batched, re-iterable loader with threaded decode (reference run.py:75-82).
+
+    Yields ``(images [B, H, W, 3] float32, labels [B] int64)`` numpy batches in
+    dataset order (``shuffle=False`` — eval protocol), last batch partial
+    (``drop_last=False``).
+    """
+
+    def __init__(
+        self,
+        dataset: ImageFolder,
+        batch_size: int = 256,
+        num_workers: int = 8,
+        prefetch: int = 2,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.num_workers = max(1, num_workers)
+        self.prefetch = prefetch
+
+    def __len__(self) -> int:
+        return -(-len(self.dataset) // self.batch_size)
+
+    def _load_batch(self, indices: Sequence[int]):
+        out = [self.dataset.load(i) for i in indices]
+        images = np.stack([o[0] for o in out])
+        labels = np.array([o[1] for o in out], np.int64)
+        return images, labels
+
+    def __iter__(self) -> Iterator[tuple[np.ndarray, np.ndarray]]:
+        n = len(self.dataset)
+        batches = [
+            range(s, min(s + self.batch_size, n))
+            for s in range(0, n, self.batch_size)
+        ]
+        if self.num_workers <= 1:
+            for b in batches:
+                yield self._load_batch(b)
+            return
+        # Bounded look-ahead: submit `prefetch` batches ahead of consumption.
+        with concurrent.futures.ThreadPoolExecutor(self.num_workers) as pool:
+            pending = []
+            it = iter(batches)
+            for _ in range(self.prefetch + 1):
+                b = next(it, None)
+                if b is not None:
+                    pending.append(pool.submit(self._load_batch, b))
+            while pending:
+                fut = pending.pop(0)
+                b = next(it, None)
+                if b is not None:
+                    pending.append(pool.submit(self._load_batch, b))
+                yield fut.result()
+
+
+class SyntheticLoader:
+    """Deterministic in-memory loader for benchmarks and tests.
+
+    Stands in for ImageNet-val when no dataset is mounted (this framework's
+    throughput is weight- and data-independent: shapes are static).
+    """
+
+    def __init__(
+        self,
+        num_batches: int = 8,
+        batch_size: int = 256,
+        img_size: int = 224,
+        num_classes: int = 1000,
+        seed: int = 0,
+    ):
+        rng = np.random.default_rng(seed)
+        # One buffer reused across batches: bench realism without hostRAM blowup.
+        self._images = rng.standard_normal(
+            (batch_size, img_size, img_size, 3)
+        ).astype(np.float32)
+        self._labels = rng.integers(0, num_classes, batch_size).astype(np.int64)
+        self.num_batches = num_batches
+        self.batch_size = batch_size
+
+    def __len__(self) -> int:
+        return self.num_batches
+
+    def __iter__(self):
+        for _ in range(self.num_batches):
+            yield self._images, self._labels

@@ -1,0 +1,166 @@
+"""SPMD parallelism over a TPU device mesh.
+
+The reference has **no** distributed code (SURVEY.md §2 "Parallelism"); this
+module is the TPU-native capability equivalent and more: a 2-D
+``(data, model)`` :class:`jax.sharding.Mesh` with
+
+  * **data parallelism**: the batch sharded over the ``data`` axis;
+    accuracy counters reduce across chips via XLA collectives;
+  * **tensor parallelism** (Megatron pattern): QKV/fc1 kernels column-sharded
+    and proj/fc2 kernels row-sharded over the ``model`` axis, so each block is
+    one column-parallel matmul → local attention/GELU → one row-parallel
+    matmul → psum, with XLA's SPMD partitioner inserting the all-reduces on
+    ICI automatically.
+
+Everything goes through ``jax.jit`` with sharding annotations — no manual
+collectives, no NCCL-style process groups. Multi-host would only add
+``jax.distributed.initialize``; the sharded program is unchanged.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models.vit import ViTConfig, vit_forward
+from ..utils.schedule import Schedule
+
+
+def make_mesh(
+    devices=None,
+    data: int | None = None,
+    model: int = 1,
+) -> Mesh:
+    """Build a ``(data, model)`` mesh over the given (default: all) devices."""
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    if data is None:
+        if n % model:
+            raise ValueError(f"{n} devices not divisible by model={model}")
+        data = n // model
+    if data * model != n:
+        raise ValueError(f"mesh {data}x{model} != {n} devices")
+    dev_array = np.asarray(devices).reshape(data, model)
+    return Mesh(dev_array, axis_names=("data", "model"))
+
+
+def param_pspecs(params: Any) -> Any:
+    """PartitionSpecs for a ViT param pytree: Megatron TP over ``model``.
+
+    - ``qkv.kernel [C, 3C]`` / ``mlp.fc1.kernel [C, H]``: column-parallel
+      (output dim sharded) with matching bias sharding;
+    - ``attn.proj.kernel [C, C]`` / ``mlp.fc2.kernel [H, C]``: row-parallel
+      (input dim sharded), bias replicated;
+    - embeddings, norms, head: replicated (tiny).
+    """
+
+    def block_spec(block):
+        spec = {
+            "norm1": {"scale": P(), "bias": P()},
+            "norm2": {"scale": P(), "bias": P()},
+            "attn": {
+                "qkv": {"kernel": P(None, "model"), "bias": P("model")},
+                "proj": {"kernel": P("model", None), "bias": P()},
+            },
+            "mlp": {
+                "fc1": {"kernel": P(None, "model"), "bias": P("model")},
+                "fc2": {"kernel": P("model", None), "bias": P()},
+            },
+        }
+        if "ls1" in block:
+            spec["ls1"] = P()
+            spec["ls2"] = P()
+        return spec
+
+    return {
+        "patch_embed": {"kernel": P(), "bias": P()},
+        "cls_token": P(),
+        "pos_embed": P(),
+        "blocks": [block_spec(b) for b in params["blocks"]],
+        "norm": {"scale": P(), "bias": P()},
+        "head": {"kernel": P(), "bias": P()},
+    }
+
+
+def shard_params(params: Any, mesh: Mesh) -> Any:
+    """Place a param pytree onto the mesh with TP shardings."""
+    specs = param_pspecs(params)
+    return jax.tree_util.tree_map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs
+    )
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Batch-dim sharding over the ``data`` axis (leading dim)."""
+    return NamedSharding(mesh, P("data"))
+
+
+def sharded_forward(
+    params: Any,
+    config: ViTConfig,
+    schedule: Schedule | None,
+    mesh: Mesh,
+):
+    """Jitted ``images -> logits`` with DP batch + TP params over ``mesh``.
+
+    The returned callable accepts a host or device batch ``[B, H, W, 3]``
+    (B divisible by the ``data`` axis size) and returns replicated logits.
+    """
+    sharded = shard_params(params, mesh)
+    fwd = jax.jit(
+        functools.partial(vit_forward, config=config, schedule=schedule),
+        # params keep their placed (TP) shardings; batch arrives DP-sharded
+        in_shardings=(None, batch_sharding(mesh)),
+        out_shardings=NamedSharding(mesh, P("data")),
+    )
+
+    def apply(images):
+        images = jax.device_put(images, batch_sharding(mesh))
+        return fwd(sharded, images)
+
+    return apply
+
+
+def data_parallel_forward(
+    params: Any,
+    config: ViTConfig,
+    schedule: Schedule | None,
+    mesh: Mesh | None = None,
+):
+    """Convenience: shard over all local devices (1-D data mesh by default)."""
+    if mesh is None:
+        mesh = make_mesh()
+    return sharded_forward(params, config, schedule, mesh)
+
+
+def eval_step_fn(config: ViTConfig, schedule: Schedule | None, mesh: Mesh):
+    """Jitted ``(params, images, labels) -> (correct, total)`` counters.
+
+    The batch-sharded argmax/compare reduces to replicated scalars — the
+    TPU-native equivalent of the reference's per-batch host-side accumulation
+    (eval.py:61-64), with XLA emitting the cross-chip psum.
+    """
+
+    def step(params, images, labels):
+        import jax.numpy as jnp
+
+        logits = vit_forward(params, images, config, schedule)
+        preds = jnp.argmax(logits, axis=-1)
+        correct = jnp.sum((preds == labels).astype(jnp.int32))
+        total = jnp.asarray(labels.shape[0], jnp.int32)
+        return correct, total
+
+    return jax.jit(
+        step,
+        in_shardings=(
+            None,
+            batch_sharding(mesh),
+            NamedSharding(mesh, P("data")),
+        ),
+        out_shardings=(NamedSharding(mesh, P()), NamedSharding(mesh, P())),
+    )

@@ -1,0 +1,185 @@
+"""CLI evaluation driver.
+
+Flag surface mirrors the reference CLI (`/root/reference/rajni/run.py:17-43`)
+— ``--data_path --batch_size --num_workers --pin_mem --model --device
+--schedule --warmup --max_batches --compare_base`` — plus TPU-native
+extensions:
+
+  * ``--dtype {bfloat16,float32}``: activation/param precision (bf16 default —
+    the MXU-native inference dtype).
+  * ``--checkpoint``: load converted pretrained params (see
+    :mod:`rajni_tpu.params`); without it, randomly initialized params are used
+    (throughput valid, accuracy meaningless) with a loud warning.
+  * ``--synthetic N``: benchmark against N synthetic batches with no dataset
+    on disk.
+  * ``--data_parallel``: shard the batch across all local devices on a 1-D
+    mesh (see :mod:`rajni_tpu.parallel`).
+
+The reference's schedule-key bug (str JSON keys never matching int block
+indices, run.py:118-119 vs model.py:14 — so its CLI silently never pruned) is
+fixed by :func:`rajni_tpu.utils.schedule.load_schedule`.
+
+Behavioral parity notes: requires ``--schedule`` like the reference
+(run.py:115-116); prints args, dataset size, per-model acc/throughput, and
+with ``--compare_base`` the speedup/accuracy-drop summary (run.py:150-157).
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from .data.pipeline import DataLoader, ImageFolder, SyntheticLoader
+from .eval import evaluate_model
+from .models.vit import get_config, init_params, model_stats, vit_forward
+from .utils.schedule import load_schedule, schedule_to_dict
+
+
+def get_args(argv=None):
+    parser = argparse.ArgumentParser("RAJNI-TPU Evaluation", add_help=True)
+
+    # Dataset / loader (reference run.py:20-25)
+    parser.add_argument("--data_path", type=str, default=None,
+                        help="Path to ImageNet-style dataset root")
+    parser.add_argument("--batch_size", type=int, default=256)
+    parser.add_argument("--num_workers", type=int, default=8)
+    parser.add_argument("--pin_mem", action="store_true", default=True,
+                        help="Accepted for flag parity; JAX device_put always "
+                             "stages through pinned transfer buffers")
+
+    # Model (reference run.py:27-30)
+    parser.add_argument("--model", type=str, default="vit_base_patch16_224")
+    parser.add_argument("--device", type=str, default=None,
+                        help="JAX platform to prefer (e.g. tpu, cpu); default "
+                             "is JAX's device order")
+
+    # RAJNI (reference run.py:32-34)
+    parser.add_argument("--schedule", type=str, default=None,
+                        help="Path to JSON pruning schedule")
+
+    # Eval (reference run.py:36-41)
+    parser.add_argument("--warmup", type=int, default=5)
+    parser.add_argument("--max_batches", type=int, default=None)
+    parser.add_argument("--compare_base", action="store_true")
+
+    # TPU-native extensions
+    parser.add_argument("--dtype", type=str, default="bfloat16",
+                        choices=["bfloat16", "float32"])
+    parser.add_argument("--checkpoint", type=str, default=None,
+                        help="Converted params checkpoint (msgpack/orbax)")
+    parser.add_argument("--synthetic", type=int, default=None, metavar="N",
+                        help="Use N synthetic batches instead of --data_path")
+    parser.add_argument("--data_parallel", action="store_true",
+                        help="Shard batches across all local devices")
+    parser.add_argument("--seed", type=int, default=0)
+
+    return parser.parse_args(argv)
+
+
+def make_model_fn(params, config, schedule, data_parallel=False):
+    """Jitted logits fn closed over params; optionally batch-sharded."""
+    if data_parallel:
+        from .parallel.mesh import data_parallel_forward
+
+        return data_parallel_forward(params, config, schedule)
+    fwd = jax.jit(vit_forward, static_argnums=(2, 3))
+    return functools.partial(fwd, params, config=config, schedule=schedule)
+
+
+def main(argv=None):
+    args = get_args(argv)
+
+    print("\nArgs:")
+    for k, v in vars(args).items():
+        print(f"  {k}: {v}")
+
+    device = None
+    if args.device:
+        device = jax.devices(args.device)[0]
+    else:
+        device = jax.devices()[0]
+    print(f"\nJAX devices: {jax.devices()} (using {device})")
+
+    config = get_config(args.model)
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+
+    # ---- Dataset ----
+    if args.synthetic is not None:
+        loader = SyntheticLoader(
+            num_batches=args.synthetic,
+            batch_size=args.batch_size,
+            img_size=config.img_size,
+            num_classes=config.num_classes,
+            seed=args.seed,
+        )
+        print(f"\nUsing {args.synthetic} synthetic batches "
+              f"of {args.batch_size} (accuracy not meaningful)")
+    else:
+        if args.data_path is None:
+            raise ValueError("provide --data_path or --synthetic N")
+        dataset = ImageFolder(args.data_path, img_size=config.img_size)
+        loader = DataLoader(
+            dataset, batch_size=args.batch_size, num_workers=args.num_workers
+        )
+        print(f"\nLoaded validation set: {len(dataset)} images, "
+              f"{len(dataset.classes)} classes")
+
+    # ---- Params ----
+    if args.checkpoint:
+        from .params.io import load_params
+
+        params = load_params(args.checkpoint, dtype=dtype)
+        print(f"Loaded params from {args.checkpoint}")
+    else:
+        params = init_params(jax.random.key(args.seed), config, dtype)
+        print("WARNING: no --checkpoint given; using randomly initialized "
+              "params (throughput valid, accuracy meaningless)")
+
+    # ---- Base model (optional comparison, reference run.py:97-110) ----
+    base_acc = base_tput = None
+    if args.compare_base:
+        print("\nEvaluating BASE model")
+        base_fn = make_model_fn(params, config, None, args.data_parallel)
+        base_acc, base_tput = evaluate_model(
+            base_fn, loader, device=device,
+            warmup=args.warmup, max_batches=args.max_batches,
+        )
+        print(f"Base  - Accuracy: {base_acc:.2f}%, "
+              f"Throughput: {base_tput:.1f} img/s")
+
+    # ---- RAJNI model (reference run.py:113-145) ----
+    if args.schedule is None:
+        raise ValueError("You must provide --schedule for RAJNI evaluation")
+    schedule = load_schedule(args.schedule, config.depth)
+
+    print("\nLoaded RAJNI schedule:")
+    for k, v in schedule_to_dict(schedule).items():
+        print(f"  Layer {k}: {v}")
+    print(f"Token counts per block: "
+          f"{model_stats(config, schedule)['token_counts']}")
+
+    print("\nEvaluating RAJNI model")
+    rajni_fn = make_model_fn(params, config, schedule, args.data_parallel)
+    rajni_acc, rajni_tput = evaluate_model(
+        rajni_fn, loader, device=device,
+        warmup=args.warmup, max_batches=args.max_batches,
+    )
+    print(f"RAJNI - Accuracy: {rajni_acc:.2f}%, "
+          f"Throughput: {rajni_tput:.1f} img/s")
+
+    # ---- Speedup summary (reference run.py:150-157) ----
+    if args.compare_base:
+        speedup = rajni_tput / base_tput
+        acc_drop = base_acc - rajni_acc
+        print(f"\nSpeedup: {speedup:.2f}x | Accuracy drop: {acc_drop:.2f}%")
+        return {"base": (base_acc, base_tput),
+                "rajni": (rajni_acc, rajni_tput),
+                "speedup": speedup, "acc_drop": acc_drop}
+    return {"rajni": (rajni_acc, rajni_tput)}
+
+
+if __name__ == "__main__":
+    main()
