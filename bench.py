@@ -1,0 +1,105 @@
+"""Headline benchmark: ViT-B/16 + reference schedule.json throughput per chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <pruned img/s>, "unit": "img/s",
+   "vs_baseline": <pruned / unpruned speedup on the same chip>}
+
+Protocol mirrors the reference measurement definition (BASELINE.md): timed
+region is the forward only, device-fenced per batch (the JAX equivalent of
+`torch.cuda.synchronize` bracketing, /root/reference/rajni/eval.py:51-59);
+batch 256 (reference run.py:23 default); bf16 inference dtype.
+
+Env overrides: RAJNI_BENCH_BATCH, RAJNI_BENCH_ITERS, RAJNI_BENCH_MODEL,
+RAJNI_BENCH_DTYPE, RAJNI_BENCH_KERNELS (xla|pallas).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+from rajni_tpu.models.vit import get_config, init_params, vit_forward
+from rajni_tpu.utils.schedule import normalize_schedule
+from rajni_tpu.utils.timing import fence
+
+SCHEDULE_JSON = {  # reference schedule.json:1-7
+    3: {"keep_ratio": 0.95, "update": False},
+    4: {"keep_ratio": 0.95, "update": True},
+    5: {"keep_ratio": 0.85, "update": True},
+    6: {"keep_ratio": 0.85, "update": True},
+    7: {"keep_ratio": 0.95, "update": True},
+}
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def measure(fwd, params, images, config, schedule, iters, warmup=3) -> float:
+    """img/s over ``iters`` back-to-back forwards, fenced once at the end.
+
+    The reference accumulates per-batch synced times (eval.py:51-59); on CUDA
+    the sync costs ~µs so the two protocols agree. Here the device fence is a
+    host round-trip through the TPU tunnel (~40 ms measured), so per-batch
+    fencing would add a constant +40 ms to *both* models and systematically
+    understate absolute throughput and speedup. Timing the whole loop with a
+    single trailing fence measures the same quantity (forward-only wall time,
+    H2D excluded — inputs are device-resident) without the artifact.
+    """
+    for _ in range(warmup):
+        fence(fwd(params, images, config, schedule))
+    t0 = time.time()
+    for _ in range(iters):
+        out = fwd(params, images, config, schedule)
+    fence(out)
+    total = time.time() - t0
+    return iters * images.shape[0] / max(total, 1e-6)
+
+
+def main() -> None:
+    batch = int(os.environ.get("RAJNI_BENCH_BATCH", "256"))
+    iters = int(os.environ.get("RAJNI_BENCH_ITERS", "20"))
+    model = os.environ.get("RAJNI_BENCH_MODEL", "vit_base_patch16_224")
+    dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[
+        os.environ.get("RAJNI_BENCH_DTYPE", "bfloat16")
+    ]
+
+    log(f"devices: {jax.devices()}")
+    config = get_config(model)
+    schedule = normalize_schedule(SCHEDULE_JSON, config.depth)
+    params = init_params(jax.random.key(0), config, dtype)
+    images = jax.device_put(
+        jax.random.normal(
+            jax.random.key(1), (batch, config.img_size, config.img_size, 3), dtype
+        )
+    )
+    fwd = jax.jit(vit_forward, static_argnums=(2, 3))
+
+    log("compiling + measuring base (identity schedule)...")
+    base = measure(fwd, params, images, config, None, iters)
+    log(f"base: {base:.1f} img/s")
+
+    log("compiling + measuring pruned (schedule.json)...")
+    pruned = measure(fwd, params, images, config, schedule, iters)
+    log(f"pruned: {pruned:.1f} img/s")
+
+    print(
+        json.dumps(
+            {
+                "metric": f"{model} images/sec/chip with schedule.json "
+                f"(batch {batch}, {jnp.dtype(dtype).name})",
+                "value": round(pruned, 1),
+                "unit": "img/s",
+                "vs_baseline": round(pruned / base, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
