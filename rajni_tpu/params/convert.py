@@ -1,0 +1,228 @@
+"""timm-checkpoint → rajni-tpu parameter converter.
+
+The reference obtains its weights from timm's hub at every run
+(`/root/reference/rajni/run.py:89-92, 126-129`); this framework instead
+converts a timm ``VisionTransformer`` ``state_dict`` once into the native
+parameter pytree consumed by :func:`rajni_tpu.models.vit.vit_forward`
+(then persisted via :mod:`rajni_tpu.params.io`).
+
+Layout transformations (timm torch → rajni-tpu JAX):
+
+  * ``patch_embed.proj.weight [C, 3, P, P]`` (conv OIHW) →
+    ``patch_embed.kernel [P*P*3, C]`` flattened in ``(ph, pw, c)`` order —
+    matching :func:`rajni_tpu.models.vit.patch_embed`'s patch extraction,
+    which expresses the reference's Conv2d (model.py:34) as one matmul.
+  * Every ``nn.Linear`` weight ``[out, in]`` → ``kernel [in, out]``
+    (JAX ``x @ W`` convention): ``attn.qkv`` (packed q|k|v rows, timm order,
+    consumed packed by the importance scorer — reference importance.py:10),
+    ``attn.proj``, ``mlp.fc1``, ``mlp.fc2``, ``head``.
+  * ``norm*.weight/bias`` → ``scale``/``bias``; ``ls1.gamma``/``ls2.gamma``
+    (timm LayerScale) → per-block ``ls1``/``ls2`` vectors
+    (reference model.py:47-48 fallbacks).
+  * ``cls_token [1,1,C]`` / ``pos_embed [1,N,C]`` pass through.
+
+Weights the converter deliberately ignores (inference-inert or unsupported by
+the reference semantics, documented in SURVEY.md §2/C2): ``attn.q_norm`` /
+``attn.k_norm`` when they are identity-shaped absences; any ``fc_norm`` /
+``global_pool`` heads (the reference reads only the CLS token,
+model.py:65-66). Their *presence with non-trivial values* raises, so a
+qk-normed variant cannot be silently mis-converted.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Mapping
+
+import numpy as np
+
+from ..models.vit import Params, ViTConfig
+
+# state_dict keys that are structurally inert for the reference forward
+# semantics and safe to drop silently.
+_IGNORABLE = ("attn.attn_drop", "attn.proj_drop", "pos_drop", "head_drop")
+
+
+def _to_numpy(t: Any) -> np.ndarray:
+    """torch.Tensor / np.ndarray → np.ndarray (no torch import required)."""
+    if hasattr(t, "detach"):  # torch.Tensor without importing torch
+        t = t.detach().cpu().numpy()
+    return np.asarray(t)
+
+
+def _dense(sd: Mapping[str, Any], prefix: str) -> dict:
+    """``{prefix}.weight [out,in]`` + ``.bias`` → ``{kernel [in,out], bias}``."""
+    w = _to_numpy(sd[f"{prefix}.weight"])
+    out = {"kernel": np.ascontiguousarray(w.T)}
+    bias_key = f"{prefix}.bias"
+    out["bias"] = (
+        _to_numpy(sd[bias_key])
+        if bias_key in sd
+        else np.zeros((w.shape[0],), w.dtype)
+    )
+    return out
+
+
+def _norm(sd: Mapping[str, Any], prefix: str) -> dict:
+    return {
+        "scale": _to_numpy(sd[f"{prefix}.weight"]),
+        "bias": _to_numpy(sd[f"{prefix}.bias"]),
+    }
+
+
+def convert_timm_state_dict(
+    state_dict: Mapping[str, Any],
+    config: ViTConfig,
+    dtype: Any = np.float32,
+) -> Params:
+    """Convert a timm ``VisionTransformer`` state_dict to a rajni-tpu pytree.
+
+    Args:
+      state_dict: flat ``name -> tensor/ndarray`` mapping with timm naming
+        (``cls_token``, ``pos_embed``, ``patch_embed.proj.*``,
+        ``blocks.{i}.{norm1,attn.qkv,attn.proj,norm2,mlp.fc1,mlp.fc2}.*``,
+        ``norm.*``, ``head.*``). Accepts torch tensors or numpy arrays.
+      config: target architecture; shapes are validated against it.
+      dtype: parameter dtype of the produced pytree (bf16 for inference).
+
+    Returns:
+      Parameter pytree with the exact structure of
+      :func:`rajni_tpu.models.vit.init_params`.
+    """
+    sd = dict(state_dict)
+    C, P = config.embed_dim, config.patch_size
+
+    # -- reject semantic-changing weights we do not model (SURVEY.md §2/C2) --
+    for key in sd:
+        if (".q_norm." in key or ".k_norm." in key) and sd[key] is not None:
+            arr = _to_numpy(sd[key])
+            trivial = (
+                np.allclose(arr, 1.0) if key.endswith("weight")
+                else np.allclose(arr, 0.0)
+            )
+            if not trivial:
+                raise ValueError(
+                    f"{key}: non-identity qk-norm weights are outside the "
+                    "reference semantics (SURVEY.md §2/C2) and unsupported"
+                )
+        if key.startswith("fc_norm."):
+            raise ValueError(
+                "fc_norm/global_pool checkpoints are token-pooled; the "
+                "reference head reads only CLS (model.py:65-66)"
+            )
+
+    conv_w = _to_numpy(sd["patch_embed.proj.weight"])  # [C, 3, P, P]
+    if conv_w.shape != (C, config.in_chans, P, P):
+        raise ValueError(
+            f"patch_embed.proj.weight shape {conv_w.shape} does not match "
+            f"config {(C, config.in_chans, P, P)}"
+        )
+    # OIHW → (ph, pw, c, out) → [P*P*3, C]: the (ph, pw, c) flattening order
+    # of patch_embed()'s extraction.
+    kernel = conv_w.transpose(2, 3, 1, 0).reshape(P * P * config.in_chans, C)
+
+    pos_embed = _to_numpy(sd["pos_embed"])
+    if pos_embed.shape != (1, config.num_tokens, C):
+        raise ValueError(
+            f"pos_embed shape {pos_embed.shape} != (1, {config.num_tokens}, "
+            f"{C}) — resolution mismatch (interpolation not implemented)"
+        )
+
+    params: Params = {
+        "patch_embed": {
+            "kernel": kernel,
+            "bias": _to_numpy(sd["patch_embed.proj.bias"]),
+        },
+        "cls_token": _to_numpy(sd["cls_token"]),
+        "pos_embed": pos_embed,
+        "blocks": [],
+        "norm": _norm(sd, "norm"),
+        "head": _dense(sd, "head"),
+    }
+
+    for i in range(config.depth):
+        p = f"blocks.{i}"
+        if f"{p}.norm1.weight" not in sd:
+            raise KeyError(
+                f"missing {p}.norm1.weight: checkpoint depth < {config.depth}"
+            )
+        block = {
+            "norm1": _norm(sd, f"{p}.norm1"),
+            "attn": {
+                "qkv": _dense(sd, f"{p}.attn.qkv"),
+                "proj": _dense(sd, f"{p}.attn.proj"),
+            },
+            "norm2": _norm(sd, f"{p}.norm2"),
+            "mlp": {
+                "fc1": _dense(sd, f"{p}.mlp.fc1"),
+                "fc2": _dense(sd, f"{p}.mlp.fc2"),
+            },
+        }
+        # timm LayerScale stores a single `gamma` vector.
+        if f"{p}.ls1.gamma" in sd:
+            block["ls1"] = _to_numpy(sd[f"{p}.ls1.gamma"])
+            block["ls2"] = _to_numpy(sd[f"{p}.ls2.gamma"])
+        params["blocks"].append(block)
+
+    if f"blocks.{config.depth}.norm1.weight" in sd:
+        raise ValueError(
+            f"checkpoint has more than {config.depth} blocks — config mismatch"
+        )
+
+    return _cast(params, dtype)
+
+
+def _cast(params: Params, dtype: Any) -> Params:
+    import jax
+    import jax.numpy as jnp
+
+    return jax.tree_util.tree_map(
+        lambda x: jnp.asarray(x, dtype=dtype), params
+    )
+
+
+def load_torch_checkpoint(path: str) -> dict:
+    """Load a ``.pth`` checkpoint into a flat numpy state_dict.
+
+    Handles both a raw ``state_dict`` file and the common
+    ``{"model": sd}`` / ``{"state_dict": sd}`` wrappers, strips a
+    ``module.`` DDP prefix, and converts every tensor to numpy (so the
+    result is torch-free downstream).
+    """
+    import torch
+
+    obj = torch.load(path, map_location="cpu", weights_only=True)
+    if isinstance(obj, dict):
+        for key in ("model", "state_dict", "model_state_dict"):
+            if key in obj and isinstance(obj[key], dict):
+                obj = obj[key]
+                break
+    sd = {}
+    for k, v in obj.items():
+        if k.startswith("module."):
+            k = k[len("module."):]
+        sd[k] = _to_numpy(v)
+    return sd
+
+
+def main(argv=None) -> None:
+    """CLI: ``python -m rajni_tpu.params.convert in.pth out.msgpack --model …``."""
+    import argparse
+
+    from .io import save_params
+    from ..models.vit import get_config
+
+    p = argparse.ArgumentParser("timm checkpoint → rajni-tpu converter")
+    p.add_argument("input", help="torch .pth checkpoint (timm state_dict)")
+    p.add_argument("output", help="output .msgpack path")
+    p.add_argument("--model", default="vit_base_patch16_224")
+    args = p.parse_args(argv)
+
+    config = get_config(args.model)
+    params = convert_timm_state_dict(load_torch_checkpoint(args.input), config)
+    save_params(args.output, params)
+    n = sum(x.size for x in __import__("jax").tree_util.tree_leaves(params))
+    print(f"converted {args.model}: {n/1e6:.1f}M params -> {args.output}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,60 @@
+"""Parameter checkpoint persistence (msgpack via flax.serialization).
+
+The reference has **no** checkpointing (SURVEY.md §5: weights are re-fetched
+from timm's hub every run, `/root/reference/rajni/run.py:89-92`). Here the
+converted pytree is saved once and memory-mapped back on every eval:
+
+    params = convert_timm_state_dict(load_torch_checkpoint("vit_b.pth"), cfg)
+    save_params("vit_b.msgpack", params)
+    params = load_params("vit_b.msgpack", dtype=jnp.bfloat16)
+
+Format: flax msgpack of the raw pytree, with the ``blocks`` list restored
+from msgpack's string-keyed dict encoding on load (flax round-trips lists as
+``{"0": ..., "1": ...}``).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import serialization
+
+from ..models.vit import Params
+
+
+def save_params(path: str, params: Params) -> None:
+    """Serialize a parameter pytree to ``path`` (msgpack)."""
+    host = jax.tree_util.tree_map(np.asarray, params)
+    with open(path, "wb") as f:
+        f.write(serialization.msgpack_serialize(host))
+
+
+def _restore_blocks(obj: Any) -> Any:
+    """Recursively convert msgpack's ``{"0": v0, "1": v1, ...}`` dicts that
+    encode lists back into lists (only where every key is a decimal string)."""
+    if isinstance(obj, dict):
+        restored = {k: _restore_blocks(v) for k, v in obj.items()}
+        if restored and all(isinstance(k, str) and k.isdigit() for k in restored):
+            return [restored[str(i)] for i in range(len(restored))]
+        return restored
+    return obj
+
+
+def load_params(path: str, dtype: jnp.dtype | None = None) -> Params:
+    """Load a parameter pytree saved by :func:`save_params`.
+
+    Args:
+      path: checkpoint path.
+      dtype: optional cast applied to every leaf (bf16 for TPU inference).
+    """
+    with open(path, "rb") as f:
+        raw = serialization.msgpack_restore(f.read())
+    params = _restore_blocks(raw)
+    if dtype is not None:
+        params = jax.tree_util.tree_map(
+            lambda x: jnp.asarray(x, dtype=dtype), params
+        )
+    return params

@@ -1,0 +1,195 @@
+"""Converter + checkpoint-IO tests.
+
+The oracle here is an independent torch mini-ViT implementing the documented
+timm ``VisionTransformer`` semantics (SURVEY.md §1/L0 interface contract:
+conv patch-embed, CLS concat, pos-embed add, pre-norm blocks with packed-QKV
+attention and erf-GELU MLP, final norm, CLS-only head). Its state_dict uses
+timm naming, so it exercises the exact transposes/flattenings the converter
+performs on real pretrained checkpoints.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from rajni_tpu.models.vit import ViTConfig, vit_forward
+from rajni_tpu.params.convert import convert_timm_state_dict
+from rajni_tpu.params.io import load_params, save_params
+
+torch = pytest.importorskip("torch")
+nn = torch.nn
+
+CFG = ViTConfig(
+    img_size=32,
+    patch_size=8,
+    embed_dim=48,
+    depth=3,
+    num_heads=4,
+    num_classes=11,
+)
+
+
+class TorchOracleViT(nn.Module):
+    """timm-layout ViT written from the L0 interface spec (SURVEY.md §1)."""
+
+    def __init__(self, cfg: ViTConfig, layer_scale: bool = False):
+        super().__init__()
+        C, P = cfg.embed_dim, cfg.patch_size
+        self.cfg = cfg
+        self.cls_token = nn.Parameter(torch.randn(1, 1, C) * 0.02)
+        self.pos_embed = nn.Parameter(torch.randn(1, cfg.num_tokens, C) * 0.02)
+        self.patch_embed = nn.ModuleDict(
+            {"proj": nn.Conv2d(cfg.in_chans, C, P, stride=P)}
+        )
+        self.blocks = nn.ModuleList(
+            [self._block(cfg, layer_scale) for _ in range(cfg.depth)]
+        )
+        self.norm = nn.LayerNorm(C, eps=cfg.layer_norm_eps)
+        self.head = nn.Linear(C, cfg.num_classes)
+
+    @staticmethod
+    def _block(cfg, layer_scale):
+        C, Hid = cfg.embed_dim, cfg.mlp_hidden
+        block = nn.ModuleDict(
+            {
+                "norm1": nn.LayerNorm(C, eps=cfg.layer_norm_eps),
+                "attn": nn.ModuleDict(
+                    {"qkv": nn.Linear(C, 3 * C), "proj": nn.Linear(C, C)}
+                ),
+                "norm2": nn.LayerNorm(C, eps=cfg.layer_norm_eps),
+                "mlp": nn.ModuleDict(
+                    {"fc1": nn.Linear(C, Hid), "fc2": nn.Linear(Hid, C)}
+                ),
+            }
+        )
+        if layer_scale:
+            for name in ("ls1", "ls2"):
+                mod = nn.Module()
+                mod.gamma = nn.Parameter(torch.rand(C) * 1e-2)
+                block[name] = mod
+        return block
+
+    def _attn(self, block, x):
+        B, N, C = x.shape
+        H = self.cfg.num_heads
+        D = C // H
+        qkv = block["attn"]["qkv"](x).reshape(B, N, 3, H, D).permute(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]
+        attn = (q @ k.transpose(-2, -1)) * D**-0.5
+        attn = attn.softmax(dim=-1)
+        out = (attn @ v).transpose(1, 2).reshape(B, N, C)
+        return block["attn"]["proj"](out)
+
+    def forward(self, x):  # x: [B, 3, H, W]
+        B = x.shape[0]
+        x = self.patch_embed["proj"](x).flatten(2).transpose(1, 2)
+        x = torch.cat([self.cls_token.expand(B, -1, -1), x], dim=1)
+        x = x + self.pos_embed[:, : x.shape[1]]
+        gelu = nn.GELU()  # erf form (timm default)
+        for blk in self.blocks:
+            out = self._attn(blk, blk["norm1"](x))
+            if "ls1" in blk:
+                out = out * blk["ls1"].gamma
+            x = x + out
+            h = blk["mlp"]["fc2"](gelu(blk["mlp"]["fc1"](blk["norm2"](x))))
+            if "ls2" in blk:
+                h = h * blk["ls2"].gamma
+            x = x + h
+        x = self.norm(x)
+        return self.head(x[:, 0])
+
+
+@pytest.fixture(scope="module")
+def oracle():
+    torch.manual_seed(0)
+    return TorchOracleViT(CFG).eval()
+
+
+def _images(rng, batch=4):
+    return rng.standard_normal((batch, CFG.img_size, CFG.img_size, 3)).astype(
+        np.float32
+    )
+
+
+def test_converted_logits_match_torch(oracle, rng):
+    cfg = dataclass_replace(CFG)
+    params = convert_timm_state_dict(oracle.state_dict(), cfg, np.float32)
+    imgs = _images(rng)
+
+    with torch.no_grad():
+        want = oracle(torch.from_numpy(imgs).permute(0, 3, 1, 2)).numpy()
+    got = np.asarray(vit_forward(params, jnp.asarray(imgs), cfg, None))
+
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_converted_logits_match_torch_layer_scale(rng):
+    torch.manual_seed(1)
+    cfg = dataclass_replace(CFG, use_layer_scale=True)
+    oracle = TorchOracleViT(cfg, layer_scale=True).eval()
+    params = convert_timm_state_dict(oracle.state_dict(), cfg, np.float32)
+    imgs = _images(rng)
+
+    with torch.no_grad():
+        want = oracle(torch.from_numpy(imgs).permute(0, 3, 1, 2)).numpy()
+    got = np.asarray(vit_forward(params, jnp.asarray(imgs), cfg, None))
+
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_depth_mismatch_raises(oracle):
+    import dataclasses
+
+    shallow = dataclasses.replace(CFG, depth=2)
+    deep = dataclasses.replace(CFG, depth=4)
+    with pytest.raises(ValueError, match="more than 2 blocks"):
+        convert_timm_state_dict(oracle.state_dict(), shallow)
+    with pytest.raises(KeyError, match="depth"):
+        convert_timm_state_dict(oracle.state_dict(), deep)
+
+
+def test_nontrivial_qk_norm_rejected(oracle):
+    sd = dict(oracle.state_dict())
+    sd["blocks.0.attn.q_norm.weight"] = torch.rand(CFG.head_dim) + 0.5
+    with pytest.raises(ValueError, match="qk-norm"):
+        convert_timm_state_dict(sd, CFG)
+    # identity-valued qk-norm is fine
+    sd["blocks.0.attn.q_norm.weight"] = torch.ones(CFG.head_dim)
+    convert_timm_state_dict(sd, CFG)
+
+
+def test_save_load_roundtrip(oracle, tmp_path):
+    params = convert_timm_state_dict(oracle.state_dict(), CFG, np.float32)
+    path = str(tmp_path / "ckpt.msgpack")
+    save_params(path, params)
+    loaded = load_params(path)
+
+    assert isinstance(loaded["blocks"], list) and len(loaded["blocks"]) == CFG.depth
+    flat_a = jax.tree_util.tree_leaves_with_path(params)
+    flat_b = {
+        jax.tree_util.keystr(p): leaf
+        for p, leaf in jax.tree_util.tree_leaves_with_path(loaded)
+    }
+    assert len(flat_a) == len(flat_b)
+    for path_key, leaf in flat_a:
+        np.testing.assert_array_equal(
+            np.asarray(leaf), np.asarray(flat_b[jax.tree_util.keystr(path_key)])
+        )
+
+
+def test_load_dtype_cast(oracle, tmp_path):
+    params = convert_timm_state_dict(oracle.state_dict(), CFG, np.float32)
+    path = str(tmp_path / "ckpt.msgpack")
+    save_params(path, params)
+    loaded = load_params(path, dtype=jnp.bfloat16)
+    assert loaded["cls_token"].dtype == jnp.bfloat16
+
+
+def dataclass_replace(cfg, **kw):
+    import dataclasses
+
+    return dataclasses.replace(cfg, **kw) if kw else cfg
