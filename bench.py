@@ -40,7 +40,8 @@ def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
-def measure(fwd, params, images, config, schedule, iters, warmup=3) -> float:
+def measure(fwd, params, images, config, schedule, iters, warmup=3,
+            impl="xla") -> float:
     """img/s over ``iters`` back-to-back forwards, fenced once at the end.
 
     The reference accumulates per-batch synced times (eval.py:51-59); on CUDA
@@ -52,10 +53,10 @@ def measure(fwd, params, images, config, schedule, iters, warmup=3) -> float:
     H2D excluded — inputs are device-resident) without the artifact.
     """
     for _ in range(warmup):
-        fence(fwd(params, images, config, schedule))
+        fence(fwd(params, images, config, schedule, impl))
     t0 = time.time()
     for _ in range(iters):
-        out = fwd(params, images, config, schedule)
+        out = fwd(params, images, config, schedule, impl)
     fence(out)
     total = time.time() - t0
     return iters * images.shape[0] / max(total, 1e-6)
@@ -68,6 +69,7 @@ def main() -> None:
     dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[
         os.environ.get("RAJNI_BENCH_DTYPE", "bfloat16")
     ]
+    impl = os.environ.get("RAJNI_BENCH_KERNELS", "xla")
 
     log(f"devices: {jax.devices()}")
     config = get_config(model)
@@ -78,14 +80,14 @@ def main() -> None:
             jax.random.key(1), (batch, config.img_size, config.img_size, 3), dtype
         )
     )
-    fwd = jax.jit(vit_forward, static_argnums=(2, 3))
+    fwd = jax.jit(vit_forward, static_argnums=(2, 3, 4))
 
-    log("compiling + measuring base (identity schedule)...")
-    base = measure(fwd, params, images, config, None, iters)
+    log(f"compiling + measuring base (identity schedule, {impl})...")
+    base = measure(fwd, params, images, config, None, iters, impl=impl)
     log(f"base: {base:.1f} img/s")
 
-    log("compiling + measuring pruned (schedule.json)...")
-    pruned = measure(fwd, params, images, config, schedule, iters)
+    log(f"compiling + measuring pruned (schedule.json, {impl})...")
+    pruned = measure(fwd, params, images, config, schedule, iters, impl=impl)
     log(f"pruned: {pruned:.1f} img/s")
 
     print(

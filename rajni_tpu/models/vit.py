@@ -235,7 +235,9 @@ def _layer_scale(out: jax.Array, block: Params, name: str) -> jax.Array:
     return out
 
 
-def stock_block(x: jax.Array, block: Params, config: ViTConfig) -> jax.Array:
+def stock_block(
+    x: jax.Array, block: Params, config: ViTConfig, impl: str = "xla"
+) -> jax.Array:
     """Standard timm pre-norm block (the reference's ``blk(x)`` path,
     model.py:61)."""
     out = attention(
@@ -243,6 +245,7 @@ def stock_block(x: jax.Array, block: Params, config: ViTConfig) -> jax.Array:
         block["attn"],
         config.num_heads,
         config.attn_scale,
+        impl,
     )
     x = x + _layer_scale(out, block, "ls1")
     out = mlp(layer_norm(x, block["norm2"], config.layer_norm_eps), block["mlp"])
@@ -259,12 +262,17 @@ def vit_forward(
     images: jax.Array,
     config: ViTConfig,
     schedule: Schedule | None = None,
+    impl: str = "xla",
 ) -> jax.Array:
     """Pruned ViT forward: ``[B, H, W, 3] -> [B, num_classes]`` logits.
 
-    ``config`` and ``schedule`` must be static when jitted::
+    ``config``, ``schedule``, and ``impl`` must be static when jitted::
 
-        fn = jax.jit(vit_forward, static_argnums=(2, 3))
+        fn = jax.jit(vit_forward, static_argnums=(2, 3, 4))
+
+    ``impl`` selects the attention backend: ``"xla"`` (lax reference) or
+    ``"pallas"`` (fused VMEM-resident kernel,
+    :mod:`rajni_tpu.kernels.attention`).
 
     The per-block token counts are a compile-time constant of
     ``(config, schedule)`` — retrieve them with :func:`model_stats` (the
@@ -293,6 +301,7 @@ def vit_forward(
                 keep,
                 spec.update,
                 scores,
+                impl,
             )
             # Residual-stream compaction BEFORE the residual add
             # (reference model.py:55-56).
@@ -304,7 +313,7 @@ def vit_forward(
             )
             x = x + _layer_scale(out, block, "ls2")
         else:
-            x = stock_block(x, block, config)
+            x = stock_block(x, block, config, impl)
             scores = None  # invalidate: token layout unchanged (model.py:63)
 
     x = layer_norm(x, params["norm"], config.layer_norm_eps)

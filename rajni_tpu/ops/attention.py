@@ -72,15 +72,30 @@ def _sdpa(
     return out.reshape(B, Np, C)
 
 
+def _dispatch_sdpa(
+    qkv: jax.Array, num_heads: int, scale: float, impl: str
+) -> jax.Array:
+    """Select the SDPA implementation: ``"xla"`` (lax reference) or
+    ``"pallas"`` (:func:`rajni_tpu.kernels.attention.fused_sdpa`)."""
+    if impl == "xla":
+        return _sdpa(qkv, num_heads, scale)
+    if impl == "pallas":
+        from ..kernels.attention import fused_sdpa
+
+        return fused_sdpa(qkv, num_heads, scale)
+    raise ValueError(f"unknown attention impl {impl!r}; use 'xla' or 'pallas'")
+
+
 def attention(
     x: jax.Array,
     params: AttnParams,
     num_heads: int,
     scale: float,
+    impl: str = "xla",
 ) -> jax.Array:
     """Stock (un-pruned) multi-head self-attention on ``[B, N, C]``."""
     qkv = _qkv_projection(x, params)
-    out = _sdpa(qkv, num_heads, scale)
+    out = _dispatch_sdpa(qkv, num_heads, scale, impl)
     proj = params["proj"]
     return out @ proj["kernel"] + proj["bias"]
 
@@ -93,6 +108,7 @@ def pruned_attention(
     keep: int,
     update: bool,
     prev_scores: jax.Array | None,
+    impl: str = "xla",
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Score → select → prune → attend (reference attention.py:17-60).
 
@@ -121,7 +137,7 @@ def pruned_attention(
     keep_idx = select_tokens(scores, keep)
     qkv = gather_tokens(qkv, keep_idx)
 
-    out = _sdpa(qkv, num_heads, scale)
+    out = _dispatch_sdpa(qkv, num_heads, scale, impl)
     proj = params["proj"]
     out = out @ proj["kernel"] + proj["bias"]
 

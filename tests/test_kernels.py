@@ -1,0 +1,85 @@
+"""Pallas kernel tests: interpret-mode parity vs the lax reference ops
+(SURVEY.md §4 item 4: kernels get ``interpret=True`` CPU tests against the
+reference implementation)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from rajni_tpu.kernels.attention import fused_sdpa
+from rajni_tpu.models.vit import ViTConfig, init_params, vit_forward
+from rajni_tpu.ops.attention import _sdpa
+from rajni_tpu.utils.schedule import normalize_schedule
+
+
+@pytest.mark.parametrize(
+    "B,N,H,D",
+    [
+        (2, 197, 12, 64),   # ViT-B/224 full sequence
+        (2, 87, 12, 64),    # smallest pruned count of the README schedule
+        (1, 577, 4, 16),    # ViT-B/384 sequence length (small dims for speed)
+        (3, 16, 2, 8),      # tiny / unaligned everything
+    ],
+)
+def test_fused_sdpa_matches_lax(rng, B, N, H, D):
+    C = H * D
+    qkv = jnp.asarray(rng.standard_normal((B, N, 3 * C)), jnp.float32)
+    scale = D**-0.5
+    want = _sdpa(qkv, H, scale)
+    got = fused_sdpa(qkv, H, scale)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_fused_sdpa_bf16(rng):
+    B, N, H, D = 2, 64, 4, 16
+    C = H * D
+    qkv = jnp.asarray(rng.standard_normal((B, N, 3 * C)), jnp.bfloat16)
+    scale = D**-0.5
+    want = _sdpa(qkv, H, scale)
+    got = fused_sdpa(qkv, H, scale)
+    assert got.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32), atol=2e-2
+    )
+
+
+def test_vit_forward_pallas_impl_matches_xla(rng):
+    """End-to-end: pallas-backed forward == xla-backed forward, pruned.
+
+    Same params, same schedule; the only difference is the SDPA backend, so
+    any mismatch is a kernel bug (including in the gather/score threading
+    interplay)."""
+    config = ViTConfig(
+        img_size=32, patch_size=8, embed_dim=48, depth=3, num_heads=4,
+        num_classes=10,
+    )
+    schedule = normalize_schedule(
+        {1: {"keep_ratio": 0.6, "update": True},
+         2: {"keep_ratio": 0.5, "update": False}},
+        config.depth,
+    )
+    params = init_params(jax.random.key(0), config)
+    images = jnp.asarray(
+        rng.standard_normal((2, 32, 32, 3)), jnp.float32
+    )
+    fwd = jax.jit(vit_forward, static_argnums=(2, 3, 4))
+    want = fwd(params, images, config, schedule, "xla")
+    got = fwd(params, images, config, schedule, "pallas")
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_bad_impl_raises():
+    config = ViTConfig(
+        img_size=16, patch_size=8, embed_dim=16, depth=1, num_heads=2,
+        num_classes=4,
+    )
+    params = init_params(jax.random.key(0), config)
+    images = jnp.zeros((1, 16, 16, 3))
+    with pytest.raises(ValueError, match="unknown attention impl"):
+        vit_forward(params, images, config, None, "cuda")
