@@ -235,6 +235,29 @@ def _layer_scale(out: jax.Array, block: Params, name: str) -> jax.Array:
     return out
 
 
+def _mlp_branch(
+    x: jax.Array, block: Params, config: ViTConfig, impl: str
+) -> jax.Array:
+    """``x + ls2 * mlp(norm2(x))`` (reference model.py:59), backend-dispatched.
+
+    Under ``impl="pallas"`` the whole branch runs as one fused kernel
+    (:func:`rajni_tpu.kernels.mlp.fused_ln_mlp_residual`) so the ``[B, N, 4C]``
+    hidden activation never reaches HBM.
+    """
+    if impl == "pallas":
+        from ..kernels.mlp import fused_ln_mlp_residual
+
+        return fused_ln_mlp_residual(
+            x,
+            block["norm2"],
+            block["mlp"],
+            block.get("ls2"),
+            config.layer_norm_eps,
+        )
+    out = mlp(layer_norm(x, block["norm2"], config.layer_norm_eps), block["mlp"])
+    return x + _layer_scale(out, block, "ls2")
+
+
 def stock_block(
     x: jax.Array, block: Params, config: ViTConfig, impl: str = "xla"
 ) -> jax.Array:
@@ -248,8 +271,7 @@ def stock_block(
         impl,
     )
     x = x + _layer_scale(out, block, "ls1")
-    out = mlp(layer_norm(x, block["norm2"], config.layer_norm_eps), block["mlp"])
-    return x + _layer_scale(out, block, "ls2")
+    return _mlp_branch(x, block, config, impl)
 
 
 # --------------------------------------------------------------------------
@@ -305,13 +327,16 @@ def vit_forward(
             )
             # Residual-stream compaction BEFORE the residual add
             # (reference model.py:55-56).
-            idx = keep_idx[..., None]
-            x = jnp.take_along_axis(x, idx, axis=1)
+            if impl == "pallas":
+                from ..ops.pruning import gather_tokens_matmul, onehot_matrix
+
+                sel = onehot_matrix(keep_idx, x.shape[1], x.dtype)
+                x = gather_tokens_matmul(x, sel)
+            else:
+                idx = keep_idx[..., None]
+                x = jnp.take_along_axis(x, idx, axis=1)
             x = x + _layer_scale(out, block, "ls1")
-            out = mlp(
-                layer_norm(x, block["norm2"], config.layer_norm_eps), block["mlp"]
-            )
-            x = x + _layer_scale(out, block, "ls2")
+            x = _mlp_branch(x, block, config, impl)
         else:
             x = stock_block(x, block, config, impl)
             scores = None  # invalidate: token layout unchanged (model.py:63)

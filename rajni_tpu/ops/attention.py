@@ -30,7 +30,12 @@ import jax
 import jax.numpy as jnp
 
 from .importance import compute_importance
-from .pruning import gather_tokens, select_tokens
+from .pruning import (
+    gather_tokens,
+    gather_tokens_matmul,
+    select_tokens,
+    select_tokens_dense,
+)
 
 AttnParams = Mapping[str, Any]
 
@@ -134,8 +139,15 @@ def pruned_attention(
     else:
         scores = prev_scores
 
-    keep_idx = select_tokens(scores, keep)
-    qkv = gather_tokens(qkv, keep_idx)
+    if impl == "pallas":
+        # Sort-free selection + one-hot MXU gather: ~5x faster than XLA's
+        # top_k/sort + dynamic-slice gather at these shapes, bit-identical
+        # (see ops.pruning.select_tokens_dense / gather_tokens_matmul).
+        keep_idx, sel = select_tokens_dense(scores, keep, qkv.dtype)
+        qkv = gather_tokens_matmul(qkv, sel)
+    else:
+        keep_idx = select_tokens(scores, keep)
+        qkv = gather_tokens(qkv, keep_idx)
 
     out = _dispatch_sdpa(qkv, num_heads, scale, impl)
     proj = params["proj"]

@@ -66,3 +66,85 @@ def gather_tokens(x: jax.Array, keep_idx: jax.Array) -> jax.Array:
     """
     idx = keep_idx.reshape(keep_idx.shape + (1,) * (x.ndim - 2))
     return jnp.take_along_axis(x, idx, axis=1)
+
+
+def select_tokens_dense(
+    scores: jax.Array, keep: int, dtype=None
+) -> tuple[jax.Array, jax.Array]:
+    """Sort-free selection: rank matrix + mask compaction (TPU fast path).
+
+    Semantically identical to :func:`select_tokens` (same top-k set, same
+    ascending order, same stable lower-index tie-break as ``lax.top_k``), but
+    built from VPU-friendly dense ops instead of sorts: XLA's bitonic sort
+    costs ~1.2 ms per invocation on [256, 196] (measured v5e) while the whole
+    O(N²) rank computation here is a few hundred µs of elementwise work.
+
+      1. ``rank[b, n] = #{m : s_m > s_n or (s_m == s_n and m < n)}`` over
+         patch tokens — one [B, N-1, N-1] comparison tensor, reduced.
+      2. ``keep_mask = rank < keep``, CLS prepended (always kept).
+      3. ``pos = cumsum(keep_mask) - 1`` assigns each kept token its output
+         slot — ascending order falls out of the cumsum for free.
+      4. The selection matrix ``sel[b, k, n] = (pos[b, n] == k) & keep_mask``
+         doubles as the one-hot gather operand (:func:`gather_tokens_matmul`),
+         and ``keep_idx = sel @ iota`` recovers integer indices exactly.
+
+    Returns:
+      ``(keep_idx [B, keep+1] int32, sel [B, keep+1, N] dtype)``.
+    """
+    B, N = scores.shape
+    if dtype is None:
+        dtype = scores.dtype
+    p = scores[:, 1:].astype(jnp.float32)  # patch scores (CLS never ranked)
+    n = N - 1
+
+    ahead = p[:, :, None] < p[:, None, :]  # [B, n(self), n(other)]
+    iota_self = jax.lax.broadcasted_iota(jnp.int32, (1, n, n), 1)
+    iota_other = jax.lax.broadcasted_iota(jnp.int32, (1, n, n), 2)
+    ties_ahead = (p[:, :, None] == p[:, None, :]) & (iota_other < iota_self)
+    rank = (ahead | ties_ahead).sum(axis=2)  # [B, n]
+
+    keep_mask = jnp.concatenate(
+        [jnp.ones((B, 1), bool), rank < keep], axis=1
+    )  # [B, N] with CLS always kept
+    pos = jnp.cumsum(keep_mask.astype(jnp.int32), axis=1) - 1  # output slot
+
+    iota_k = jax.lax.broadcasted_iota(jnp.int32, (1, keep + 1, 1), 1)
+    sel = (
+        (pos[:, None, :] == iota_k) & keep_mask[:, None, :]
+    ).astype(dtype)  # [B, keep+1, N]
+
+    iota_n = jax.lax.broadcasted_iota(jnp.float32, (1, N, 1), 1)
+    keep_idx = (
+        jax.lax.dot_general(
+            sel.astype(jnp.float32), jnp.broadcast_to(iota_n, (B, N, 1)),
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        )[..., 0]
+    ).astype(jnp.int32)
+    return keep_idx, sel
+
+
+def onehot_matrix(keep_idx: jax.Array, n: int, dtype) -> jax.Array:
+    """Selection matrix ``[B, K, N]`` with ``S[b, k, keep_idx[b, k]] = 1``.
+
+    0/1 values are exact in every float dtype, so ``S @ x`` reproduces a
+    gather bit-exactly (each output row sums exactly one input row).
+    """
+    iota = jax.lax.broadcasted_iota(keep_idx.dtype, (1, 1, n), 2)
+    return (keep_idx[:, :, None] == iota).astype(dtype)
+
+
+def gather_tokens_matmul(x: jax.Array, sel: jax.Array) -> jax.Array:
+    """Token gather as an MXU matmul: ``[B, K, N] @ [B, N, C] -> [B, K, C]``.
+
+    XLA lowers ``take_along_axis`` on TPU to a serial per-row dynamic-slice
+    loop (measured 3.7 ms for the batch-256 ViT-B QKV gather); a batched
+    one-hot contraction runs on the MXU instead (~0.5 ms) and is bit-exact
+    (see :func:`onehot_matrix`). Used by the ``impl="pallas"`` fast path; the
+    ``sel`` matrix is built once per pruned block and reused for the QKV and
+    residual-stream gathers (reference attention.py:42-43 + model.py:55-56).
+    """
+    return jax.lax.dot_general(
+        sel, x,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)

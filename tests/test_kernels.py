@@ -83,3 +83,33 @@ def test_bad_impl_raises():
     images = jnp.zeros((1, 16, 16, 3))
     with pytest.raises(ValueError, match="unknown attention impl"):
         vit_forward(params, images, config, None, "cuda")
+
+
+@pytest.mark.parametrize("rows,C,hidden", [(2 * 197, 64, 256), (3 * 50, 48, 192)])
+def test_fused_ln_mlp_residual_matches_lax(rng, rows, C, hidden):
+    from rajni_tpu.kernels.mlp import fused_ln_mlp_residual
+    from rajni_tpu.models.vit import layer_norm, mlp as mlp_ref
+
+    B = 2
+    N = rows // B
+    x = jnp.asarray(rng.standard_normal((B, N, C)), jnp.float32)
+    ln = {"scale": jnp.asarray(rng.standard_normal(C), jnp.float32),
+          "bias": jnp.asarray(rng.standard_normal(C), jnp.float32)}
+    mp = {
+        "fc1": {"kernel": jnp.asarray(rng.standard_normal((C, hidden)) * 0.1,
+                                      jnp.float32),
+                "bias": jnp.asarray(rng.standard_normal(hidden), jnp.float32)},
+        "fc2": {"kernel": jnp.asarray(rng.standard_normal((hidden, C)) * 0.1,
+                                      jnp.float32),
+                "bias": jnp.asarray(rng.standard_normal(C), jnp.float32)},
+    }
+    want = x + mlp_ref(layer_norm(x, ln, 1e-6), mp)
+    got = fused_ln_mlp_residual(x, ln, mp, None, 1e-6)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
+
+    ls = jnp.asarray(rng.standard_normal(C) * 0.1, jnp.float32)
+    want = x + ls * mlp_ref(layer_norm(x, ln, 1e-6), mp)
+    got = fused_ln_mlp_residual(x, ln, mp, ls, 1e-6)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)

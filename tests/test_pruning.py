@@ -66,3 +66,43 @@ def test_gather_tokens_2d(rng):
     got = np.asarray(gather_tokens(jnp.asarray(scores), idx))
     want = np.take_along_axis(scores, np.asarray(idx), axis=1)
     np.testing.assert_array_equal(got, want)
+
+
+class TestDenseSelection:
+    """select_tokens_dense must be bit-identical to select_tokens."""
+
+    def test_matches_topk_path(self, rng):
+        from rajni_tpu.ops.pruning import select_tokens, select_tokens_dense
+
+        import jax.numpy as jnp
+
+        for N, keep in [(197, 167), (197, 1), (57, 28), (577, 547)]:
+            scores = jnp.asarray(
+                rng.standard_normal((4, N)), jnp.float32
+            )
+            want = select_tokens(scores, keep)
+            got_idx, sel = select_tokens_dense(scores, keep)
+            np.testing.assert_array_equal(np.asarray(got_idx), np.asarray(want))
+            # sel gathers identically to take_along_axis
+            x = jnp.asarray(rng.standard_normal((4, N, 8)), jnp.float32)
+            from rajni_tpu.ops.pruning import gather_tokens, gather_tokens_matmul
+
+            np.testing.assert_allclose(
+                np.asarray(gather_tokens_matmul(x, sel)),
+                np.asarray(gather_tokens(x, want)),
+                atol=0,
+            )
+
+    def test_tie_break_prefers_lower_index(self):
+        from rajni_tpu.ops.pruning import select_tokens, select_tokens_dense
+
+        import jax.numpy as jnp
+
+        # many exact ties: lax.top_k is stable (lower index first)
+        scores = jnp.asarray(
+            [[0.5, 1.0, 1.0, 0.25, 1.0, 0.25, 1.0, 0.25]], jnp.float32
+        )
+        for keep in range(1, 8):
+            want = select_tokens(scores, keep)
+            got, _ = select_tokens_dense(scores, keep)
+            np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
