@@ -1,0 +1,371 @@
+"""Pallas TPU fused transformer-block kernels.
+
+Three kernels covering the attention half of a ViT block so that no
+intermediate (normed activations, packed QKV, attention matrix, pre-proj
+attention output) makes an HBM round trip:
+
+  * :func:`fused_attn_block` — stock blocks (reference model.py:61
+    ``blk(x)``): LN1 → QKV projection → per-head SDPA → output projection →
+    layer-scale → residual add, one kernel, one read of ``x``, one write.
+  * :func:`fused_ln_qkv` — pruned blocks, step 1: LN1 → QKV projection,
+    optionally emitting the RAJNI importance scores as an in-kernel
+    byproduct (SURVEY.md §7 step 4's "scoring inside the attention kernel"):
+    the CLS attention row and value-norm statistics are computed from the
+    QKV tile while it is still in VMEM, eliminating the reference's separate
+    scoring pass over the full QKV (importance.py:18-32 re-reads what
+    attention.py:22 just produced).
+  * :func:`fused_gather_sdpa_proj_residual` — pruned blocks, step 2: the
+    one-hot gather of QKV *and* of the pre-norm residual stream
+    (reference attention.py:41-43 + model.py:55-56) as MXU matmuls inside
+    the kernel, then SDPA on the reduced token set, output projection,
+    layer-scale, and the compacted residual add — so the gathered QKV is
+    never materialized to HBM.
+
+All matmuls accumulate fp32 on the MXU; softmax and LayerNorm statistics are
+fp32 on the VPU; storage dtype follows the activation dtype.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _use_interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _layer_norm_f32(x32, scale_ref, bias_ref, eps):
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    return y * scale_ref[:].astype(jnp.float32) + bias_ref[:].astype(
+        jnp.float32
+    )
+
+
+def _mha(qkv, num_heads: int, scale: float, out_dtype):
+    """Per-head SDPA on a packed ``[N, 3C]`` VMEM value → ``[N, C]``."""
+    N, three_c = qkv.shape
+    C = three_c // 3
+    D = C // num_heads
+    outs = []
+    for h in range(num_heads):
+        q = qkv[:, h * D:(h + 1) * D]
+        k = qkv[:, C + h * D:C + (h + 1) * D]
+        v = qkv[:, 2 * C + h * D:2 * C + (h + 1) * D]
+        logits = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        p = jnp.exp(logits - m)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        outs.append(
+            jax.lax.dot_general(
+                p.astype(qkv.dtype), v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        )
+    return jnp.concatenate(outs, axis=-1).astype(out_dtype)
+
+
+def _importance_f32(qkv32, num_heads: int, eps: float = 1e-6):
+    """RAJNI importance from a resident fp32 ``[N, 3C]`` QKV tile → ``[N]``.
+
+    Exact reference semantics (importance.py:14-34): CLS-attention row with
+    ``1/sqrt(D)`` scale averaged over heads, times sigmoid of the token-axis
+    z-score (unbiased std + eps) of centered head-mean value norms.
+    """
+    N, three_c = qkv32.shape
+    C = three_c // 3
+    D = C // num_heads
+    inv_sqrt_d = 1.0 / math.sqrt(D)
+
+    a_cls = jnp.zeros((1, N), jnp.float32)
+    v_sum = jnp.zeros((N, D), jnp.float32)
+    for h in range(num_heads):
+        q_cls = qkv32[0:1, h * D:(h + 1) * D]  # [1, D]
+        k = qkv32[:, C + h * D:C + (h + 1) * D]  # [N, D]
+        logits = jax.lax.dot_general(
+            q_cls, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * inv_sqrt_d  # [1, N]
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        p = jnp.exp(logits - m)
+        a_cls = a_cls + p / jnp.sum(p, axis=-1, keepdims=True)
+        v_sum = v_sum + qkv32[:, 2 * C + h * D:2 * C + (h + 1) * D]
+    a_cls = a_cls / num_heads  # head-mean (importance.py:21)
+
+    V = v_sum / num_heads  # head-mean values (importance.py:24)
+    V = V - jnp.mean(V, axis=0, keepdims=True)  # center across tokens
+    vn = jnp.sqrt(jnp.sum(V * V, axis=1, keepdims=True))  # [N, 1]
+    mu = jnp.mean(vn)
+    var = jnp.sum(jnp.square(vn - mu)) / (N - 1)  # unbiased (torch .std())
+    std = jnp.sqrt(var) + eps
+    z = jax.nn.sigmoid((vn - mu) / std)
+    return a_cls[0] * z[:, 0]  # [N]
+
+
+# --------------------------------------------------------------------------
+# Stock block attention half
+# --------------------------------------------------------------------------
+
+
+def _attn_block_kernel(
+    x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
+    ls_ref, out_ref, *, num_heads: int, scale: float, eps: float,
+):
+    x32 = x_ref[0].astype(jnp.float32)
+    y = _layer_norm_f32(x32, lns_ref, lnb_ref, eps).astype(x_ref.dtype)
+    qkv = jnp.dot(y, wqkv_ref[:], preferred_element_type=jnp.float32)
+    qkv = (qkv + bqkv_ref[:].astype(jnp.float32)).astype(x_ref.dtype)
+    attn = _mha(qkv, num_heads, scale, x_ref.dtype)
+    out = jnp.dot(attn, wproj_ref[:], preferred_element_type=jnp.float32)
+    out = out + bproj_ref[:].astype(jnp.float32)
+    out = out * ls_ref[:].astype(jnp.float32)
+    out_ref[0] = (x32 + out).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads", "scale", "eps"))
+def fused_attn_block(
+    x: jax.Array,
+    ln_params,
+    attn_params,
+    ls: jax.Array | None,
+    num_heads: int,
+    scale: float,
+    eps: float = 1e-6,
+) -> jax.Array:
+    """``x + ls1 * proj(mhsa(qkv(norm1(x))))`` in one kernel: ``[B,N,C]``."""
+    B, N, C = x.shape
+    wqkv = attn_params["qkv"]["kernel"]
+    wproj = attn_params["proj"]["kernel"]
+    if ls is None:
+        ls = jnp.ones((C,), x.dtype)
+
+    vec = lambda n: pl.BlockSpec(  # noqa: E731
+        (1, n), lambda b: (0, 0), memory_space=pltpu.VMEM
+    )
+    mat = lambda s: pl.BlockSpec(  # noqa: E731
+        s, lambda b: (0, 0), memory_space=pltpu.VMEM
+    )
+    return pl.pallas_call(
+        functools.partial(
+            _attn_block_kernel, num_heads=num_heads, scale=scale, eps=eps
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, N, C), x.dtype),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, N, C), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            vec(C), vec(C),           # ln scale/bias
+            mat((C, 3 * C)), vec(3 * C),  # qkv
+            mat((C, C)), vec(C),      # proj
+            vec(C),                   # layer-scale
+        ],
+        out_specs=pl.BlockSpec(
+            (1, N, C), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * N * C * (3 * C + C)
+            + 4 * B * num_heads * N * N * (C // num_heads),
+            bytes_accessed=2 * B * N * C * x.dtype.itemsize
+            + 4 * C * C * wqkv.dtype.itemsize,
+            transcendentals=B * num_heads * N * N,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
+        interpret=_use_interpret(),
+    )(
+        x,
+        ln_params["scale"].reshape(1, C),
+        ln_params["bias"].reshape(1, C),
+        wqkv,
+        attn_params["qkv"]["bias"].reshape(1, 3 * C),
+        wproj,
+        attn_params["proj"]["bias"].reshape(1, C),
+        ls.reshape(1, C),
+    )
+
+
+# --------------------------------------------------------------------------
+# Pruned block, step 1: LN + QKV (+ importance byproduct)
+# --------------------------------------------------------------------------
+
+
+def _ln_qkv_kernel(
+    x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref, qkv_ref, scores_ref,
+    *, num_heads: int, eps: float, with_scores: bool,
+):
+    x32 = x_ref[0].astype(jnp.float32)
+    y = _layer_norm_f32(x32, lns_ref, lnb_ref, eps).astype(x_ref.dtype)
+    qkv = jnp.dot(y, wqkv_ref[:], preferred_element_type=jnp.float32)
+    qkv = (qkv + bqkv_ref[:].astype(jnp.float32)).astype(qkv_ref.dtype)
+    qkv_ref[0] = qkv
+    if with_scores:
+        # Score from the *stored* (rounded) values so the result is
+        # bit-comparable with scoring the materialized QKV (the XLA path).
+        s = _importance_f32(qkv.astype(jnp.float32), num_heads)
+        # The scores block is [1, 8, N]: Mosaic requires the sublane dim of a
+        # block to be a multiple of 8, so the [N] row is broadcast over 8
+        # sublanes and the caller slices row 0 (negligible: 8·N fp32).
+        scores_ref[0] = jnp.broadcast_to(
+            s[None, :], scores_ref.shape[1:]
+        ).astype(scores_ref.dtype)
+    else:
+        scores_ref[0] = jnp.zeros_like(scores_ref[0])
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_heads", "eps", "with_scores")
+)
+def fused_ln_qkv(
+    x: jax.Array,
+    ln_params,
+    qkv_params,
+    num_heads: int,
+    eps: float = 1e-6,
+    with_scores: bool = True,
+) -> tuple[jax.Array, jax.Array]:
+    """LN1 + QKV projection, emitting RAJNI scores in-pass.
+
+    Returns ``(qkv [B, N, 3C], scores [B, N] fp32)``; ``scores`` is zeros
+    when ``with_scores=False`` (an ``update=false`` block reusing previous
+    scores, reference attention.py:25-28).
+    """
+    B, N, C = x.shape
+    wqkv = qkv_params["kernel"]
+
+    qkv, scores8 = pl.pallas_call(
+        functools.partial(
+            _ln_qkv_kernel, num_heads=num_heads, eps=eps,
+            with_scores=with_scores,
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, N, 3 * C), x.dtype),
+            jax.ShapeDtypeStruct((B, 8, N), jnp.float32),
+        ),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, N, C), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, 3 * C), lambda b: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3 * C), lambda b: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, N, 3 * C), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, N), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
+        interpret=_use_interpret(),
+    )(
+        x,
+        ln_params["scale"].reshape(1, C),
+        ln_params["bias"].reshape(1, C),
+        wqkv,
+        qkv_params["bias"].reshape(1, 3 * C),
+    )
+    return qkv, scores8[:, 0, :]
+
+
+# --------------------------------------------------------------------------
+# Pruned block, step 2: gather + SDPA + proj + compacted residual
+# --------------------------------------------------------------------------
+
+
+def _gather_attn_kernel(
+    qkv_ref, sel_ref, x_ref, wproj_ref, bproj_ref, ls_ref, out_ref,
+    *, num_heads: int, scale: float,
+):
+    sel = sel_ref[0]  # [K, N] one-hot rows
+    # Gather = one-hot matmul on the MXU (bit-exact: rows sum one element).
+    qkv_g = jax.lax.dot_general(
+        sel, qkv_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(qkv_ref.dtype)  # [K, 3C]
+    x_g32 = jax.lax.dot_general(
+        sel, x_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [K, C] — compacted pre-norm residual (reference model.py:55-56)
+
+    attn = _mha(qkv_g, num_heads, scale, qkv_ref.dtype)
+    out = jnp.dot(attn, wproj_ref[:], preferred_element_type=jnp.float32)
+    out = out + bproj_ref[:].astype(jnp.float32)
+    out = out * ls_ref[:].astype(jnp.float32)
+    out_ref[0] = (x_g32 + out).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads", "scale"))
+def fused_gather_sdpa_proj_residual(
+    qkv: jax.Array,
+    sel: jax.Array,
+    x: jax.Array,
+    proj_params,
+    ls: jax.Array | None,
+    num_heads: int,
+    scale: float,
+) -> jax.Array:
+    """Pruned attention tail: ``gather_sel(x) + ls1 * proj(mhsa(gather_sel(qkv)))``.
+
+    Args:
+      qkv: ``[B, N, 3C]`` full-sequence packed QKV (from :func:`fused_ln_qkv`).
+      sel: ``[B, K, N]`` one-hot selection rows
+        (:func:`rajni_tpu.ops.pruning.select_tokens_dense`).
+      x: ``[B, N, C]`` pre-norm residual stream.
+    Returns:
+      ``[B, K, C]`` compacted post-attention residual state.
+    """
+    B, N, three_c = qkv.shape
+    C = three_c // 3
+    K = sel.shape[1]
+    wproj = proj_params["kernel"]
+    if ls is None:
+        ls = jnp.ones((C,), x.dtype)
+
+    return pl.pallas_call(
+        functools.partial(
+            _gather_attn_kernel, num_heads=num_heads, scale=scale
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, K, C), x.dtype),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, N, three_c), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, K, N), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N, C), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, C), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), lambda b: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, K, C), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
+        interpret=_use_interpret(),
+    )(
+        qkv,
+        sel,
+        x,
+        wproj,
+        proj_params["bias"].reshape(1, C),
+        ls.reshape(1, C),
+    )

@@ -314,29 +314,73 @@ def vit_forward(
         if spec is not None:
             n = x.shape[1]
             keep = keep_count(spec.keep_ratio, n)
-            x_norm = layer_norm(x, block["norm1"], config.layer_norm_eps)
-            out, keep_idx, scores = pruned_attention(
-                x_norm,
-                block["attn"],
-                config.num_heads,
-                config.attn_scale,
-                keep,
-                spec.update,
-                scores,
-                impl,
-            )
-            # Residual-stream compaction BEFORE the residual add
-            # (reference model.py:55-56).
             if impl == "pallas":
-                from ..ops.pruning import gather_tokens_matmul, onehot_matrix
+                # Fully-fused pruned path (kernels/block.py): LN+QKV with
+                # in-kernel scoring, sort-free selection, then in-kernel
+                # gather+SDPA+proj+compacted-residual. Same semantics as the
+                # XLA branch below, no intermediate HBM round trips.
+                from ..kernels.block import (
+                    fused_gather_sdpa_proj_residual,
+                    fused_ln_qkv,
+                )
+                from ..ops.pruning import select_tokens_dense
 
-                sel = onehot_matrix(keep_idx, x.shape[1], x.dtype)
-                x = gather_tokens_matmul(x, sel)
+                with_scores = spec.update or scores is None
+                qkv, new_scores = fused_ln_qkv(
+                    x,
+                    block["norm1"],
+                    block["attn"]["qkv"],
+                    config.num_heads,
+                    config.layer_norm_eps,
+                    with_scores,
+                )
+                if with_scores:
+                    scores = new_scores
+                keep_idx, sel = select_tokens_dense(scores, keep, x.dtype)
+                x = fused_gather_sdpa_proj_residual(
+                    qkv,
+                    sel,
+                    x,
+                    block["attn"]["proj"],
+                    block.get("ls1"),
+                    config.num_heads,
+                    config.attn_scale,
+                )
+                # surviving scores thread to the next block
+                # (reference attention.py:58, model.py:53)
+                scores = jnp.take_along_axis(scores, keep_idx, axis=1)
             else:
+                x_norm = layer_norm(x, block["norm1"], config.layer_norm_eps)
+                out, keep_idx, scores = pruned_attention(
+                    x_norm,
+                    block["attn"],
+                    config.num_heads,
+                    config.attn_scale,
+                    keep,
+                    spec.update,
+                    scores,
+                    impl,
+                )
+                # Residual-stream compaction BEFORE the residual add
+                # (reference model.py:55-56).
                 idx = keep_idx[..., None]
                 x = jnp.take_along_axis(x, idx, axis=1)
-            x = x + _layer_scale(out, block, "ls1")
+                x = x + _layer_scale(out, block, "ls1")
             x = _mlp_branch(x, block, config, impl)
+        elif impl == "pallas":
+            from ..kernels.block import fused_attn_block
+
+            x = fused_attn_block(
+                x,
+                block["norm1"],
+                block["attn"],
+                block.get("ls1"),
+                config.num_heads,
+                config.attn_scale,
+                config.layer_norm_eps,
+            )
+            x = _mlp_branch(x, block, config, impl)
+            scores = None  # invalidate (model.py:63)
         else:
             x = stock_block(x, block, config, impl)
             scores = None  # invalidate: token layout unchanged (model.py:63)
