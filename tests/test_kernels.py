@@ -113,3 +113,29 @@ def test_fused_ln_mlp_residual_matches_lax(rng, rows, C, hidden):
     got = fused_ln_mlp_residual(x, ln, mp, ls, 1e-6)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_fused_ln_qkv_select_matches_composition(rng):
+    """The single-dispatch select variant == fused_ln_qkv + XLA selection."""
+    from rajni_tpu.kernels.block import fused_ln_qkv, fused_ln_qkv_select
+    from rajni_tpu.ops.pruning import select_tokens_dense
+
+    B, N, C, H = 2, 57, 32, 4
+    keep = 23
+    x = jnp.asarray(rng.standard_normal((B, N, C)), jnp.float32)
+    ln = {"scale": jnp.asarray(rng.standard_normal(C), jnp.float32),
+          "bias": jnp.asarray(rng.standard_normal(C), jnp.float32)}
+    qkv_p = {"kernel": jnp.asarray(rng.standard_normal((C, 3 * C)) * 0.1,
+                                   jnp.float32),
+             "bias": jnp.asarray(rng.standard_normal(3 * C), jnp.float32)}
+
+    qkv_a, scores = fused_ln_qkv(x, ln, qkv_p, H, 1e-6, True)
+    idx_a, sel_a = select_tokens_dense(scores, keep, x.dtype)
+    ns_a = jnp.take_along_axis(scores, idx_a, axis=1)
+
+    qkv_b, sel_b, idx_b, ns_b = fused_ln_qkv_select(x, ln, qkv_p, H, keep)
+
+    np.testing.assert_allclose(np.asarray(qkv_b), np.asarray(qkv_a), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(idx_b), np.asarray(idx_a))
+    np.testing.assert_array_equal(np.asarray(sel_b), np.asarray(sel_a))
+    np.testing.assert_allclose(np.asarray(ns_b), np.asarray(ns_a), atol=1e-6)
