@@ -69,7 +69,7 @@ def main() -> None:
     dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[
         os.environ.get("RAJNI_BENCH_DTYPE", "bfloat16")
     ]
-    impl = os.environ.get("RAJNI_BENCH_KERNELS", "xla")
+    impl = os.environ.get("RAJNI_BENCH_KERNELS", "pallas")
 
     log(f"devices: {jax.devices()}")
     config = get_config(model)

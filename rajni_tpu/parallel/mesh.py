@@ -105,6 +105,7 @@ def sharded_forward(
     config: ViTConfig,
     schedule: Schedule | None,
     mesh: Mesh,
+    impl: str = "xla",
 ):
     """Jitted ``images -> logits`` with DP batch + TP params over ``mesh``.
 
@@ -113,7 +114,9 @@ def sharded_forward(
     """
     sharded = shard_params(params, mesh)
     fwd = jax.jit(
-        functools.partial(vit_forward, config=config, schedule=schedule),
+        functools.partial(
+            vit_forward, config=config, schedule=schedule, impl=impl
+        ),
         # params keep their placed (TP) shardings; batch arrives DP-sharded
         in_shardings=(None, batch_sharding(mesh)),
         out_shardings=NamedSharding(mesh, P("data")),
@@ -131,11 +134,12 @@ def data_parallel_forward(
     config: ViTConfig,
     schedule: Schedule | None,
     mesh: Mesh | None = None,
+    impl: str = "xla",
 ):
     """Convenience: shard over all local devices (1-D data mesh by default)."""
     if mesh is None:
         mesh = make_mesh()
-    return sharded_forward(params, config, schedule, mesh)
+    return sharded_forward(params, config, schedule, mesh, impl)
 
 
 def eval_step_fn(config: ViTConfig, schedule: Schedule | None, mesh: Mesh):

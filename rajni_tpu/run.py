@@ -74,19 +74,34 @@ def get_args(argv=None):
                         help="Use N synthetic batches instead of --data_path")
     parser.add_argument("--data_parallel", action="store_true",
                         help="Shard batches across all local devices")
+    parser.add_argument("--kernels", type=str, default="auto",
+                        choices=["auto", "xla", "pallas"],
+                        help="Attention/MLP backend: fused Pallas kernels "
+                             "(default on TPU) or the lax reference path")
     parser.add_argument("--seed", type=int, default=0)
 
     return parser.parse_args(argv)
 
 
-def make_model_fn(params, config, schedule, data_parallel=False):
+def resolve_kernels(kernels: str = "auto") -> str:
+    """``auto`` → fused Pallas kernels on TPU, lax reference elsewhere."""
+    if kernels == "auto":
+        return "pallas" if jax.default_backend() == "tpu" else "xla"
+    return kernels
+
+
+def make_model_fn(params, config, schedule, data_parallel=False,
+                  kernels="auto"):
     """Jitted logits fn closed over params; optionally batch-sharded."""
+    impl = resolve_kernels(kernels)
     if data_parallel:
         from .parallel.mesh import data_parallel_forward
 
-        return data_parallel_forward(params, config, schedule)
-    fwd = jax.jit(vit_forward, static_argnums=(2, 3))
-    return functools.partial(fwd, params, config=config, schedule=schedule)
+        return data_parallel_forward(params, config, schedule, impl=impl)
+    fwd = jax.jit(vit_forward, static_argnums=(2, 3, 4))
+    return functools.partial(
+        fwd, params, config=config, schedule=schedule, impl=impl
+    )
 
 
 def main(argv=None):
@@ -142,7 +157,8 @@ def main(argv=None):
     base_acc = base_tput = None
     if args.compare_base:
         print("\nEvaluating BASE model")
-        base_fn = make_model_fn(params, config, None, args.data_parallel)
+        base_fn = make_model_fn(params, config, None, args.data_parallel,
+                                args.kernels)
         base_acc, base_tput = evaluate_model(
             base_fn, loader, device=device,
             warmup=args.warmup, max_batches=args.max_batches,
@@ -162,7 +178,8 @@ def main(argv=None):
           f"{model_stats(config, schedule)['token_counts']}")
 
     print("\nEvaluating RAJNI model")
-    rajni_fn = make_model_fn(params, config, schedule, args.data_parallel)
+    rajni_fn = make_model_fn(params, config, schedule, args.data_parallel,
+                             args.kernels)
     rajni_acc, rajni_tput = evaluate_model(
         rajni_fn, loader, device=device,
         warmup=args.warmup, max_batches=args.max_batches,
