@@ -43,12 +43,24 @@ def find_classes(root: str) -> tuple[list[str], dict[str, int]]:
 
 
 class ImageFolder:
-    """``root/class_x/*.jpg``-style dataset (reference run.py:73)."""
+    """``root/class_x/*.jpg``-style dataset (reference run.py:73).
 
-    def __init__(self, root: str, img_size: int = 224, resize: int = 256):
+    Preprocessing runs through the native C++ library when it builds on this
+    machine (:mod:`rajni_tpu.data.native` — GIL-free, so the decode thread
+    pool scales), falling back to the pure-PIL :func:`preprocess` otherwise.
+    """
+
+    def __init__(
+        self,
+        root: str,
+        img_size: int = 224,
+        resize: int = 256,
+        use_native: bool = True,
+    ):
         self.root = root
         self.img_size = img_size
         self.resize = resize
+        self.use_native = use_native
         self.classes, self.class_to_idx = find_classes(root)
         self.samples: list[tuple[str, int]] = []
         for cls in self.classes:
@@ -69,6 +81,17 @@ class ImageFolder:
 
         with Image.open(path) as im:
             im = im.convert("RGB")
+            if self.use_native:
+                from . import native
+
+                if native.available():
+                    return (
+                        native.preprocess_native(
+                            np.asarray(im), self.img_size, self.resize,
+                            IMAGENET_MEAN, IMAGENET_STD,
+                        ),
+                        label,
+                    )
             arr = preprocess(im, self.img_size, self.resize)
         return arr, label
 
