@@ -78,6 +78,11 @@ def get_args(argv=None):
                         choices=["auto", "xla", "pallas"],
                         help="Attention/MLP backend: fused Pallas kernels "
                              "(default on TPU) or the lax reference path")
+    parser.add_argument("--profile", type=str, default=None, metavar="DIR",
+                        help="Capture a jax.profiler trace of the RAJNI "
+                             "evaluation into DIR (view with TensorBoard) — "
+                             "the TPU equivalent of the reference's "
+                             "cudnn.benchmark/synchronize instrumentation")
     parser.add_argument("--seed", type=int, default=0)
 
     return parser.parse_args(argv)
@@ -180,10 +185,18 @@ def main(argv=None):
     print("\nEvaluating RAJNI model")
     rajni_fn = make_model_fn(params, config, schedule, args.data_parallel,
                              args.kernels)
-    rajni_acc, rajni_tput = evaluate_model(
-        rajni_fn, loader, device=device,
-        warmup=args.warmup, max_batches=args.max_batches,
-    )
+    import contextlib
+
+    if args.profile:
+        trace_cm = jax.profiler.trace(args.profile)
+        print(f"Profiling to {args.profile}")
+    else:
+        trace_cm = contextlib.nullcontext()
+    with trace_cm:
+        rajni_acc, rajni_tput = evaluate_model(
+            rajni_fn, loader, device=device,
+            warmup=args.warmup, max_batches=args.max_batches,
+        )
     print(f"RAJNI - Accuracy: {rajni_acc:.2f}%, "
           f"Throughput: {rajni_tput:.1f} img/s")
 

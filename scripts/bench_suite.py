@@ -1,0 +1,114 @@
+"""Benchmark suite: the five BASELINE.json configs, one JSON line each.
+
+Configs (BASELINE.json `configs`):
+  1. ViT-B/16 identity schedule (no pruning), batch 1, CPU backend
+  2. ViT-B/16 + README schedule {3:0.88, 4:0.88, 7:0.8, 8:0.72}
+  3. DeiT-S with update=True dynamic re-scoring on every pruned block
+  4. ViT-L/16 aggressive pruning, batch 256, --compare_base semantics
+  5. ViT-B/384 (577 tokens) with mixed per-block keep_ratios
+
+Run:  python scripts/bench_suite.py [--iters N]
+The headline driver metric stays in /root/repo/bench.py.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+from rajni_tpu.models.vit import get_config, init_params, model_stats, vit_forward
+from rajni_tpu.utils.schedule import normalize_schedule
+from rajni_tpu.utils.timing import fence
+
+README_SCHEDULE = {  # reference README.md:25-30
+    3: {"keep_ratio": 0.88}, 4: {"keep_ratio": 0.88},
+    7: {"keep_ratio": 0.8}, 8: {"keep_ratio": 0.72},
+}
+DEIT_S_DYNAMIC = {  # every pruned block re-scores (update=True default)
+    i: {"keep_ratio": 0.9, "update": True} for i in range(3, 11)
+}
+VIT_L_AGGRESSIVE = {
+    4: {"keep_ratio": 0.7}, 8: {"keep_ratio": 0.7},
+    12: {"keep_ratio": 0.7}, 16: {"keep_ratio": 0.7},
+}
+VIT_B_384_MIXED = {
+    3: {"keep_ratio": 0.95, "update": False}, 4: {"keep_ratio": 0.95},
+    5: {"keep_ratio": 0.85}, 6: {"keep_ratio": 0.85},
+    7: {"keep_ratio": 0.95},
+}
+
+
+def measure(model, schedule, batch, iters, impl, device=None, warmup=3):
+    cfg = get_config(model)
+    sched = normalize_schedule(schedule, cfg.depth) if schedule else None
+    params = init_params(jax.random.key(0), cfg, jnp.bfloat16)
+    imgs = jax.random.normal(
+        jax.random.key(1), (batch, cfg.img_size, cfg.img_size, 3),
+        jnp.bfloat16,
+    )
+    if device is not None:
+        params = jax.device_put(params, device)
+        imgs = jax.device_put(imgs, device)
+    fwd = jax.jit(vit_forward, static_argnums=(2, 3, 4), device=device)
+    for _ in range(warmup):
+        fence(fwd(params, imgs, cfg, sched, impl))
+    t0 = time.time()
+    for _ in range(iters):
+        out = fwd(params, imgs, cfg, sched, impl)
+    fence(out)
+    img_s = iters * batch / max(time.time() - t0, 1e-9)
+    tokens = model_stats(cfg, sched)["token_counts"] if sched else None
+    return img_s, tokens
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters", type=int, default=20)
+    args = ap.parse_args()
+
+    on_tpu = jax.default_backend() == "tpu"
+    impl = "pallas" if on_tpu else "xla"
+    results = []
+
+    # 1. identity schedule, batch 1, CPU
+    cpu = jax.devices("cpu")[0]
+    img_s, _ = measure("vit_base_patch16_224", None, 1, 5, "xla", cpu)
+    results.append({"config": "vit_b16_identity_batch1_cpu",
+                    "img_per_s": round(img_s, 2)})
+
+    # 2-5 on the accelerator
+    for key, model, sched, batch in [
+        ("vit_b16_readme_schedule", "vit_base_patch16_224",
+         README_SCHEDULE, 256),
+        ("deit_s_dynamic_rescoring", "deit_small_patch16_224",
+         DEIT_S_DYNAMIC, 256),
+        ("vit_l16_aggressive_b256", "vit_large_patch16_224",
+         VIT_L_AGGRESSIVE, 256),
+        ("vit_b16_384_mixed", "vit_base_patch16_384",
+         VIT_B_384_MIXED, 128),
+    ]:
+        pruned, tokens = measure(model, sched, batch, args.iters, impl)
+        base, _ = measure(model, None, batch, args.iters, impl)
+        results.append({
+            "config": key,
+            "img_per_s": round(pruned, 1),
+            "base_img_per_s": round(base, 1),
+            "speedup": round(pruned / base, 4),
+            "token_counts": tokens,
+            "impl": impl,
+        })
+
+    for r in results:
+        print(json.dumps(r))
+
+
+if __name__ == "__main__":
+    main()
