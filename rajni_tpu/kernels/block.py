@@ -454,21 +454,52 @@ def _gather_attn_kernel(
     *, num_heads: int, scale: float,
 ):
     sel = sel_ref[0]  # [K, N] one-hot rows
-    # Gather = one-hot matmul on the MXU (bit-exact: rows sum one element).
-    qkv_g = jax.lax.dot_general(
-        sel, qkv_ref[0], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ).astype(qkv_ref.dtype)  # [K, 3C]
-    x_g32 = jax.lax.dot_general(
+    dtype = qkv_ref.dtype
+    three_c = qkv_ref.shape[-1]
+    C = three_c // 3
+    D = C // num_heads
+
+    def gather(lane0):  # one-hot MXU gather of a [N, D] head slice → [K, D]
+        return jax.lax.dot_general(
+            sel, qkv_ref[0, :, lane0:lane0 + D],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(dtype)
+
+    # Per-head gather+SDPA+projection keeps every live value at [K, D] or
+    # [K, N]: neither the gathered [K, 3C] QKV nor the [K, C] attention
+    # concat is ever materialized (both pushed the ViT-B/384 N=577
+    # configuration past the 16 MB VMEM budget). The output projection is
+    # accumulated over head slices — mathematically the same contraction,
+    # split along the reduction axis.
+    out = jax.lax.dot_general(
         sel, x_ref[0], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # [K, C] — compacted pre-norm residual (reference model.py:55-56)
-
-    attn = _mha(qkv_g, num_heads, scale, qkv_ref.dtype)
-    out = jnp.dot(attn, wproj_ref[:], preferred_element_type=jnp.float32)
-    out = out + bproj_ref[:].astype(jnp.float32)
-    out = out * ls_ref[:].astype(jnp.float32)
-    out_ref[0] = (x_g32 + out).astype(out_ref.dtype)
+    out = out + bproj_ref[:].astype(jnp.float32) * ls_ref[:].astype(
+        jnp.float32
+    )
+    for h in range(num_heads):
+        q = gather(h * D)
+        k = gather(C + h * D)
+        v = gather(2 * C + h * D)
+        logits = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        p = jnp.exp(logits - m)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        o_h = jax.lax.dot_general(
+            p.astype(dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(dtype)  # [K, D]
+        out = out + jax.lax.dot_general(
+            o_h, wproj_ref[h * D:(h + 1) * D, :],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * ls_ref[:].astype(jnp.float32)
+    out_ref[0] = out.astype(out_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("num_heads", "scale"))

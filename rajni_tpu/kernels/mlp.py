@@ -15,11 +15,17 @@ Design:
   * Per row-tile: fp32 LayerNorm on the VPU → ``[R, C] @ [C, 4C]`` on the
     MXU → exact (erf) GELU → ``[R, 4C] @ [4C, C]`` → optional layer-scale →
     residual add with the *pre-norm* input (still in VMEM).
-  * Weights use constant index maps — Mosaic fetches them once and keeps
-    them VMEM-resident across the whole grid.
+  * **Hidden-dim chunking for big models**: ViT-B's weights (9.4 MB bf16)
+    stay fully VMEM-resident with constant index maps; for larger configs
+    (ViT-L: fc1+fc2 = 16.8 MB > the ~16 MB VMEM budget) the hidden dimension
+    is split into chunks streamed through a second grid dimension, with the
+    fc2 partial products accumulated in an fp32 scratch:
+    ``acc += gelu(y @ W1[:, k]) @ W2[k, :]`` — GELU is elementwise in the
+    hidden axis, so chunking is exact.
 
 VMEM at R=256, ViT-B (C=768, 4C=3072), bf16: weights 9.4 MB + hidden
-1.6 MB + x/out tiles ~1.6 MB (double-buffered) ≈ 13 MB.
+1.6 MB + x/out tiles ~1.6 MB (double-buffered) ≈ 13 MB. ViT-L runs with
+HC=1024 chunks: 2×4.2 MB streaming weights + 1 MB accumulator.
 """
 
 from __future__ import annotations
@@ -34,37 +40,58 @@ from jax.experimental.pallas import tpu as pltpu
 from .math import gelu_exact
 
 _ROWS = 256  # row-tile: 256×768 bf16 = 0.4 MB, MXU-aligned
+_WEIGHT_BUDGET = 10 * 1024 * 1024  # VMEM bytes for resident weight blocks
+
+
+def _hidden_chunk(C: int, hidden: int, itemsize: int) -> int:
+    """Largest hidden chunk whose streamed weight blocks fit the budget."""
+    if 2 * C * hidden * itemsize <= _WEIGHT_BUDGET:
+        return hidden  # fully resident, no streaming
+    hc = hidden
+    # Streamed (index-varying) blocks are double-buffered by the pipeline:
+    # budget covers 2 × (w1_chunk + w2_chunk).
+    while hc > 128 and 4 * C * hc * itemsize > _WEIGHT_BUDGET:
+        hc //= 2
+    while hidden % hc:  # keep it an exact divisor
+        hc //= 2
+    return max(hc, 128)
 
 
 def _ln_mlp_kernel(
     x_ref, ln_scale_ref, ln_bias_ref, w1_ref, b1_ref, w2_ref, b2_ref,
-    ls_ref, out_ref, *, eps: float,
+    ls_ref, out_ref, y_ref, acc_ref, *, eps: float,
 ):
-    x = x_ref[:]
-    # ---- LayerNorm (fp32 statistics, torch semantics) ----
-    x32 = x.astype(jnp.float32)
-    mean = jnp.mean(x32, axis=-1, keepdims=True)
-    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
-    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
-    y = y * ln_scale_ref[:].astype(jnp.float32) + ln_bias_ref[:].astype(
-        jnp.float32
-    )
-    y = y.astype(x.dtype)
+    k = pl.program_id(1)
+    nk = pl.num_programs(1)
 
-    # ---- MLP: fc1 → exact GELU → fc2, hidden stays in VMEM ----
-    h = jnp.dot(y, w1_ref[:], preferred_element_type=jnp.float32)
+    @pl.when(k == 0)
+    def _():
+        # ---- LayerNorm (fp32 statistics, torch semantics), once per tile ----
+        x32 = x_ref[:].astype(jnp.float32)
+        mean = jnp.mean(x32, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+        y = (x32 - mean) * jax.lax.rsqrt(var + eps)
+        y = y * ln_scale_ref[:].astype(jnp.float32) + ln_bias_ref[:].astype(
+            jnp.float32
+        )
+        y_ref[:] = y.astype(y_ref.dtype)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    # ---- MLP chunk: fc1 → exact GELU → fc2 partial, hidden stays in VMEM ----
+    h = jnp.dot(y_ref[:], w1_ref[:], preferred_element_type=jnp.float32)
     h = h + b1_ref[:].astype(jnp.float32)
     # Exact (erf) GELU via kernels.math (Mosaic lowers neither erf nor erfc).
     h = gelu_exact(h)
-    out = jnp.dot(
-        h.astype(x.dtype), w2_ref[:], preferred_element_type=jnp.float32
+    acc_ref[:] += jnp.dot(
+        h.astype(x_ref.dtype), w2_ref[:], preferred_element_type=jnp.float32
     )
-    out = out + b2_ref[:].astype(jnp.float32)
-    # layer-scale (identity vector when the block has none)
-    out = out * ls_ref[:].astype(jnp.float32)
 
-    # ---- Residual add with the pre-norm input ----
-    out_ref[:] = (x32 + out).astype(out_ref.dtype)
+    @pl.when(k == nk - 1)
+    def _():
+        out = acc_ref[:] + b2_ref[:].astype(jnp.float32)
+        out = out * ls_ref[:].astype(jnp.float32)  # layer-scale (or ones)
+        # Residual add with the pre-norm input.
+        out_ref[:] = (x_ref[:].astype(jnp.float32) + out).astype(out_ref.dtype)
 
 
 def _use_interpret() -> bool:
@@ -101,28 +128,37 @@ def fused_ln_mlp_residual(
 
     rows = B * N
     flat = x.reshape(rows, C)
-    grid = (pl.cdiv(rows, _ROWS),)
+    hc = _hidden_chunk(C, hidden, jnp.dtype(w1.dtype).itemsize)
+    grid = (pl.cdiv(rows, _ROWS), hidden // hc)
 
     vec = lambda: pl.BlockSpec(  # noqa: E731 — replicated [C]-vector spec
-        (1, C), lambda r: (0, 0), memory_space=pltpu.VMEM
+        (1, C), lambda r, k: (0, 0), memory_space=pltpu.VMEM
     )
     out = pl.pallas_call(
         functools.partial(_ln_mlp_kernel, eps=eps),
         out_shape=jax.ShapeDtypeStruct((rows, C), x.dtype),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((_ROWS, C), lambda r: (r, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_ROWS, C), lambda r, k: (r, 0),
+                         memory_space=pltpu.VMEM),
             vec(),  # ln scale
             vec(),  # ln bias
-            pl.BlockSpec((C, hidden), lambda r: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, hidden), lambda r: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((hidden, C), lambda r: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, hc), lambda r, k: (0, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hc), lambda r, k: (0, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((hc, C), lambda r, k: (k, 0),
+                         memory_space=pltpu.VMEM),
             vec(),  # fc2 bias
             vec(),  # layer-scale
         ],
         out_specs=pl.BlockSpec(
-            (_ROWS, C), lambda r: (r, 0), memory_space=pltpu.VMEM
+            (_ROWS, C), lambda r, k: (r, 0), memory_space=pltpu.VMEM
         ),
+        scratch_shapes=[
+            pltpu.VMEM((_ROWS, C), x.dtype),       # normed input, reused per k
+            pltpu.VMEM((_ROWS, C), jnp.float32),   # fc2 accumulator
+        ],
         cost_estimate=pl.CostEstimate(
             flops=2 * 2 * rows * C * hidden,
             bytes_accessed=2 * rows * C * x.dtype.itemsize
@@ -130,7 +166,7 @@ def fused_ln_mlp_residual(
             transcendentals=rows * hidden,
         ),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel",),
+            dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=_use_interpret(),
     )(
