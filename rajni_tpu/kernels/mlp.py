@@ -57,6 +57,32 @@ def _hidden_chunk(C: int, hidden: int, itemsize: int) -> int:
     return max(hc, 128)
 
 
+def _ln_mlp_kernel_fast(
+    x_ref, ln_scale_ref, ln_bias_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+    ls_ref, out_ref, y_ref, acc_ref, *, eps: float,
+):
+    """Single-chunk variant (weights fully resident): straight-line, no
+    scratch round trips. Used whenever fc1+fc2 fit the VMEM weight budget."""
+    x32 = x_ref[:].astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    y = y * ln_scale_ref[:].astype(jnp.float32) + ln_bias_ref[:].astype(
+        jnp.float32
+    )
+    h = jnp.dot(
+        y.astype(x_ref.dtype), w1_ref[:], preferred_element_type=jnp.float32
+    )
+    h = gelu_exact(h + b1_ref[:].astype(jnp.float32))
+    out = jnp.dot(
+        h.astype(x_ref.dtype), w2_ref[:], preferred_element_type=jnp.float32
+    )
+    out = (out + b2_ref[:].astype(jnp.float32)) * ls_ref[:].astype(
+        jnp.float32
+    )
+    out_ref[:] = (x32 + out).astype(out_ref.dtype)
+
+
 def _ln_mlp_kernel(
     x_ref, ln_scale_ref, ln_bias_ref, w1_ref, b1_ref, w2_ref, b2_ref,
     ls_ref, out_ref, y_ref, acc_ref, *, eps: float,
@@ -134,8 +160,9 @@ def fused_ln_mlp_residual(
     vec = lambda: pl.BlockSpec(  # noqa: E731 — replicated [C]-vector spec
         (1, C), lambda r, k: (0, 0), memory_space=pltpu.VMEM
     )
+    kernel = _ln_mlp_kernel_fast if hc == hidden else _ln_mlp_kernel
     out = pl.pallas_call(
-        functools.partial(_ln_mlp_kernel, eps=eps),
+        functools.partial(kernel, eps=eps),
         out_shape=jax.ShapeDtypeStruct((rows, C), x.dtype),
         grid=grid,
         in_specs=[
