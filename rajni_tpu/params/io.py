@@ -44,17 +44,45 @@ def _restore_blocks(obj: Any) -> Any:
 
 
 def load_params(path: str, dtype: jnp.dtype | None = None) -> Params:
-    """Load a parameter pytree saved by :func:`save_params`.
+    """Load a parameter pytree saved by :func:`save_params` (msgpack file)
+    or :func:`save_params_orbax` (directory).
 
     Args:
       path: checkpoint path.
       dtype: optional cast applied to every leaf (bf16 for TPU inference).
     """
-    with open(path, "rb") as f:
-        raw = serialization.msgpack_restore(f.read())
-    params = _restore_blocks(raw)
+    import os
+
+    if os.path.isdir(path):
+        params = load_params_orbax(path)
+    else:
+        with open(path, "rb") as f:
+            raw = serialization.msgpack_restore(f.read())
+        params = _restore_blocks(raw)
     if dtype is not None:
         params = jax.tree_util.tree_map(
             lambda x: jnp.asarray(x, dtype=dtype), params
         )
     return params
+
+
+def save_params_orbax(path: str, params: Params) -> None:
+    """Alternative backend: Orbax checkpoint directory (sharded-friendly;
+    use for multi-host or very large models where msgpack's single-file
+    host-memory staging is a bottleneck)."""
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as ckptr:
+        import os
+
+        ckptr.save(os.path.abspath(path), params, force=True)
+
+
+def load_params_orbax(path: str) -> Params:
+    """Load an Orbax checkpoint saved by :func:`save_params_orbax`."""
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as ckptr:
+        import os
+
+        return ckptr.restore(os.path.abspath(path))

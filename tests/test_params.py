@@ -193,3 +193,18 @@ def dataclass_replace(cfg, **kw):
     import dataclasses
 
     return dataclasses.replace(cfg, **kw) if kw else cfg
+
+
+def test_orbax_roundtrip(oracle, tmp_path):
+    pytest.importorskip("orbax.checkpoint")
+    from rajni_tpu.params.io import load_params, save_params_orbax
+
+    params = convert_timm_state_dict(oracle.state_dict(), CFG, np.float32)
+    path = str(tmp_path / "orbax_ckpt")
+    save_params_orbax(path, params)
+    loaded = load_params(path)  # directory → orbax backend auto-detected
+    np.testing.assert_array_equal(
+        np.asarray(loaded["blocks"][0]["attn"]["qkv"]["kernel"]),
+        np.asarray(params["blocks"][0]["attn"]["qkv"]["kernel"]),
+    )
+    assert isinstance(loaded["blocks"], list)
