@@ -8,6 +8,7 @@ Public API surface mirrors the reference package
 """
 
 from .eval import evaluate_model
+from .models.wrapper import RAJNIViT
 from .models.vit import (
     VARIANTS,
     ViTConfig,
@@ -30,6 +31,7 @@ from .utils.schedule import (
 __version__ = "0.1.0"
 
 __all__ = [
+    "RAJNIViT",
     "VARIANTS",
     "ViTConfig",
     "PruneSpec",

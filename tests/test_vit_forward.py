@@ -168,3 +168,45 @@ def test_patch_embed_matches_conv(rng):
     )
     want = conv.reshape(2, cfg.num_patches, C) + bias
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4)
+
+
+class TestRAJNIViTWrapper:
+    """Object API parity with the reference RAJNIViTWrapper call shape."""
+
+    def test_call_and_stats(self, rng):
+        import jax.numpy as jnp
+
+        from rajni_tpu import RAJNIViT
+        from rajni_tpu.models.vit import ViTConfig
+
+        cfg = ViTConfig(img_size=16, patch_size=8, embed_dim=32, depth=2,
+                        num_heads=4, num_classes=5)
+        schedule = {1: {"keep_ratio": 0.5}}
+        model = RAJNIViT(cfg, schedule, dtype=jnp.float32)
+        x = jnp.asarray(rng.standard_normal((2, 16, 16, 3)), jnp.float32)
+        y = model(x)
+        assert y.shape == (2, 5)
+        assert model.get_last_stats() == {"token_counts": [5, 5]}
+
+    def test_matches_functional(self, rng):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from rajni_tpu import RAJNIViT, init_params, vit_forward
+        from rajni_tpu.models.vit import ViTConfig
+        from rajni_tpu.utils.schedule import normalize_schedule
+
+        cfg = ViTConfig(img_size=16, patch_size=8, embed_dim=32, depth=2,
+                        num_heads=4, num_classes=5)
+        params = init_params(jax.random.key(3), cfg, jnp.float32)
+        sched = normalize_schedule({1: {"keep_ratio": 0.5}}, cfg.depth)
+        model = RAJNIViT(cfg, sched, params=params)
+        x = jnp.asarray(rng.standard_normal((2, 16, 16, 3)), jnp.float32)
+        # jitted (wrapper) vs eager (functional): same math, fusion-level
+        # float differences only
+        np.testing.assert_allclose(
+            np.asarray(model(x)),
+            np.asarray(vit_forward(params, x, cfg, sched, model.impl)),
+            rtol=2e-5, atol=1e-5,
+        )
