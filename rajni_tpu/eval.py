@@ -38,6 +38,30 @@ except ImportError:  # pragma: no cover
     tqdm = None
 
 
+def _prefetch_to_device(iterator, device, depth: int = 2):
+    """Stage host batches onto the device ``depth`` ahead of consumption.
+
+    ``jax.device_put`` is asynchronous, so issuing the next batches' H2D
+    copies before the current forward finishes overlaps transfer with
+    compute (the double-buffered prefetch of SURVEY.md §7 step 3). The
+    reference's accounting is unaffected: H2D stays outside the timed
+    region either way (eval.py:48-53).
+
+    Yields ``(images_device, labels_host)``.
+    """
+    import collections
+
+    buf = collections.deque()
+    for images, labels in iterator:
+        buf.append(
+            (jax.device_put(np.asarray(images), device), np.asarray(labels))
+        )
+        if len(buf) > depth:
+            yield buf.popleft()
+    while buf:
+        yield buf.popleft()
+
+
 def evaluate_model(
     model: Callable,
     dataloader: Iterable,
@@ -45,6 +69,7 @@ def evaluate_model(
     max_batches: int | None = None,
     warmup: int = 5,
     progress: bool = True,
+    prefetch: int = 2,
 ) -> tuple[float, float]:
     """Evaluate ``model`` over ``dataloader``; return ``(top1_acc, img/s)``.
 
@@ -59,6 +84,8 @@ def evaluate_model(
       max_batches: stop after this many timed batches (reference eval.py:45).
       warmup: untimed warmup batches (reference eval.py:19-26).
       progress: show the tqdm bar (reference always does; off for tests).
+      prefetch: stage this many batches' H2D copies ahead of the forward
+        (0 disables). Overlaps transfer with compute; accounting unchanged.
     """
     if device is None:
         device = jax.devices()[0]
@@ -80,7 +107,14 @@ def evaluate_model(
     total_images = 0
     total_time = 0.0
 
-    iterator = dataloader
+    iterator = (
+        _prefetch_to_device(iter(dataloader), device, prefetch)
+        if prefetch > 0
+        else (
+            (jax.device_put(np.asarray(im), device), np.asarray(lb))
+            for im, lb in dataloader
+        )
+    )
     pbar = None
     if progress and tqdm is not None:
         try:
@@ -88,21 +122,20 @@ def evaluate_model(
         except TypeError:
             n = None
         pbar = tqdm(
-            dataloader,
+            iterator,
             desc="Evaluating",
             total=max_batches if max_batches is not None else n,
             leave=False,
         )
         iterator = pbar
 
-    for i, (images, labels) in enumerate(iterator):
+    for i, (images_dev, labels) in enumerate(iterator):
         if max_batches is not None and i >= max_batches:
             break
 
-        # Untimed H2D (reference eval.py:48-49).
-        images_dev = jax.device_put(np.asarray(images), device)
+        # Untimed H2D (reference eval.py:48-49): the device_put was issued
+        # by the prefetcher; the fence keeps it out of the timed region.
         fence(images_dev)
-        labels = np.asarray(labels)
 
         # Timed region: forward only, device-fenced (reference eval.py:51-59).
         start = time.time()
@@ -113,7 +146,7 @@ def evaluate_model(
         preds = np.asarray(jax.device_get(logits)).argmax(axis=1)
         correct += int((preds == labels).sum())
         total += int(labels.shape[0])
-        total_images += int(images.shape[0])
+        total_images += int(images_dev.shape[0])
 
         if pbar is not None and total > 0:
             pbar.set_postfix(

@@ -101,6 +101,10 @@ VARIANTS: dict[str, ViTConfig] = {
         img_size=384, embed_dim=768, depth=12, num_heads=12
     ),
     "vit_large_patch16_224": ViTConfig(embed_dim=1024, depth=24, num_heads=16),
+    # 16×16 grid + CLS = 257 tokens; head_dim 80
+    "vit_huge_patch14_224": ViTConfig(
+        patch_size=14, embed_dim=1280, depth=32, num_heads=16
+    ),
 }
 
 
