@@ -124,3 +124,34 @@ def token_count_trace(num_tokens: int, schedule: Schedule) -> list[int]:
         if spec is not None:
             n = keep_count(spec.keep_ratio, n) + 1  # kept patches + CLS
     return counts
+
+
+def main(argv=None) -> None:
+    """CLI: inspect a schedule file — normalized entries + token-count trace.
+
+    ``python -m rajni_tpu.utils.schedule sched.json --model vit_base_patch16_224``
+    """
+    import argparse
+    import json as _json
+
+    from ..models.vit import get_config
+
+    p = argparse.ArgumentParser("RAJNI schedule inspector")
+    p.add_argument("schedule", help="schedule JSON path")
+    p.add_argument("--model", default="vit_base_patch16_224")
+    args = p.parse_args(argv)
+
+    config = get_config(args.model)
+    schedule = load_schedule(args.schedule, config.depth)
+    counts = token_count_trace(config.num_tokens, schedule)
+    print(_json.dumps({
+        "model": args.model,
+        "schedule": schedule_to_dict(schedule),
+        "token_counts": counts,
+        "mean_tokens": sum(counts) / len(counts),
+        "token_work_ratio": sum(counts) / (len(counts) * config.num_tokens),
+    }, indent=2))
+
+
+if __name__ == "__main__":
+    main()

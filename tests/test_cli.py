@@ -1,0 +1,68 @@
+"""CLI driver tests: flag surface, reference error parity, end-to-end main."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from rajni_tpu.run import get_args, main, resolve_kernels
+
+
+def test_defaults_match_reference():
+    """Reference defaults (run.py:18-43): batch 256, workers 8, warmup 5,
+    model vit_base_patch16_224."""
+    args = get_args([])
+    assert args.batch_size == 256
+    assert args.num_workers == 8
+    assert args.warmup == 5
+    assert args.model == "vit_base_patch16_224"
+    assert args.max_batches is None
+    assert not args.compare_base
+
+
+def test_missing_schedule_raises(tmp_path):
+    """Reference parity: --schedule is required (run.py:115-116)."""
+    with pytest.raises(ValueError, match="must provide --schedule"):
+        main(["--synthetic", "1", "--batch_size", "2",
+              "--model", "vit_tiny_patch16_224", "--warmup", "0"])
+
+
+def test_missing_data_source_raises():
+    with pytest.raises(ValueError, match="--data_path or --synthetic"):
+        main(["--schedule", "x.json"])
+
+
+def test_resolve_kernels_cpu():
+    assert resolve_kernels("auto") in ("xla", "pallas")
+    assert resolve_kernels("xla") == "xla"
+    assert resolve_kernels("pallas") == "pallas"
+
+
+def test_main_end_to_end_synthetic(tmp_path, capsys):
+    sched = tmp_path / "s.json"
+    sched.write_text(json.dumps({"3": {"keep_ratio": 0.9}}))
+    result = main([
+        "--synthetic", "2", "--batch_size", "4", "--max_batches", "1",
+        "--model", "vit_tiny_patch16_224", "--schedule", str(sched),
+        "--warmup", "1", "--dtype", "float32", "--compare_base",
+    ])
+    assert "speedup" in result and "acc_drop" in result
+    out = capsys.readouterr().out
+    assert "Token counts per block" in out
+    assert "Speedup" in out
+
+
+def test_schedule_inspector(tmp_path, capsys):
+    from rajni_tpu.utils.schedule import main as sched_main
+
+    sched = tmp_path / "s.json"
+    sched.write_text(json.dumps(
+        {"3": {"keep_ratio": 0.95, "update": False},
+         "4": {"keep_ratio": 0.95}, "5": {"keep_ratio": 0.85},
+         "6": {"keep_ratio": 0.85}, "7": {"keep_ratio": 0.95}}))
+    sched_main([str(sched)])
+    info = json.loads(capsys.readouterr().out)
+    assert info["token_counts"] == [
+        197, 197, 197, 197, 187, 177, 150, 127, 120, 120, 120, 120]
+    assert 0.8 < info["token_work_ratio"] < 0.83
