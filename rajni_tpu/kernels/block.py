@@ -475,59 +475,66 @@ def _gather_attn_kernel(
     out_ref[0] = (x_g32 + out).astype(out_ref.dtype)
 
 
-def _gather_attn_kernel_streamed(
-    qkv_ref, sel_ref, x_ref, wproj_ref, bproj_ref, ls_ref, out_ref,
-    *, num_heads: int, scale: float,
-):
-    """VMEM-lean variant: per-head gather + projection accumulation.
+_Q_CHUNK = 128  # query-row tile of the chunked gather kernel
 
-    Keeps every live value at [K, D] or [K, N] — neither the gathered
-    [K, 3C] QKV nor the [K, C] attention concat is materialized (both push
-    the ViT-B/384 N=577 configuration past the 16 MB VMEM budget). The
-    output projection is accumulated over head slices — the same
-    contraction, split along the reduction axis.
+
+def _gather_attn_kernel_chunked(
+    qkv_ref, sel_full_ref, sel_ref, x_ref, wproj_ref, bproj_ref, ls_ref,
+    out_ref, qkv_g_ref, *, num_heads: int, scale: float,
+):
+    """VMEM-lean variant for long sequences (ViT-B/384, N=577).
+
+    The gathered ``[K, 3C]`` QKV lives in persistent scratch (computed once
+    per image at the first query chunk); attention is computed in
+    ``_Q_CHUNK``-row query tiles so the fp32 logits value is ``[128, K]``
+    instead of ``[K, K]``. One big gather matmul (like the fast variant),
+    chunked live values (unlike it) — strictly better than streaming
+    per-head gathers, which re-issued 3·H small matmuls.
     """
-    sel = sel_ref[0]  # [K, N] one-hot rows
+    kc = pl.program_id(1)
     dtype = qkv_ref.dtype
     three_c = qkv_ref.shape[-1]
     C = three_c // 3
     D = C // num_heads
+    K = sel_full_ref.shape[1]
 
-    def gather(lane0):  # one-hot MXU gather of a [N, D] head slice → [K, D]
-        return jax.lax.dot_general(
-            sel, qkv_ref[0, :, lane0:lane0 + D],
-            (((1,), (0,)), ((), ())),
+    @pl.when(kc == 0)
+    def _():
+        qkv_g_ref[0:K, :] = jax.lax.dot_general(
+            sel_full_ref[0], qkv_ref[0], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         ).astype(dtype)
 
-    out = jax.lax.dot_general(
-        sel, x_ref[0], (((1,), (0,)), ((), ())),
+    sel_chunk = sel_ref[0]  # [Q_CHUNK, N] rows of this query tile
+    x_g32 = jax.lax.dot_general(
+        sel_chunk, x_ref[0], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )  # [K, C] — compacted pre-norm residual (reference model.py:55-56)
-    out = out + bproj_ref[:].astype(jnp.float32) * ls_ref[:].astype(
-        jnp.float32
-    )
+    )  # [Q_CHUNK, C]
+
+    row0 = kc * _Q_CHUNK
+    outs = []
     for h in range(num_heads):
-        q = gather(h * D)
-        k = gather(C + h * D)
-        v = gather(2 * C + h * D)
+        q = qkv_g_ref[pl.ds(row0, _Q_CHUNK), h * D:(h + 1) * D]
+        k = qkv_g_ref[0:K, C + h * D:C + (h + 1) * D]
+        v = qkv_g_ref[0:K, 2 * C + h * D:2 * C + (h + 1) * D]
         logits = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ) * scale
+        ) * scale  # [Q_CHUNK, K]
         m = jnp.max(logits, axis=-1, keepdims=True)
         p = jnp.exp(logits - m)
         p = p / jnp.sum(p, axis=-1, keepdims=True)
-        o_h = jax.lax.dot_general(
-            p.astype(dtype), v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ).astype(dtype)  # [K, D]
-        out = out + jax.lax.dot_general(
-            o_h, wproj_ref[h * D:(h + 1) * D, :],
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * ls_ref[:].astype(jnp.float32)
-    out_ref[0] = out.astype(out_ref.dtype)
+        outs.append(
+            jax.lax.dot_general(
+                p.astype(dtype), v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        )
+    attn = jnp.concatenate(outs, axis=-1).astype(dtype)
+    out = jnp.dot(attn, wproj_ref[:], preferred_element_type=jnp.float32)
+    out = out + bproj_ref[:].astype(jnp.float32)
+    out = out * ls_ref[:].astype(jnp.float32)
+    out_ref[0] = (x_g32 + out).astype(out_ref.dtype)
 
 
 _VMEM_BUDGET = 14 * 1024 * 1024  # leave headroom under the 16 MB limit
@@ -570,35 +577,80 @@ def fused_gather_sdpa_proj_residual(
     if ls is None:
         ls = jnp.ones((C,), x.dtype)
 
-    kernel = (
-        _gather_attn_kernel
-        if _gather_fits_fast(N, K, C, jnp.dtype(x.dtype).itemsize)
-        else _gather_attn_kernel_streamed
-    )
+    if _gather_fits_fast(N, K, C, jnp.dtype(x.dtype).itemsize):
+        return pl.pallas_call(
+            functools.partial(
+                _gather_attn_kernel, num_heads=num_heads, scale=scale
+            ),
+            out_shape=jax.ShapeDtypeStruct((B, K, C), x.dtype),
+            grid=(B,),
+            in_specs=[
+                pl.BlockSpec((1, N, three_c), lambda b: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, K, N), lambda b: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, N, C), lambda b: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((C, C), lambda b: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, C), lambda b: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, C), lambda b: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, K, C), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
+            ),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel",),
+            ),
+            interpret=_use_interpret(),
+        )(
+            qkv,
+            sel,
+            x,
+            wproj,
+            proj_params["bias"].reshape(1, C),
+            ls.reshape(1, C),
+        )
+
+    # Long-sequence path: query-chunked kernel, gathered QKV in scratch.
+    n_chunks = pl.cdiv(K, _Q_CHUNK)
+    k_pad = n_chunks * _Q_CHUNK
     return pl.pallas_call(
-        functools.partial(kernel, num_heads=num_heads, scale=scale),
+        functools.partial(
+            _gather_attn_kernel_chunked, num_heads=num_heads, scale=scale
+        ),
         out_shape=jax.ShapeDtypeStruct((B, K, C), x.dtype),
-        grid=(B,),
+        grid=(B, n_chunks),
         in_specs=[
-            pl.BlockSpec((1, N, three_c), lambda b: (b, 0, 0),
+            pl.BlockSpec((1, N, three_c), lambda b, kc: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, K, N), lambda b: (b, 0, 0),
+            pl.BlockSpec((1, K, N), lambda b, kc: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, N, C), lambda b: (b, 0, 0),
+            pl.BlockSpec((1, _Q_CHUNK, N), lambda b, kc: (b, kc, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((C, C), lambda b: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, C), lambda b: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, C), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N, C), lambda b, kc: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, C), lambda b, kc: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), lambda b, kc: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), lambda b, kc: (0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, K, C), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
+            (1, _Q_CHUNK, C), lambda b, kc: (b, kc, 0),
+            memory_space=pltpu.VMEM,
         ),
+        scratch_shapes=[pltpu.VMEM((k_pad, three_c), x.dtype)],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel",),
+            dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=_use_interpret(),
     )(
         qkv,
+        sel,
         sel,
         x,
         wproj,

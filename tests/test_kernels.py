@@ -139,3 +139,31 @@ def test_fused_ln_qkv_select_matches_composition(rng):
     np.testing.assert_array_equal(np.asarray(idx_b), np.asarray(idx_a))
     np.testing.assert_array_equal(np.asarray(sel_b), np.asarray(sel_a))
     np.testing.assert_allclose(np.asarray(ns_b), np.asarray(ns_a), atol=1e-6)
+
+
+def test_chunked_gather_matches_fast(rng, monkeypatch):
+    """The query-chunked long-sequence kernel must agree with the fast body
+    (forced by shrinking the VMEM budget), including a K not divisible by
+    the 128-row chunk."""
+    from rajni_tpu.kernels import block as blk
+
+    B, N, C, H = 2, 300, 32, 4
+    keep = 276  # K = 277: three chunks, last one partial
+    qkv = jnp.asarray(rng.standard_normal((B, N, 3 * C)), jnp.float32)
+    x = jnp.asarray(rng.standard_normal((B, N, C)), jnp.float32)
+    scores = jnp.asarray(rng.standard_normal((B, N)), jnp.float32)
+    proj = {"kernel": jnp.asarray(rng.standard_normal((C, C)) * 0.1,
+                                  jnp.float32),
+            "bias": jnp.asarray(rng.standard_normal(C), jnp.float32)}
+    from rajni_tpu.ops.pruning import select_tokens_dense
+
+    _, sel = select_tokens_dense(scores, keep, jnp.float32)
+
+    want = blk.fused_gather_sdpa_proj_residual(
+        qkv, sel, x, proj, None, H, 8**-0.5)
+    monkeypatch.setattr(blk, "_VMEM_BUDGET", 1)  # force the chunked path
+    # bypass the jit cache (same shapes+statics would replay the fast trace)
+    got = blk.fused_gather_sdpa_proj_residual.__wrapped__(
+        qkv, sel, x, proj, None, H, 8**-0.5)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-5)

@@ -71,3 +71,24 @@ def test_train_step_deterministic(rng):
         np.asarray(s1.params["head"]["kernel"]),
         np.asarray(s2.params["head"]["kernel"]),
     )
+
+
+def test_train_cli_synthetic(tmp_path, capsys):
+    """End-to-end: train a tiny model through a schedule, save, reload."""
+    import json as _json
+
+    from rajni_tpu.params.io import load_params
+    from rajni_tpu.train import main
+
+    sched = tmp_path / "s.json"
+    sched.write_text(_json.dumps({"1": {"keep_ratio": 0.6}}))
+    out = tmp_path / "ft.msgpack"
+    state = main([
+        "--synthetic", "--model", "vit_tiny_patch16_224",
+        "--schedule", str(sched), "--steps", "3", "--batch_size", "2",
+        "--output", str(out), "--log_every", "1",
+    ])
+    assert int(state.step) == 3
+    assert "loss" in capsys.readouterr().out
+    reloaded = load_params(str(out))
+    assert len(reloaded["blocks"]) == 12
