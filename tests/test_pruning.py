@@ -106,3 +106,71 @@ class TestDenseSelection:
             want = select_tokens(scores, keep)
             got, _ = select_tokens_dense(scores, keep)
             np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+class TestEdgeCases:
+    def test_keep_ratio_one_keeps_everything(self, rng):
+        """keep_ratio=1.0 → keep = N-1 patches: selection is the identity
+        permutation, forward equals a no-gather forward."""
+        import jax
+        import jax.numpy as jnp
+
+        from rajni_tpu.models.vit import ViTConfig, init_params, vit_forward
+        from rajni_tpu.utils.schedule import normalize_schedule
+
+        cfg = ViTConfig(img_size=16, patch_size=8, embed_dim=32, depth=2,
+                        num_heads=4, num_classes=5)
+        params = init_params(jax.random.key(0), cfg, jnp.float32)
+        x = jnp.asarray(rng.standard_normal((2, 16, 16, 3)), jnp.float32)
+        full = normalize_schedule({1: {"keep_ratio": 1.0}}, cfg.depth)
+        none = normalize_schedule(None, cfg.depth)
+        np.testing.assert_allclose(
+            np.asarray(vit_forward(params, x, cfg, full)),
+            np.asarray(vit_forward(params, x, cfg, none)),
+            rtol=1e-5, atol=1e-5,
+        )
+
+    def test_tiny_keep_ratio_floors_at_one_patch(self):
+        from rajni_tpu.ops.pruning import keep_count
+
+        assert keep_count(0.001, 197) == 1  # max(1, ...) floor
+        assert keep_count(0.001, 5) == 1
+
+    def test_batch_one_pruned_forward(self, rng):
+        import jax
+        import jax.numpy as jnp
+
+        from rajni_tpu.models.vit import ViTConfig, init_params, vit_forward
+        from rajni_tpu.utils.schedule import normalize_schedule
+
+        cfg = ViTConfig(img_size=16, patch_size=8, embed_dim=32, depth=2,
+                        num_heads=4, num_classes=5)
+        params = init_params(jax.random.key(0), cfg, jnp.float32)
+        x = jnp.asarray(rng.standard_normal((1, 16, 16, 3)), jnp.float32)
+        sched = normalize_schedule({0: {"keep_ratio": 0.3},
+                                    1: {"keep_ratio": 0.3}}, cfg.depth)
+        for impl in ("xla", "pallas"):
+            out = vit_forward(params, x, cfg, sched, impl)
+            assert out.shape == (1, 5)
+            assert np.isfinite(np.asarray(out)).all()
+
+    def test_every_block_pruned(self, rng):
+        """A schedule that prunes all blocks (extreme compaction chain)."""
+        import jax
+        import jax.numpy as jnp
+
+        from rajni_tpu.models.vit import (
+            ViTConfig, init_params, model_stats, vit_forward)
+        from rajni_tpu.utils.schedule import normalize_schedule
+
+        cfg = ViTConfig(img_size=32, patch_size=8, embed_dim=32, depth=3,
+                        num_heads=4, num_classes=5)
+        sched = normalize_schedule(
+            {i: {"keep_ratio": 0.5} for i in range(3)}, cfg.depth)
+        # 17 tokens -> 8+1 -> 4+1 -> 2+1
+        assert model_stats(cfg, sched)["token_counts"] == [17, 9, 5]
+        params = init_params(jax.random.key(0), cfg, jnp.float32)
+        x = jnp.asarray(rng.standard_normal((2, 32, 32, 3)), jnp.float32)
+        for impl in ("xla", "pallas"):
+            a = vit_forward(params, x, cfg, sched, impl)
+            assert np.isfinite(np.asarray(a)).all()
