@@ -44,9 +44,8 @@ class RAJNIViT:
         if params is None:
             params = init_params(jax.random.key(seed), self.config, dtype)
         self.params = params
-        from ..run import resolve_kernels
-
-        self.impl = resolve_kernels(kernels)
+        # "auto" resolves per-batch at trace time (vit.resolve_impl).
+        self.impl = kernels
         self._fwd = jax.jit(
             functools.partial(
                 vit_forward,

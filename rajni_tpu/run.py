@@ -88,17 +88,22 @@ def get_args(argv=None):
     return parser.parse_args(argv)
 
 
-def resolve_kernels(kernels: str = "auto") -> str:
-    """``auto`` → fused Pallas kernels on TPU, lax reference elsewhere."""
-    if kernels == "auto":
-        return "pallas" if jax.default_backend() == "tpu" else "xla"
-    return kernels
+def resolve_kernels(kernels: str = "auto", batch: int = 256) -> str:
+    """``auto`` → fused Pallas kernels on TPU (at the measured batch
+    crossover), lax reference elsewhere. Delegates to
+    :func:`rajni_tpu.models.vit.resolve_impl`."""
+    from .models.vit import resolve_impl
+
+    return resolve_impl(kernels, batch)
 
 
 def make_model_fn(params, config, schedule, data_parallel=False,
                   kernels="auto"):
-    """Jitted logits fn closed over params; optionally batch-sharded."""
-    impl = resolve_kernels(kernels)
+    """Jitted logits fn closed over params; optionally batch-sharded.
+
+    ``kernels="auto"`` is passed through and resolved per-batch at trace
+    time (:func:`rajni_tpu.models.vit.resolve_impl`)."""
+    impl = kernels
     if data_parallel:
         from .parallel.mesh import data_parallel_forward
 
