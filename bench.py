@@ -10,7 +10,9 @@ region is the forward only, device-fenced per batch (the JAX equivalent of
 batch 256 (reference run.py:23 default); bf16 inference dtype.
 
 Env overrides: RAJNI_BENCH_BATCH, RAJNI_BENCH_ITERS, RAJNI_BENCH_MODEL,
-RAJNI_BENCH_DTYPE, RAJNI_BENCH_KERNELS (xla|pallas).
+RAJNI_BENCH_DTYPE, RAJNI_BENCH_KERNELS (xla|pallas), RAJNI_BENCH_QUANT=1
+(int8 MLP weights + dynamic activation quantization — opt-in, changes
+numerics; see rajni_tpu/quant.py).
 """
 
 from __future__ import annotations
@@ -70,11 +72,17 @@ def main() -> None:
         os.environ.get("RAJNI_BENCH_DTYPE", "bfloat16")
     ]
     impl = os.environ.get("RAJNI_BENCH_KERNELS", "pallas")
+    quant = os.environ.get("RAJNI_BENCH_QUANT", "0") == "1"
 
     log(f"devices: {jax.devices()}")
     config = get_config(model)
     schedule = normalize_schedule(SCHEDULE_JSON, config.depth)
     params = init_params(jax.random.key(0), config, dtype)
+    if quant:
+        from rajni_tpu.quant import quantize_params
+
+        params = quantize_params(params)
+        log("int8-quantized MLP weights (RAJNI_BENCH_QUANT=1)")
     images = jax.device_put(
         jax.random.normal(
             jax.random.key(1), (batch, config.img_size, config.img_size, 3), dtype

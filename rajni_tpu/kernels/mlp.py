@@ -207,3 +207,119 @@ def fused_ln_mlp_residual(
         ls.reshape(1, C),
     )
     return out.reshape(B, N, C)
+
+
+# --------------------------------------------------------------------------
+# Int8 dynamic-quantization variant (see rajni_tpu.quant)
+# --------------------------------------------------------------------------
+
+
+def _quantize_rows(y32):
+    """Symmetric per-row int8: returns ``(int8 [R, C], scale f32 [R, 1])``."""
+    absmax = jnp.max(jnp.abs(y32), axis=-1, keepdims=True)
+    scale = jnp.maximum(absmax, 1e-8) / 127.0
+    q = jnp.clip(jnp.round(y32 / scale), -127, 127).astype(jnp.int8)
+    return q, scale
+
+
+def _ln_mlp_int8_kernel(
+    x_ref, ln_scale_ref, ln_bias_ref, w1_ref, s1_ref, b1_ref,
+    w2_ref, s2_ref, b2_ref, ls_ref, out_ref, *, eps: float,
+):
+    x32 = x_ref[:].astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    y = y * ln_scale_ref[:].astype(jnp.float32) + ln_bias_ref[:].astype(
+        jnp.float32
+    )
+
+    # fc1 on the int8 MXU: int8[R,C] @ int8[C,Hd] -> int32, dequantized by
+    # (per-row activation scale) x (per-column weight scale).
+    y_q, a_scale = _quantize_rows(y)
+    h = jax.lax.dot_general(
+        y_q, w1_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    ).astype(jnp.float32)
+    h = h * a_scale * s1_ref[:] + b1_ref[:].astype(jnp.float32)
+    h = gelu_exact(h)
+
+    h_q, h_scale = _quantize_rows(h)
+    out = jax.lax.dot_general(
+        h_q, w2_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    ).astype(jnp.float32)
+    out = out * h_scale * s2_ref[:] + b2_ref[:].astype(jnp.float32)
+    out = out * ls_ref[:].astype(jnp.float32)
+    out_ref[:] = (x32 + out).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("eps",))
+def fused_ln_mlp_residual_int8(
+    x: jax.Array,
+    ln_params,
+    mlp_params,
+    ls: jax.Array | None = None,
+    eps: float = 1e-6,
+) -> jax.Array:
+    """Int8 variant of :func:`fused_ln_mlp_residual`.
+
+    ``mlp_params`` carry :func:`rajni_tpu.quant.quantize_weight` records
+    (``kernel = {"int8": [C,Hd], "scale": [1,Hd]}``); activations are
+    dynamically quantized per token row inside the kernel. Int8 weights
+    halve the resident weight footprint, so even ViT-H fits unchunked.
+    """
+    B, N, C = x.shape
+    w1 = mlp_params["fc1"]["kernel"]
+    w2 = mlp_params["fc2"]["kernel"]
+    hidden = w1["int8"].shape[1]
+    if ls is None:
+        ls = jnp.ones((C,), x.dtype)
+
+    rows = B * N
+    flat = x.reshape(rows, C)
+    grid = (pl.cdiv(rows, _ROWS),)
+
+    vec = lambda n: pl.BlockSpec(  # noqa: E731
+        (1, n), lambda r: (0, 0), memory_space=pltpu.VMEM
+    )
+    mat = lambda s: pl.BlockSpec(  # noqa: E731
+        s, lambda r: (0, 0), memory_space=pltpu.VMEM
+    )
+    out = pl.pallas_call(
+        functools.partial(_ln_mlp_int8_kernel, eps=eps),
+        out_shape=jax.ShapeDtypeStruct((rows, C), x.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((_ROWS, C), lambda r: (r, 0),
+                         memory_space=pltpu.VMEM),
+            vec(C), vec(C),                      # ln scale/bias
+            mat((C, hidden)), vec(hidden), vec(hidden),   # w1q, s1, b1
+            mat((hidden, C)), vec(C), vec(C),             # w2q, s2, b2
+            vec(C),                              # layer-scale
+        ],
+        out_specs=pl.BlockSpec(
+            (_ROWS, C), lambda r: (r, 0), memory_space=pltpu.VMEM
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * rows * C * hidden,
+            bytes_accessed=2 * rows * C * x.dtype.itemsize + 2 * C * hidden,
+            transcendentals=rows * hidden,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
+        interpret=_use_interpret(),
+    )(
+        flat,
+        ln_params["scale"].reshape(1, C),
+        ln_params["bias"].reshape(1, C),
+        w1["int8"],
+        w1["scale"].reshape(1, hidden),
+        mlp_params["fc1"]["bias"].reshape(1, hidden),
+        w2["int8"],
+        w2["scale"].reshape(1, C),
+        mlp_params["fc2"]["bias"].reshape(1, C),
+        ls.reshape(1, C),
+    )
+    return out.reshape(B, N, C)

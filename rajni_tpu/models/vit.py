@@ -248,7 +248,20 @@ def _mlp_branch(
     (:func:`rajni_tpu.kernels.mlp.fused_ln_mlp_residual`) so the ``[B, N, 4C]``
     hidden activation never reaches HBM.
     """
+    from ..quant import is_quantized
+
+    quantized = is_quantized(block["mlp"]["fc1"]["kernel"])
     if impl == "pallas":
+        if quantized:
+            from ..kernels.mlp import fused_ln_mlp_residual_int8
+
+            return fused_ln_mlp_residual_int8(
+                x,
+                block["norm2"],
+                block["mlp"],
+                block.get("ls2"),
+                config.layer_norm_eps,
+            )
         from ..kernels.mlp import fused_ln_mlp_residual
 
         return fused_ln_mlp_residual(
@@ -258,7 +271,19 @@ def _mlp_branch(
             block.get("ls2"),
             config.layer_norm_eps,
         )
-    out = mlp(layer_norm(x, block["norm2"], config.layer_norm_eps), block["mlp"])
+    mlp_params = block["mlp"]
+    if quantized:
+        # lax fallback: dequantize the int8 records (tests/CPU path).
+        from ..quant import dequantize_weight
+
+        mlp_params = {
+            name: {
+                "kernel": dequantize_weight(mlp_params[name]["kernel"], x.dtype),
+                "bias": mlp_params[name]["bias"],
+            }
+            for name in ("fc1", "fc2")
+        }
+    out = mlp(layer_norm(x, block["norm2"], config.layer_norm_eps), mlp_params)
     return x + _layer_scale(out, block, "ls2")
 
 

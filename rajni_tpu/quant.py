@@ -1,0 +1,79 @@
+"""Int8 weight quantization for TPU inference (opt-in extension).
+
+The v5e MXU runs int8×int8 at twice its bf16 rate, so the matmul-bound
+majority of the forward (the MLP is ~2/3 of a block's FLOPs) can trade a
+controlled amount of precision for throughput. This module implements the
+standard dynamic-quantization recipe:
+
+  * **Weights**: symmetric per-output-channel int8
+    (``scale[j] = absmax(W[:, j]) / 127``), quantized once offline.
+  * **Activations**: symmetric per-row (per-token) int8, computed on the fly
+    inside the kernel from the tile it already holds — no calibration data
+    needed, no HBM cost.
+  * Accumulation in int32 on the MXU, dequantized as
+    ``acc · a_scale[i] · w_scale[j]`` before bias/activation.
+
+Quantization is a *params-level transform*: :func:`quantize_params` rewrites
+the MLP weight leaves into ``{"int8": ..., "scale": ...}`` records, and the
+forward (``impl="pallas"``) automatically routes such blocks through the
+int8 kernel (:func:`rajni_tpu.kernels.mlp.fused_ln_mlp_residual_int8`).
+This is an accuracy-affecting extension — the reference semantics are the
+bf16/fp32 path; expect ImageNet top-1 within a few tenths of a point, and
+validate on your task before deploying.
+
+The reference has no quantization (pure fp32 torch); this is TPU-native
+surface beyond parity.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from .models.vit import Params
+
+
+def quantize_weight(w: jax.Array) -> dict:
+    """Symmetric per-output-channel int8 quantization of ``[in, out]``.
+
+    Returns ``{"int8": int8 [in, out], "scale": f32 [1, out]}`` with
+    ``w ≈ int8 * scale``.
+    """
+    w32 = w.astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(w32), axis=0, keepdims=True)  # [1, out]
+    scale = jnp.maximum(absmax, 1e-8) / 127.0
+    q = jnp.clip(jnp.round(w32 / scale), -127, 127).astype(jnp.int8)
+    return {"int8": q, "scale": scale.astype(jnp.float32)}
+
+
+def dequantize_weight(q: dict, dtype=jnp.float32) -> jax.Array:
+    """Inverse of :func:`quantize_weight` (for reference paths and tests)."""
+    return (q["int8"].astype(jnp.float32) * q["scale"]).astype(dtype)
+
+
+def is_quantized(leaf: Any) -> bool:
+    return isinstance(leaf, dict) and "int8" in leaf
+
+
+def quantize_params(params: Params) -> Params:
+    """Quantize the MLP weights of every block (fc1 + fc2) to int8.
+
+    Embeddings, norms, attention, and the classifier head stay in the
+    original dtype: the MLP carries ~2/3 of the matmul FLOPs and tolerates
+    int8 well; attention logits are more sensitive.
+    """
+    out = dict(params)
+    blocks = []
+    for block in params["blocks"]:
+        b = dict(block)
+        mlp = {}
+        for name in ("fc1", "fc2"):
+            layer = dict(block["mlp"][name])
+            layer["kernel"] = quantize_weight(layer["kernel"])
+            mlp[name] = layer
+        b["mlp"] = mlp
+        blocks.append(b)
+    out["blocks"] = blocks
+    return out

@@ -1,0 +1,118 @@
+"""Int8 dynamic-quantization tests (opt-in extension, rajni_tpu.quant)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from rajni_tpu.models.vit import ViTConfig, init_params, vit_forward
+from rajni_tpu.quant import (
+    dequantize_weight,
+    is_quantized,
+    quantize_params,
+    quantize_weight,
+)
+from rajni_tpu.utils.schedule import normalize_schedule
+
+CFG = ViTConfig(
+    img_size=32, patch_size=8, embed_dim=64, depth=2, num_heads=4,
+    num_classes=7,
+)
+
+
+def test_weight_roundtrip_error_bounded(rng):
+    w = jnp.asarray(rng.standard_normal((64, 256)) * 0.1, jnp.float32)
+    q = quantize_weight(w)
+    assert q["int8"].dtype == jnp.int8
+    assert is_quantized(q)
+    back = dequantize_weight(q)
+    # symmetric 8-bit: error <= scale/2 per element
+    err = np.abs(np.asarray(back - w))
+    bound = np.asarray(q["scale"])[0] / 2 + 1e-8
+    assert (err <= bound[None, :]).all()
+
+
+def test_int8_kernel_matches_dequantized_reference(rng):
+    """The int8 kernel must equal the fp32 math on the *dequantized* weights
+    with the same per-row activation quantization — i.e. the only error
+    source is quantization itself, not the kernel."""
+    from rajni_tpu.kernels.mlp import fused_ln_mlp_residual_int8
+
+    B, N, C, Hd = 2, 40, 64, 256
+    x = jnp.asarray(rng.standard_normal((B, N, C)), jnp.float32)
+    ln = {"scale": jnp.ones((C,), jnp.float32),
+          "bias": jnp.zeros((C,), jnp.float32)}
+    mlp_q = {
+        "fc1": {"kernel": quantize_weight(
+                    jnp.asarray(rng.standard_normal((C, Hd)) * 0.1,
+                                jnp.float32)),
+                "bias": jnp.asarray(rng.standard_normal(Hd) * 0.1,
+                                    jnp.float32)},
+        "fc2": {"kernel": quantize_weight(
+                    jnp.asarray(rng.standard_normal((Hd, C)) * 0.1,
+                                jnp.float32)),
+                "bias": jnp.asarray(rng.standard_normal(C) * 0.1,
+                                    jnp.float32)},
+    }
+    got = fused_ln_mlp_residual_int8(x, ln, mlp_q)
+
+    # NumPy re-derivation with identical quantization steps
+    def rows_q(y):
+        s = np.maximum(np.abs(y).max(axis=-1, keepdims=True), 1e-8) / 127.0
+        return np.clip(np.round(y / s), -127, 127), s
+
+    xn = np.asarray(x, np.float64).reshape(-1, C)
+    mu = xn.mean(-1, keepdims=True)
+    va = ((xn - mu) ** 2).mean(-1, keepdims=True)
+    y = (xn - mu) / np.sqrt(va + 1e-6)
+    yq, ys = rows_q(y)
+    w1 = np.asarray(mlp_q["fc1"]["kernel"]["int8"], np.float64)
+    s1 = np.asarray(mlp_q["fc1"]["kernel"]["scale"], np.float64)
+    h = (yq @ w1) * ys * s1 + np.asarray(mlp_q["fc1"]["bias"])
+    from scipy.special import erf as _erf  # fallback below if absent
+
+    h = 0.5 * h * (1 + _erf(h / np.sqrt(2)))
+    hq, hs = rows_q(h)
+    w2 = np.asarray(mlp_q["fc2"]["kernel"]["int8"], np.float64)
+    s2 = np.asarray(mlp_q["fc2"]["kernel"]["scale"], np.float64)
+    out = (hq @ w2) * hs * s2 + np.asarray(mlp_q["fc2"]["bias"])
+    want = (xn + out).reshape(B, N, C)
+
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-3, atol=1e-3)
+
+
+def test_quantized_forward_close_to_fp32(rng):
+    """End-to-end: the int8 model tracks the fp32 model closely on both
+    backends, pruned schedule included."""
+    params = init_params(jax.random.key(0), CFG, jnp.float32)
+    qparams = quantize_params(params)
+    sched = normalize_schedule({1: {"keep_ratio": 0.6}}, CFG.depth)
+    x = jnp.asarray(rng.standard_normal((2, 32, 32, 3)), jnp.float32)
+
+    ref = np.asarray(vit_forward(params, x, CFG, sched, "xla"))
+    for impl in ("xla", "pallas"):
+        got = np.asarray(vit_forward(qparams, x, CFG, sched, impl))
+        assert np.isfinite(got).all()
+        # int8 error budget: logits track within a small fraction of range
+        denom = np.abs(ref).max()
+        assert np.abs(got - ref).max() / denom < 0.15, impl
+        # both backends agree with each other tightly (same quantized math)
+    a = np.asarray(vit_forward(qparams, x, CFG, sched, "xla"))
+    b = np.asarray(vit_forward(qparams, x, CFG, sched, "pallas"))
+    # xla path dequantizes weights (no activation quant) so a != b exactly;
+    # they share the weight error and must stay close
+    assert np.abs(a - b).max() / np.abs(a).max() < 0.1
+
+
+def test_quantize_params_structure(rng):
+    params = init_params(jax.random.key(0), CFG, jnp.bfloat16)
+    q = quantize_params(params)
+    fc1 = q["blocks"][0]["mlp"]["fc1"]["kernel"]
+    assert is_quantized(fc1)
+    # attention untouched
+    assert not is_quantized(q["blocks"][0]["attn"]["qkv"]["kernel"])
+    # original params untouched (no aliasing surprises)
+    assert not is_quantized(params["blocks"][0]["mlp"]["fc1"]["kernel"])
