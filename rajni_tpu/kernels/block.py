@@ -657,3 +657,185 @@ def fused_gather_sdpa_proj_residual(
         proj_params["bias"].reshape(1, C),
         ls.reshape(1, C),
     )
+
+
+# --------------------------------------------------------------------------
+# Int8 variants (weights quantized per output channel; activations
+# dynamically quantized per token row — see rajni_tpu.quant)
+# --------------------------------------------------------------------------
+
+
+def _quantize_rows(y32):
+    """Symmetric per-row int8: ``(int8 [R, C], scale f32 [R, 1])``."""
+    absmax = jnp.max(jnp.abs(y32), axis=-1, keepdims=True)
+    scale = jnp.maximum(absmax, 1e-8) / 127.0
+    q = jnp.clip(jnp.round(y32 / scale), -127, 127).astype(jnp.int8)
+    return q, scale
+
+
+def _int8_matmul(y32, wq_ref, ws_ref):
+    """``f32 [R, C] @ int8-weight -> f32 [R, out]`` via the int8 MXU."""
+    y_q, a_scale = _quantize_rows(y32)
+    acc = jax.lax.dot_general(
+        y_q, wq_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    ).astype(jnp.float32)
+    return acc * a_scale * ws_ref[:]
+
+
+def _attn_block_int8_kernel(
+    x_ref, lns_ref, lnb_ref, wqkv_ref, sqkv_ref, bqkv_ref,
+    wproj_ref, sproj_ref, bproj_ref, ls_ref, out_ref,
+    *, num_heads: int, scale: float, eps: float,
+):
+    x32 = x_ref[0].astype(jnp.float32)
+    y = _layer_norm_f32(x32, lns_ref, lnb_ref, eps)
+    qkv = _int8_matmul(y, wqkv_ref, sqkv_ref) + bqkv_ref[:].astype(
+        jnp.float32
+    )
+    attn = _mha(qkv.astype(x_ref.dtype), num_heads, scale, x_ref.dtype)
+    out = _int8_matmul(attn.astype(jnp.float32), wproj_ref, sproj_ref)
+    out = out + bproj_ref[:].astype(jnp.float32)
+    out = out * ls_ref[:].astype(jnp.float32)
+    out_ref[0] = (x32 + out).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads", "scale", "eps"))
+def fused_attn_block_int8(
+    x: jax.Array,
+    ln_params,
+    attn_params,
+    ls: jax.Array | None,
+    num_heads: int,
+    scale: float,
+    eps: float = 1e-6,
+) -> jax.Array:
+    """Int8-projection variant of :func:`fused_attn_block` (SDPA stays
+    bf16/fp32; only the QKV and output projections run on the int8 MXU)."""
+    B, N, C = x.shape
+    wqkv = attn_params["qkv"]["kernel"]  # quantize_weight record
+    wproj = attn_params["proj"]["kernel"]
+    if ls is None:
+        ls = jnp.ones((C,), x.dtype)
+
+    vec = lambda n: pl.BlockSpec(  # noqa: E731
+        (1, n), lambda b: (0, 0), memory_space=pltpu.VMEM
+    )
+    mat = lambda s: pl.BlockSpec(  # noqa: E731
+        s, lambda b: (0, 0), memory_space=pltpu.VMEM
+    )
+    return pl.pallas_call(
+        functools.partial(
+            _attn_block_int8_kernel, num_heads=num_heads, scale=scale,
+            eps=eps,
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, N, C), x.dtype),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, N, C), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            vec(C), vec(C),                       # ln
+            mat((C, 3 * C)), vec(3 * C), vec(3 * C),  # wqkv int8, scale, bias
+            mat((C, C)), vec(C), vec(C),          # wproj int8, scale, bias
+            vec(C),                               # layer-scale
+        ],
+        out_specs=pl.BlockSpec(
+            (1, N, C), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
+        interpret=_use_interpret(),
+    )(
+        x,
+        ln_params["scale"].reshape(1, C),
+        ln_params["bias"].reshape(1, C),
+        wqkv["int8"],
+        wqkv["scale"].reshape(1, 3 * C),
+        attn_params["qkv"]["bias"].reshape(1, 3 * C),
+        wproj["int8"],
+        wproj["scale"].reshape(1, C),
+        attn_params["proj"]["bias"].reshape(1, C),
+        ls.reshape(1, C),
+    )
+
+
+def _ln_qkv_int8_kernel(
+    x_ref, lns_ref, lnb_ref, wqkv_ref, sqkv_ref, bqkv_ref,
+    qkv_ref, scores_ref,
+    *, num_heads: int, eps: float, with_scores: bool,
+):
+    x32 = x_ref[0].astype(jnp.float32)
+    y = _layer_norm_f32(x32, lns_ref, lnb_ref, eps)
+    qkv = _int8_matmul(y, wqkv_ref, sqkv_ref) + bqkv_ref[:].astype(
+        jnp.float32
+    )
+    qkv = qkv.astype(qkv_ref.dtype)
+    qkv_ref[0] = qkv
+    if with_scores:
+        s = _importance_f32(qkv.astype(jnp.float32), num_heads)
+        scores_ref[0] = jnp.broadcast_to(
+            s[None, :], scores_ref.shape[1:]
+        ).astype(scores_ref.dtype)
+    else:
+        scores_ref[0] = jnp.zeros_like(scores_ref[0])
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_heads", "eps", "with_scores")
+)
+def fused_ln_qkv_int8(
+    x: jax.Array,
+    ln_params,
+    qkv_params,
+    num_heads: int,
+    eps: float = 1e-6,
+    with_scores: bool = True,
+) -> tuple[jax.Array, jax.Array]:
+    """Int8-projection variant of :func:`fused_ln_qkv` (importance scoring
+    operates on the dequantized QKV, preserving the reference semantics up
+    to weight-quantization error)."""
+    B, N, C = x.shape
+    wqkv = qkv_params["kernel"]
+
+    qkv, scores8 = pl.pallas_call(
+        functools.partial(
+            _ln_qkv_int8_kernel, num_heads=num_heads, eps=eps,
+            with_scores=with_scores,
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, N, 3 * C), x.dtype),
+            jax.ShapeDtypeStruct((B, 8, N), jnp.float32),
+        ),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, N, C), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, 3 * C), lambda b: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3 * C), lambda b: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3 * C), lambda b: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, N, 3 * C), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, N), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
+        interpret=_use_interpret(),
+    )(
+        x,
+        ln_params["scale"].reshape(1, C),
+        ln_params["bias"].reshape(1, C),
+        wqkv["int8"],
+        wqkv["scale"].reshape(1, 3 * C),
+        qkv_params["bias"].reshape(1, 3 * C),
+    )
+    return qkv, scores8[:, 0, :]

@@ -287,6 +287,22 @@ def _mlp_branch(
     return x + _layer_scale(out, block, "ls2")
 
 
+def _dequant_attn(attn_params: Params, dtype) -> Params:
+    """Materialize plain kernels from int8 quantization records (the lax
+    fallback and the gather kernel's projection consume plain weights)."""
+    from ..quant import dequantize_weight, is_quantized
+
+    if not is_quantized(attn_params["qkv"]["kernel"]):
+        return attn_params
+    return {
+        name: {
+            "kernel": dequantize_weight(attn_params[name]["kernel"], dtype),
+            "bias": attn_params[name]["bias"],
+        }
+        for name in ("qkv", "proj")
+    }
+
+
 def stock_block(
     x: jax.Array, block: Params, config: ViTConfig, impl: str = "xla"
 ) -> jax.Array:
@@ -294,7 +310,7 @@ def stock_block(
     model.py:61)."""
     out = attention(
         layer_norm(x, block["norm1"], config.layer_norm_eps),
-        block["attn"],
+        _dequant_attn(block["attn"], x.dtype),
         config.num_heads,
         config.attn_scale,
         impl,
@@ -369,18 +385,30 @@ def vit_forward(
                 from ..kernels.block import (
                     fused_gather_sdpa_proj_residual,
                     fused_ln_qkv,
+                    fused_ln_qkv_int8,
                 )
                 from ..ops.pruning import select_tokens_dense
+                from ..quant import is_quantized
 
                 with_scores = spec.update or scores is None
-                qkv, new_scores = fused_ln_qkv(
-                    x,
-                    block["norm1"],
-                    block["attn"]["qkv"],
-                    config.num_heads,
-                    config.layer_norm_eps,
-                    with_scores,
-                )
+                if is_quantized(block["attn"]["qkv"]["kernel"]):
+                    qkv, new_scores = fused_ln_qkv_int8(
+                        x,
+                        block["norm1"],
+                        block["attn"]["qkv"],
+                        config.num_heads,
+                        config.layer_norm_eps,
+                        with_scores,
+                    )
+                else:
+                    qkv, new_scores = fused_ln_qkv(
+                        x,
+                        block["norm1"],
+                        block["attn"]["qkv"],
+                        config.num_heads,
+                        config.layer_norm_eps,
+                        with_scores,
+                    )
                 if with_scores:
                     scores = new_scores
                 # Selection stays in XLA: the batched rank computation
@@ -393,7 +421,7 @@ def vit_forward(
                     qkv,
                     sel,
                     x,
-                    block["attn"]["proj"],
+                    _dequant_attn(block["attn"], x.dtype)["proj"],
                     block.get("ls1"),
                     config.num_heads,
                     config.attn_scale,
@@ -402,7 +430,7 @@ def vit_forward(
                 x_norm = layer_norm(x, block["norm1"], config.layer_norm_eps)
                 out, keep_idx, scores = pruned_attention(
                     x_norm,
-                    block["attn"],
+                    _dequant_attn(block["attn"], x.dtype),
                     config.num_heads,
                     config.attn_scale,
                     keep,
@@ -417,9 +445,15 @@ def vit_forward(
                 x = x + _layer_scale(out, block, "ls1")
             x = _mlp_branch(x, block, config, impl)
         elif impl == "pallas":
-            from ..kernels.block import fused_attn_block
+            from ..kernels.block import fused_attn_block, fused_attn_block_int8
+            from ..quant import is_quantized
 
-            x = fused_attn_block(
+            attn_kernel = (
+                fused_attn_block_int8
+                if is_quantized(block["attn"]["qkv"]["kernel"])
+                else fused_attn_block
+            )
+            x = attn_kernel(
                 x,
                 block["norm1"],
                 block["attn"],

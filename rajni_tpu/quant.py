@@ -57,12 +57,14 @@ def is_quantized(leaf: Any) -> bool:
     return isinstance(leaf, dict) and "int8" in leaf
 
 
-def quantize_params(params: Params) -> Params:
-    """Quantize the MLP weights of every block (fc1 + fc2) to int8.
+def quantize_params(params: Params, attn: bool = True) -> Params:
+    """Quantize every block's MLP (fc1 + fc2) — and, with ``attn=True``,
+    the QKV/output-projection — weights to int8.
 
-    Embeddings, norms, attention, and the classifier head stay in the
-    original dtype: the MLP carries ~2/3 of the matmul FLOPs and tolerates
-    int8 well; attention logits are more sensitive.
+    Embeddings, norms, and the classifier head stay in the original dtype.
+    Attention *logits* always stay bf16/fp32 (only the projections are
+    quantized); importance scoring operates on the dequantized QKV, so the
+    scoring semantics are unchanged up to weight-quantization error.
     """
     out = dict(params)
     blocks = []
@@ -74,6 +76,13 @@ def quantize_params(params: Params) -> Params:
             layer["kernel"] = quantize_weight(layer["kernel"])
             mlp[name] = layer
         b["mlp"] = mlp
+        if attn:
+            a = {}
+            for name in ("qkv", "proj"):
+                layer = dict(block["attn"][name])
+                layer["kernel"] = quantize_weight(layer["kernel"])
+                a[name] = layer
+            b["attn"] = a
         blocks.append(b)
     out["blocks"] = blocks
     return out

@@ -88,7 +88,7 @@ def test_quantized_forward_close_to_fp32(rng):
     """End-to-end: the int8 model tracks the fp32 model closely on both
     backends, pruned schedule included."""
     params = init_params(jax.random.key(0), CFG, jnp.float32)
-    qparams = quantize_params(params)
+    qparams = quantize_params(params, attn=False)  # MLP-only in this test
     sched = normalize_schedule({1: {"keep_ratio": 0.6}}, CFG.depth)
     x = jnp.asarray(rng.standard_normal((2, 32, 32, 3)), jnp.float32)
 
@@ -109,10 +109,31 @@ def test_quantized_forward_close_to_fp32(rng):
 
 def test_quantize_params_structure(rng):
     params = init_params(jax.random.key(0), CFG, jnp.bfloat16)
-    q = quantize_params(params)
+    q = quantize_params(params, attn=False)
     fc1 = q["blocks"][0]["mlp"]["fc1"]["kernel"]
     assert is_quantized(fc1)
-    # attention untouched
+    # attention untouched with attn=False
     assert not is_quantized(q["blocks"][0]["attn"]["qkv"]["kernel"])
+    # default quantizes attention projections too
+    assert is_quantized(
+        quantize_params(params)["blocks"][0]["attn"]["qkv"]["kernel"])
     # original params untouched (no aliasing surprises)
     assert not is_quantized(params["blocks"][0]["mlp"]["fc1"]["kernel"])
+
+
+def test_attn_quantized_forward(rng):
+    """attn=True quantization: QKV/proj run int8; logits stay close to fp32
+    and both backends agree on the quantized model."""
+    params = init_params(jax.random.key(0), CFG, jnp.float32)
+    qparams = quantize_params(params, attn=True)
+    assert is_quantized(qparams["blocks"][0]["attn"]["qkv"]["kernel"])
+    sched = normalize_schedule({1: {"keep_ratio": 0.6}}, CFG.depth)
+    x = jnp.asarray(rng.standard_normal((2, 32, 32, 3)), jnp.float32)
+
+    ref = np.asarray(vit_forward(params, x, CFG, sched, "xla"))
+    got_xla = np.asarray(vit_forward(qparams, x, CFG, sched, "xla"))
+    got_pls = np.asarray(vit_forward(qparams, x, CFG, sched, "pallas"))
+    denom = np.abs(ref).max()
+    assert np.isfinite(got_pls).all()
+    assert np.abs(got_xla - ref).max() / denom < 0.15
+    assert np.abs(got_pls - ref).max() / denom < 0.2
