@@ -78,6 +78,10 @@ def get_args(argv=None):
                         choices=["auto", "xla", "pallas"],
                         help="Attention/MLP backend: fused Pallas kernels "
                              "(default on TPU) or the lax reference path")
+    parser.add_argument("--quantize", action="store_true",
+                        help="Int8-quantize MLP + attention-projection "
+                             "weights (dynamic per-token activation scales; "
+                             "changes numerics — see rajni_tpu.quant)")
     parser.add_argument("--profile", type=str, default=None, metavar="DIR",
                         help="Capture a jax.profiler trace of the RAJNI "
                              "evaluation into DIR (view with TensorBoard) — "
@@ -162,6 +166,12 @@ def main(argv=None):
         params = init_params(jax.random.key(args.seed), config, dtype)
         print("WARNING: no --checkpoint given; using randomly initialized "
               "params (throughput valid, accuracy meaningless)")
+
+    if args.quantize:
+        from .quant import quantize_params
+
+        params = quantize_params(params)
+        print("Quantized MLP + attention-projection weights to int8")
 
     # ---- Base model (optional comparison, reference run.py:97-110) ----
     base_acc = base_tput = None
