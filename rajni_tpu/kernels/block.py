@@ -1,8 +1,8 @@
 """Pallas TPU fused transformer-block kernels.
 
-Three kernels covering the attention half of a ViT block so that no
-intermediate (normed activations, packed QKV, attention matrix, pre-proj
-attention output) makes an HBM round trip:
+Kernels covering the attention half of a ViT block so that no intermediate
+(normed activations, packed QKV, attention matrix, pre-proj attention
+output) makes an HBM round trip:
 
   * :func:`fused_attn_block` — stock blocks (reference model.py:61
     ``blk(x)``): LN1 → QKV projection → per-head SDPA → output projection →
@@ -20,6 +20,12 @@ attention output) makes an HBM round trip:
     the kernel, then SDPA on the reduced token set, output projection,
     layer-scale, and the compacted residual add — so the gathered QKV is
     never materialized to HBM.
+
+Additional variants: :func:`fused_ln_qkv_select` (token selection fused
+in-kernel — kept as a tested alternative, see its measured note);
+:func:`fused_attn_block_int8` / :func:`fused_ln_qkv_int8` (projections on
+the int8 MXU, see :mod:`rajni_tpu.quant`). The gather kernel dispatches
+between a fast whole-gather body and a query-chunked body by VMEM budget.
 
 All matmuls accumulate fp32 on the MXU; softmax and LayerNorm statistics are
 fp32 on the VPU; storage dtype follows the activation dtype.

@@ -468,8 +468,12 @@ def vit_forward(
             x = stock_block(x, block, config, impl)
             scores = None  # invalidate: token layout unchanged (model.py:63)
 
-    x = layer_norm(x, params["norm"], config.layer_norm_eps)
-    cls_out = x[:, 0]
+    # Final norm + head on the CLS token only (reference model.py:65-66).
+    # LayerNorm is per-token, so norm(x)[:, 0] ≡ norm(x[:, 0:1])[:, 0] —
+    # normalizing just the CLS row skips a full-sequence pass bit-exactly.
+    cls_out = layer_norm(
+        x[:, 0:1], params["norm"], config.layer_norm_eps
+    )[:, 0]
     return cls_out @ params["head"]["kernel"] + params["head"]["bias"]
 
 

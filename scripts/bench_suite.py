@@ -46,10 +46,15 @@ VIT_B_384_MIXED = {
 }
 
 
-def measure(model, schedule, batch, iters, impl, device=None, warmup=3):
+def measure(model, schedule, batch, iters, impl, device=None, warmup=3,
+            quantize=False):
     cfg = get_config(model)
     sched = normalize_schedule(schedule, cfg.depth) if schedule else None
     params = init_params(jax.random.key(0), cfg, jnp.bfloat16)
+    if quantize:
+        from rajni_tpu.quant import quantize_params
+
+        params = quantize_params(params)
     imgs = jax.random.normal(
         jax.random.key(1), (batch, cfg.img_size, cfg.img_size, 3),
         jnp.bfloat16,
@@ -104,6 +109,24 @@ def main():
             "speedup": round(pruned / base, 4),
             "token_counts": tokens,
             "impl": impl,
+        })
+
+    # Opt-in int8 record on the headline model (numerics differ from the
+    # reference bf16 semantics — reported separately, never as the headline).
+    if on_tpu:
+        sched = {3: {"keep_ratio": 0.95, "update": False},
+                 4: {"keep_ratio": 0.95}, 5: {"keep_ratio": 0.85},
+                 6: {"keep_ratio": 0.85}, 7: {"keep_ratio": 0.95}}
+        pruned, _ = measure("vit_base_patch16_224", sched, 256, args.iters,
+                            impl, quantize=True)
+        base, _ = measure("vit_base_patch16_224", None, 256, args.iters,
+                          impl, quantize=True)
+        results.append({
+            "config": "vit_b16_schedulejson_int8",
+            "img_per_s": round(pruned, 1),
+            "base_img_per_s": round(base, 1),
+            "speedup": round(pruned / base, 4),
+            "impl": f"{impl}+int8",
         })
 
     for r in results:
