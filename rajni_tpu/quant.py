@@ -66,6 +66,10 @@ def quantize_params(params: Params, attn: bool = True) -> Params:
     quantized); importance scoring operates on the dequantized QKV, so the
     scoring semantics are unchanged up to weight-quantization error.
     """
+    if params["blocks"] and is_quantized(
+        params["blocks"][0]["mlp"]["fc1"]["kernel"]
+    ):
+        raise ValueError("params are already quantized")
     out = dict(params)
     blocks = []
     for block in params["blocks"]:

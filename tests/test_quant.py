@@ -137,3 +137,22 @@ def test_attn_quantized_forward(rng):
     assert np.isfinite(got_pls).all()
     assert np.abs(got_xla - ref).max() / denom < 0.15
     assert np.abs(got_pls - ref).max() / denom < 0.2
+
+
+def test_double_quantize_rejected(rng):
+    params = init_params(jax.random.key(0), CFG, jnp.float32)
+    q = quantize_params(params)
+    with pytest.raises(ValueError, match="already quantized"):
+        quantize_params(q)
+
+
+def test_wrapper_with_quantized_params(rng):
+    from rajni_tpu import RAJNIViT
+
+    params = init_params(jax.random.key(0), CFG, jnp.float32)
+    model = RAJNIViT(CFG, {1: {"keep_ratio": 0.6}},
+                     params=quantize_params(params))
+    x = jnp.asarray(rng.standard_normal((2, 32, 32, 3)), jnp.float32)
+    out = model(x)
+    assert out.shape == (2, CFG.num_classes)
+    assert np.isfinite(np.asarray(out)).all()
