@@ -24,7 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from rajni_tpu import RAJNIViT, get_config
-from rajni_tpu.data.pipeline import ImageFolder, preprocess  # noqa: F401
+from rajni_tpu.data.pipeline import preprocess
 from rajni_tpu.utils.schedule import load_schedule
 
 

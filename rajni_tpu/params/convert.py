@@ -37,11 +37,6 @@ import numpy as np
 
 from ..models.vit import Params, ViTConfig
 
-# state_dict keys that are structurally inert for the reference forward
-# semantics and safe to drop silently.
-_IGNORABLE = ("attn.attn_drop", "attn.proj_drop", "pos_drop", "head_drop")
-
-
 def _to_numpy(t: Any) -> np.ndarray:
     """torch.Tensor / np.ndarray → np.ndarray (no torch import required)."""
     if hasattr(t, "detach"):  # torch.Tensor without importing torch

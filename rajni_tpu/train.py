@@ -15,7 +15,6 @@ jittable ``(state, images, labels) -> (state, metrics)`` suitable for
 
 from __future__ import annotations
 
-import functools
 from typing import Any, NamedTuple
 
 import jax
