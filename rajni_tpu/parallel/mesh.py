@@ -112,6 +112,40 @@ def sharded_forward(
     The returned callable accepts a host or device batch ``[B, H, W, 3]``
     (B divisible by the ``data`` axis size) and returns replicated logits.
     """
+    if impl != "xla":
+        # Pallas kernels are single-chip programs: XLA's SPMD partitioner
+        # cannot split a custom call, so under jit-with-shardings it would
+        # replicate the kernel (correct but wasted work). Instead map the
+        # full per-chip forward over the data axis with shard_map — each
+        # chip runs its kernels on its local batch shard. Tensor parallelism
+        # (which relies on SPMD inserting collectives inside the matmuls) is
+        # XLA-path only.
+        if mesh.shape["model"] > 1:
+            raise ValueError(
+                "tensor parallelism (model axis > 1) requires impl='xla'; "
+                "Pallas kernels are per-chip programs"
+            )
+        fwd = functools.partial(
+            vit_forward, config=config, schedule=schedule, impl=impl
+        )
+        mapped = jax.jit(
+            jax.shard_map(
+                fwd,
+                mesh=mesh,
+                in_specs=(P(), P("data")),
+                out_specs=P("data"),
+                # pallas_call outputs carry no varying-mesh-axes metadata
+                check_vma=False,
+            )
+        )
+        replicated = jax.device_put(params, NamedSharding(mesh, P()))
+
+        def apply_pallas(images):
+            images = jax.device_put(images, batch_sharding(mesh))
+            return mapped(replicated, images)
+
+        return apply_pallas
+
     sharded = shard_params(params, mesh)
     fwd = jax.jit(
         functools.partial(

@@ -64,3 +64,21 @@ def test_eval_step_counters(setup):
     assert int(correct) == 16 and int(total) == 16
     correct, total = step(sharded, x, labels_wrong)
     assert int(correct) == 0 and int(total) == 16
+
+
+def test_dp_pallas_shard_map_matches_single_device(setup):
+    """DP with the Pallas backend goes through shard_map (per-chip kernels
+    on local batch shards) and must match the single-device forward."""
+    params, x = setup
+    want = np.asarray(vit_forward(params, x, TINY, SCHED, "xla"))
+    mesh = make_mesh(data=8, model=1)
+    apply = sharded_forward(params, TINY, SCHED, mesh, impl="pallas")
+    got = np.asarray(apply(x))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_tp_with_pallas_rejected(setup):
+    params, _ = setup
+    mesh = make_mesh(data=4, model=2)
+    with pytest.raises(ValueError, match="tensor parallelism"):
+        sharded_forward(params, TINY, SCHED, mesh, impl="pallas")
