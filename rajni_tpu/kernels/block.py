@@ -845,3 +845,157 @@ def fused_ln_qkv_int8(
         qkv_params["bias"].reshape(1, 3 * C),
     )
     return qkv, scores8[:, 0, :]
+
+
+# --------------------------------------------------------------------------
+# Fully-fused pruned block (attention half): QKV never reaches HBM
+# --------------------------------------------------------------------------
+
+
+def _pruned_block_kernel(
+    x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
+    ls_ref, pscores_ref, out_ref, ns_ref,
+    *, num_heads: int, scale: float, eps: float, with_scores: bool,
+):
+    dtype = x_ref.dtype
+    N = x_ref.shape[1]
+    C = out_ref.shape[-1]
+    K = out_ref.shape[1]
+
+    x32 = x_ref[0].astype(jnp.float32)
+    y = _layer_norm_f32(x32, lns_ref, lnb_ref, eps).astype(dtype)
+    qkv = jnp.dot(y, wqkv_ref[:], preferred_element_type=jnp.float32)
+    qkv = (qkv + bqkv_ref[:].astype(jnp.float32)).astype(dtype)
+    # qkv stays a VMEM value: never written to HBM.
+
+    if with_scores:
+        s_row = _importance_f32(qkv.astype(jnp.float32), num_heads)[None, :]
+    else:
+        # reuse threaded scores (reference attention.py:25-28); convert the
+        # [N, 1] column input to a row with an eye-masked reduce
+        col = pscores_ref[0]  # [N, 1]
+        iota_l = jax.lax.broadcasted_iota(jnp.int32, (N, N), 1)
+        iota_s = jax.lax.broadcasted_iota(jnp.int32, (N, N), 0)
+        eye_f = (iota_l == iota_s).astype(jnp.float32)
+        s_row = jnp.sum(
+            eye_f * jnp.broadcast_to(col, (N, N)), axis=0, keepdims=True
+        )
+
+    sel, _, next_scores = _select_from_scores(s_row, K, dtype)
+
+    qkv_g = jax.lax.dot_general(
+        sel, qkv, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(dtype)  # [K, 3C]
+    x_g32 = jax.lax.dot_general(
+        sel, x32, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [K, C] — compacted pre-norm residual (model.py:55-56)
+
+    attn = _mha(qkv_g, num_heads, scale, dtype)
+    out = jnp.dot(attn, wproj_ref[:], preferred_element_type=jnp.float32)
+    out = out + bproj_ref[:].astype(jnp.float32)
+    out = out * ls_ref[:].astype(jnp.float32)
+    out_ref[0] = (x_g32 + out).astype(out_ref.dtype)
+    ns_ref[0] = next_scores
+
+
+def _pruned_block_fits(N: int, K: int, C: int, itemsize: int) -> bool:
+    """VMEM estimate: IO blocks (double-buffered) + resident weights + the
+    large live values (qkv, gathered qkv, selection masks, logits)."""
+    io = 2 * (N * C + K * C + 2 * N) * itemsize
+    weights = 4 * C * C * itemsize
+    live = (
+        N * 3 * C * itemsize      # qkv value
+        + K * 3 * C * itemsize    # gathered qkv
+        + 4 * N * N * 4           # selection compare/rank masks (f32)
+        + K * N * 4               # logits / sel
+        + 2 * K * C * 4           # x_g + proj out (f32)
+    )
+    return io + weights + live <= _VMEM_BUDGET
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_heads", "keep", "scale", "eps",
+                              "with_scores")
+)
+def fused_pruned_attn_block(
+    x: jax.Array,
+    ln_params,
+    attn_params,
+    ls: jax.Array | None,
+    prev_scores: jax.Array | None,
+    num_heads: int,
+    keep: int,
+    scale: float,
+    eps: float = 1e-6,
+    with_scores: bool = True,
+) -> tuple[jax.Array, jax.Array]:
+    """Whole pruned-block attention half in ONE kernel per image:
+    LN1 → QKV → RAJNI scoring → top-k selection → one-hot gather → SDPA →
+    projection → layer-scale → compacted residual add
+    (reference model.py:51-58 + attention.py:17-60).
+
+    The packed QKV lives and dies in VMEM — versus the two-kernel path
+    (:func:`fused_ln_qkv` + :func:`fused_gather_sdpa_proj_residual`) this
+    saves a [B, N, 3C] HBM write + read per pruned block (~460 MB at
+    batch-256 ViT-B).
+
+    Returns ``(x_out [B, K, C], next_scores [B, K])`` with ``K = keep + 1``.
+    """
+    B, N, C = x.shape
+    K = keep + 1
+    wqkv = attn_params["qkv"]["kernel"]
+    wproj = attn_params["proj"]["kernel"]
+    if ls is None:
+        ls = jnp.ones((C,), x.dtype)
+    if prev_scores is None:
+        prev_scores = jnp.zeros((B, N), jnp.float32)
+
+    out, ns = pl.pallas_call(
+        functools.partial(
+            _pruned_block_kernel, num_heads=num_heads, scale=scale,
+            eps=eps, with_scores=with_scores,
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, K, C), x.dtype),
+            jax.ShapeDtypeStruct((B, K, 1), jnp.float32),
+        ),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, N, C), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, 3 * C), lambda b: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3 * C), lambda b: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, C), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N, 1), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, K, C), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, K, 1), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
+        interpret=_use_interpret(),
+    )(
+        x,
+        ln_params["scale"].reshape(1, C),
+        ln_params["bias"].reshape(1, C),
+        wqkv,
+        attn_params["qkv"]["bias"].reshape(1, 3 * C),
+        wproj,
+        attn_params["proj"]["bias"].reshape(1, C),
+        ls.reshape(1, C),
+        prev_scores[..., None],
+    )
+    return out, ns[..., 0]

@@ -383,15 +383,37 @@ def vit_forward(
                 # gather+SDPA+proj+compacted-residual. Same semantics as the
                 # XLA branch below, no intermediate HBM round trips.
                 from ..kernels.block import (
+                    _pruned_block_fits,
                     fused_gather_sdpa_proj_residual,
                     fused_ln_qkv,
                     fused_ln_qkv_int8,
+                    fused_pruned_attn_block,
                 )
                 from ..ops.pruning import select_tokens_dense
                 from ..quant import is_quantized
 
                 with_scores = spec.update or scores is None
-                if is_quantized(block["attn"]["qkv"]["kernel"]):
+                quantized = is_quantized(block["attn"]["qkv"]["kernel"])
+                if not quantized and _pruned_block_fits(
+                    n, keep + 1, config.embed_dim,
+                    jnp.dtype(x.dtype).itemsize,
+                ):
+                    # Single mega-kernel: QKV never reaches HBM.
+                    x, scores = fused_pruned_attn_block(
+                        x,
+                        block["norm1"],
+                        block["attn"],
+                        block.get("ls1"),
+                        scores,
+                        config.num_heads,
+                        keep,
+                        config.attn_scale,
+                        config.layer_norm_eps,
+                        with_scores,
+                    )
+                    x = _mlp_branch(x, block, config, impl)
+                    continue
+                if quantized:
                     qkv, new_scores = fused_ln_qkv_int8(
                         x,
                         block["norm1"],

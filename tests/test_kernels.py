@@ -167,3 +167,53 @@ def test_chunked_gather_matches_fast(rng, monkeypatch):
         qkv, sel, x, proj, None, H, 8**-0.5)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_fused_pruned_block_matches_two_kernel_path(rng):
+    """The single mega-kernel pruned block must equal the two-kernel
+    composition (fused_ln_qkv + XLA selection + gather kernel), both for
+    fresh scoring and for update=False reuse."""
+    from rajni_tpu.kernels import block as blk
+    from rajni_tpu.ops.pruning import select_tokens_dense
+
+    B, N, C, H = 2, 57, 32, 4
+    keep = 23
+    x = jnp.asarray(rng.standard_normal((B, N, C)), jnp.float32)
+    ln = {"scale": jnp.asarray(rng.standard_normal(C), jnp.float32),
+          "bias": jnp.asarray(rng.standard_normal(C), jnp.float32)}
+    attn = {
+        "qkv": {"kernel": jnp.asarray(rng.standard_normal((C, 3 * C)) * 0.1,
+                                      jnp.float32),
+                "bias": jnp.asarray(rng.standard_normal(3 * C) * 0.1,
+                                    jnp.float32)},
+        "proj": {"kernel": jnp.asarray(rng.standard_normal((C, C)) * 0.1,
+                                       jnp.float32),
+                 "bias": jnp.asarray(rng.standard_normal(C) * 0.1,
+                                     jnp.float32)},
+    }
+    scale = 8**-0.5
+
+    # fresh scoring
+    qkv, s = blk.fused_ln_qkv(x, ln, attn["qkv"], H, 1e-6, True)
+    idx, sel = select_tokens_dense(s, keep, x.dtype)
+    ns_want = jnp.take_along_axis(s, idx, axis=1)
+    want = blk.fused_gather_sdpa_proj_residual(
+        qkv, sel, x, attn["proj"], None, H, scale)
+    got, ns = blk.fused_pruned_attn_block(
+        x, ln, attn, None, None, H, keep, scale, 1e-6, True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ns), np.asarray(ns_want), atol=1e-6)
+
+    # update=False reuse of external scores
+    prev = jnp.asarray(rng.standard_normal((B, N)), jnp.float32)
+    idx2, sel2 = select_tokens_dense(prev, keep, x.dtype)
+    want2 = blk.fused_gather_sdpa_proj_residual(
+        qkv, sel2, x, attn["proj"], None, H, scale)
+    got2, ns2 = blk.fused_pruned_attn_block(
+        x, ln, attn, None, prev, H, keep, scale, 1e-6, False)
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(want2),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(ns2),
+        np.asarray(jnp.take_along_axis(prev, idx2, axis=1)), atol=1e-6)
