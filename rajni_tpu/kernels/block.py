@@ -999,3 +999,131 @@ def fused_pruned_attn_block(
         prev_scores[..., None],
     )
     return out, ns[..., 0]
+
+
+def _pruned_block_int8_kernel(
+    x_ref, lns_ref, lnb_ref, wqkv_ref, sqkv_ref, bqkv_ref,
+    wproj_ref, sproj_ref, bproj_ref, ls_ref, pscores_ref, out_ref, ns_ref,
+    *, num_heads: int, scale: float, eps: float, with_scores: bool,
+):
+    dtype = x_ref.dtype
+    N = x_ref.shape[1]
+    K = out_ref.shape[1]
+
+    x32 = x_ref[0].astype(jnp.float32)
+    y = _layer_norm_f32(x32, lns_ref, lnb_ref, eps)
+    qkv = _int8_matmul(y, wqkv_ref, sqkv_ref) + bqkv_ref[:].astype(
+        jnp.float32
+    )
+    qkv = qkv.astype(dtype)  # VMEM value, never written to HBM
+
+    if with_scores:
+        s_row = _importance_f32(qkv.astype(jnp.float32), num_heads)[None, :]
+    else:
+        col = pscores_ref[0]
+        iota_l = jax.lax.broadcasted_iota(jnp.int32, (N, N), 1)
+        iota_s = jax.lax.broadcasted_iota(jnp.int32, (N, N), 0)
+        eye_f = (iota_l == iota_s).astype(jnp.float32)
+        s_row = jnp.sum(
+            eye_f * jnp.broadcast_to(col, (N, N)), axis=0, keepdims=True
+        )
+
+    sel, _, next_scores = _select_from_scores(s_row, K, dtype)
+
+    qkv_g = jax.lax.dot_general(
+        sel, qkv, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(dtype)
+    x_g32 = jax.lax.dot_general(
+        sel, x32, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    attn = _mha(qkv_g, num_heads, scale, dtype)
+    out = _int8_matmul(attn.astype(jnp.float32), wproj_ref, sproj_ref)
+    out = out + bproj_ref[:].astype(jnp.float32)
+    out = out * ls_ref[:].astype(jnp.float32)
+    out_ref[0] = (x_g32 + out).astype(out_ref.dtype)
+    ns_ref[0] = next_scores
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_heads", "keep", "scale", "eps",
+                              "with_scores")
+)
+def fused_pruned_attn_block_int8(
+    x: jax.Array,
+    ln_params,
+    attn_params,
+    ls: jax.Array | None,
+    prev_scores: jax.Array | None,
+    num_heads: int,
+    keep: int,
+    scale: float,
+    eps: float = 1e-6,
+    with_scores: bool = True,
+) -> tuple[jax.Array, jax.Array]:
+    """Int8-projection variant of :func:`fused_pruned_attn_block` (QKV and
+    output projections on the int8 MXU; scoring, selection, SDPA in
+    fp32/bf16 on the dequantized values)."""
+    B, N, C = x.shape
+    K = keep + 1
+    wqkv = attn_params["qkv"]["kernel"]  # quantize_weight record
+    wproj = attn_params["proj"]["kernel"]
+    if ls is None:
+        ls = jnp.ones((C,), x.dtype)
+    if prev_scores is None:
+        prev_scores = jnp.zeros((B, N), jnp.float32)
+
+    out, ns = pl.pallas_call(
+        functools.partial(
+            _pruned_block_int8_kernel, num_heads=num_heads, scale=scale,
+            eps=eps, with_scores=with_scores,
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, K, C), x.dtype),
+            jax.ShapeDtypeStruct((B, K, 1), jnp.float32),
+        ),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, N, C), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, 3 * C), lambda b: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3 * C), lambda b: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3 * C), lambda b: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, C), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N, 1), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, K, C), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, K, 1), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
+        interpret=_use_interpret(),
+    )(
+        x,
+        ln_params["scale"].reshape(1, C),
+        ln_params["bias"].reshape(1, C),
+        wqkv["int8"],
+        wqkv["scale"].reshape(1, 3 * C),
+        attn_params["qkv"]["bias"].reshape(1, 3 * C),
+        wproj["int8"],
+        wproj["scale"].reshape(1, C),
+        attn_params["proj"]["bias"].reshape(1, C),
+        ls.reshape(1, C),
+        prev_scores[..., None],
+    )
+    return out, ns[..., 0]

@@ -394,12 +394,20 @@ def vit_forward(
 
                 with_scores = spec.update or scores is None
                 quantized = is_quantized(block["attn"]["qkv"]["kernel"])
-                if not quantized and _pruned_block_fits(
+                if _pruned_block_fits(
                     n, keep + 1, config.embed_dim,
                     jnp.dtype(x.dtype).itemsize,
                 ):
                     # Single mega-kernel: QKV never reaches HBM.
-                    x, scores = fused_pruned_attn_block(
+                    if quantized:
+                        from ..kernels.block import (
+                            fused_pruned_attn_block_int8,
+                        )
+
+                        block_kernel = fused_pruned_attn_block_int8
+                    else:
+                        block_kernel = fused_pruned_attn_block
+                    x, scores = block_kernel(
                         x,
                         block["norm1"],
                         block["attn"],
