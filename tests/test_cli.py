@@ -66,3 +66,15 @@ def test_schedule_inspector(tmp_path, capsys):
     assert info["token_counts"] == [
         197, 197, 197, 197, 187, 177, 150, 127, 120, 120, 120, 120]
     assert 0.8 < info["token_work_ratio"] < 0.83
+
+
+def test_main_data_parallel_synthetic(tmp_path):
+    """CLI --data_parallel end-to-end on the 8-device CPU mesh."""
+    sched = tmp_path / "s.json"
+    sched.write_text(json.dumps({"3": {"keep_ratio": 0.9}}))
+    result = main([
+        "--synthetic", "2", "--batch_size", "8", "--max_batches", "1",
+        "--model", "vit_tiny_patch16_224", "--schedule", str(sched),
+        "--warmup", "0", "--dtype", "float32", "--data_parallel",
+    ])
+    assert "rajni" in result

@@ -82,3 +82,17 @@ def test_tp_with_pallas_rejected(setup):
     mesh = make_mesh(data=4, model=2)
     with pytest.raises(ValueError, match="tensor parallelism"):
         sharded_forward(params, TINY, SCHED, mesh, impl="pallas")
+
+
+def test_dp_with_quantized_params(setup):
+    """shard_map DP forward works with int8-quantized params (records are
+    pytree leaves that replicate like any other weight)."""
+    from rajni_tpu.quant import quantize_params
+
+    params, x = setup
+    qparams = quantize_params(params)
+    want = np.asarray(vit_forward(qparams, x, TINY, SCHED, "pallas"))
+    mesh = make_mesh(data=8, model=1)
+    apply = sharded_forward(qparams, TINY, SCHED, mesh, impl="pallas")
+    got = np.asarray(apply(x))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
