@@ -93,11 +93,12 @@ def preprocess_native(
         raise RuntimeError("native preprocessing unavailable")
     rgb = np.ascontiguousarray(rgb, dtype=np.uint8)
     h, w = rgb.shape[:2]
-    # shorter-side resize dims (reference Resize(256) semantics)
+    # shorter-side resize dims — torchvision truncates the scaled long side
+    # (int(), not round(); see pipeline.preprocess)
     if w <= h:
-        nw, nh = resize, max(1, round(h * resize / w))
+        nw, nh = resize, max(1, int(h * resize / w))
     else:
-        nh, nw = resize, max(1, round(w * resize / h))
+        nh, nw = resize, max(1, int(w * resize / h))
     # torchvision CenterCrop offsets — Python round() on purpose (banker's),
     # the same quirk the PIL path reproduces (pipeline.preprocess).
     left = int(round((nw - img_size) / 2.0))

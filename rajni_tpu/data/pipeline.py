@@ -108,10 +108,14 @@ def preprocess(im, img_size: int = 224, resize: int = 256) -> np.ndarray:
     from PIL import Image
 
     w, h = im.size
+    # torchvision computes the scaled long side with int() TRUNCATION
+    # (`_compute_resized_output_size`: ``int(size * long / short)``), not
+    # rounding — using round() here would resample ~half of non-square
+    # ImageNet-val images to a different geometry than the reference.
     if w <= h:
-        nw, nh = resize, max(1, round(h * resize / w))
+        nw, nh = resize, max(1, int(h * resize / w))
     else:
-        nh, nw = resize, max(1, round(w * resize / h))
+        nh, nw = resize, max(1, int(w * resize / h))
     im = im.resize((nw, nh), Image.BICUBIC)
 
     # torchvision CenterCrop: offset = round((dim - crop) / 2) via int rounding

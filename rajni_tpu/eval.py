@@ -38,6 +38,34 @@ except ImportError:  # pragma: no cover
     tqdm = None
 
 
+def _place(x, placement):
+    """device_put with a graceful fallback for batches a sharding cannot
+    split (the partial final batch on a data-parallel mesh): the model fn
+    pads and places those itself (parallel.mesh._pad_batch)."""
+    x = np.asarray(x)
+    try:
+        return jax.device_put(x, placement)
+    except ValueError:
+        return x
+
+
+def _pad_to(images: np.ndarray, b: int) -> np.ndarray:
+    """Zero-pad a partial batch up to ``b`` rows.
+
+    Every distinct batch shape is a separate XLA compilation; without
+    padding, the dataset's final partial batch (``drop_last=False``,
+    reference run.py:82) would trigger a fresh ~30 s compile *inside* the
+    timed region. The padded rows' logits are discarded and only real
+    labels are counted, so accuracy/throughput accounting is unchanged.
+    """
+    pad = b - images.shape[0]
+    if pad <= 0:
+        return images
+    return np.concatenate(
+        [images, np.zeros((pad,) + images.shape[1:], images.dtype)], axis=0
+    )
+
+
 def _prefetch_to_device(iterator, device, depth: int = 2):
     """Stage host batches onto the device ``depth`` ahead of consumption.
 
@@ -47,14 +75,19 @@ def _prefetch_to_device(iterator, device, depth: int = 2):
     reference's accounting is unaffected: H2D stays outside the timed
     region either way (eval.py:48-53).
 
-    Yields ``(images_device, labels_host)``.
+    Yields ``(images_device, labels_host)`` with partial batches padded to
+    the first batch's size (see :func:`_pad_to`); ``labels`` stay unpadded.
     """
     import collections
 
     buf = collections.deque()
+    full_b = None
     for images, labels in iterator:
+        images = np.asarray(images)
+        if full_b is None:
+            full_b = images.shape[0]
         buf.append(
-            (jax.device_put(np.asarray(images), device), np.asarray(labels))
+            (_place(_pad_to(images, full_b), device), np.asarray(labels))
         )
         if len(buf) > depth:
             yield buf.popleft()
@@ -85,10 +118,16 @@ def evaluate_model(
       warmup: untimed warmup batches (reference eval.py:19-26).
       progress: show the tqdm bar (reference always does; off for tests).
       prefetch: stage this many batches' H2D copies ahead of the forward
-        (0 disables). Overlaps transfer with compute; accounting unchanged.
+        (0 = no lookahead). Overlaps transfer with compute; accounting
+        unchanged.
     """
     if device is None:
         device = jax.devices()[0]
+    # A data-parallel model fn advertises its batch sharding so the H2D
+    # scatter to all chips happens here, in the UNTIMED region — the same
+    # place the reference's `.to(device)` sits (eval.py:48-53). device_put
+    # onto an already-correctly-sharded array inside the model is a no-op.
+    placement = getattr(model, "input_sharding", None) or device
 
     # ---- Warmup (reference eval.py:18-26) ----
     if warmup > 0:
@@ -100,20 +139,15 @@ def evaluate_model(
             except StopIteration:
                 it = iter(dataloader)
                 x, _ = next(it)
-            fence(model(jax.device_put(np.asarray(x), device)))
+            fence(model(_place(x, placement)))
 
     correct = 0
     total = 0
     total_images = 0
     total_time = 0.0
 
-    iterator = (
-        _prefetch_to_device(iter(dataloader), device, prefetch)
-        if prefetch > 0
-        else (
-            (jax.device_put(np.asarray(im), device), np.asarray(lb))
-            for im, lb in dataloader
-        )
+    iterator = _prefetch_to_device(
+        iter(dataloader), placement, depth=max(prefetch, 0)
     )
     pbar = None
     if progress and tqdm is not None:
@@ -143,10 +177,13 @@ def evaluate_model(
         fence(logits)
         total_time += time.time() - start
 
-        preds = np.asarray(jax.device_get(logits)).argmax(axis=1)
+        # labels are unpadded: slice off any padded rows' logits and count
+        # only real images (reference eval.py:61-64 accounting).
+        b = int(labels.shape[0])
+        preds = np.asarray(jax.device_get(logits))[:b].argmax(axis=1)
         correct += int((preds == labels).sum())
-        total += int(labels.shape[0])
-        total_images += int(images_dev.shape[0])
+        total += b
+        total_images += b
 
         if pbar is not None and total > 0:
             pbar.set_postfix(

@@ -39,6 +39,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .math import use_interpret as _use_interpret
+
 
 def _mha_kernel(qkv_ref, out_ref, *, num_heads: int, scale: float):
     C = out_ref.shape[-1]
@@ -63,10 +65,6 @@ def _mha_kernel(qkv_ref, out_ref, *, num_heads: int, scale: float):
             preferred_element_type=jnp.float32,
         )
         out_ref[0, :, h * D:(h + 1) * D] = out.astype(out_ref.dtype)
-
-
-def _use_interpret() -> bool:
-    return jax.default_backend() != "tpu"
 
 
 @functools.partial(jax.jit, static_argnums=(1, 2))

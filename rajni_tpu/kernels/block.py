@@ -41,9 +41,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-
-def _use_interpret() -> bool:
-    return jax.default_backend() != "tpu"
+from .math import quantize_rows as _quantize_rows
+from .math import use_interpret as _use_interpret
 
 
 def _layer_norm_f32(x32, scale_ref, bias_ref, eps):
@@ -669,14 +668,6 @@ def fused_gather_sdpa_proj_residual(
 # Int8 variants (weights quantized per output channel; activations
 # dynamically quantized per token row — see rajni_tpu.quant)
 # --------------------------------------------------------------------------
-
-
-def _quantize_rows(y32):
-    """Symmetric per-row int8: ``(int8 [R, C], scale f32 [R, 1])``."""
-    absmax = jnp.max(jnp.abs(y32), axis=-1, keepdims=True)
-    scale = jnp.maximum(absmax, 1e-8) / 127.0
-    q = jnp.clip(jnp.round(y32 / scale), -127, 127).astype(jnp.int8)
-    return q, scale
 
 
 def _int8_matmul(y32, wq_ref, ws_ref):

@@ -1,4 +1,5 @@
-"""Scalar math helpers for Pallas TPU kernels.
+"""Shared helpers for Pallas TPU kernels: scalar math, backend detection,
+and the int8 dynamic-quantization primitive.
 
 Mosaic does not lower ``erf``/``erfc``, so the exact-GELU nonlinearity
 (timm's ``nn.GELU`` default, used by the reference MLP — model.py:59) is
@@ -7,7 +8,23 @@ built from an elementary-function erf approximation here.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
+
+
+def use_interpret() -> bool:
+    """Run kernels in interpreter mode off-TPU (CPU tests, virtual meshes)."""
+    return jax.default_backend() != "tpu"
+
+
+def quantize_rows(y32):
+    """Symmetric per-row int8 activation quantization:
+    ``(int8 [R, C], scale f32 [R, 1])`` with ``y ≈ int8 * scale``
+    (see :mod:`rajni_tpu.quant` for the weight-side counterpart)."""
+    absmax = jnp.max(jnp.abs(y32), axis=-1, keepdims=True)
+    scale = jnp.maximum(absmax, 1e-8) / 127.0
+    q = jnp.clip(jnp.round(y32 / scale), -127, 127).astype(jnp.int8)
+    return q, scale
 
 
 def erf(x: jnp.ndarray) -> jnp.ndarray:

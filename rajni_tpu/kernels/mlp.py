@@ -38,6 +38,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .math import gelu_exact
+from .math import quantize_rows as _quantize_rows
+from .math import use_interpret as _use_interpret
 
 _ROWS = 256  # row-tile: 256×768 bf16 = 0.4 MB, MXU-aligned
 _WEIGHT_BUDGET = 10 * 1024 * 1024  # VMEM bytes for resident weight blocks
@@ -118,10 +120,6 @@ def _ln_mlp_kernel(
         out = out * ls_ref[:].astype(jnp.float32)  # layer-scale (or ones)
         # Residual add with the pre-norm input.
         out_ref[:] = (x_ref[:].astype(jnp.float32) + out).astype(out_ref.dtype)
-
-
-def _use_interpret() -> bool:
-    return jax.default_backend() != "tpu"
 
 
 @functools.partial(jax.jit, static_argnames=("eps",))
@@ -212,14 +210,6 @@ def fused_ln_mlp_residual(
 # --------------------------------------------------------------------------
 # Int8 dynamic-quantization variant (see rajni_tpu.quant)
 # --------------------------------------------------------------------------
-
-
-def _quantize_rows(y32):
-    """Symmetric per-row int8: returns ``(int8 [R, C], scale f32 [R, 1])``."""
-    absmax = jnp.max(jnp.abs(y32), axis=-1, keepdims=True)
-    scale = jnp.maximum(absmax, 1e-8) / 127.0
-    q = jnp.clip(jnp.round(y32 / scale), -127, 127).astype(jnp.int8)
-    return q, scale
 
 
 def _ln_mlp_int8_kernel(

@@ -100,6 +100,26 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P("data"))
 
 
+def _pad_batch(images, n_data: int):
+    """Zero-pad the batch to a multiple of the data-axis size.
+
+    The eval DataLoader yields a partial final batch (``drop_last=False``,
+    reference run.py:75-82) whose size need not divide the mesh — e.g.
+    ImageNet-val's trailing 80 images on a 32-chip mesh. Returns
+    ``(padded_images, real_batch)``; callers slice the outputs back.
+    """
+    b = images.shape[0]
+    pad = (-b) % n_data
+    if pad == 0:
+        return images, b  # no copy on the common (full-batch) path
+    images = np.concatenate(
+        [np.asarray(images),
+         np.zeros((pad,) + tuple(images.shape[1:]), np.asarray(images).dtype)],
+        axis=0,
+    )
+    return images, b
+
+
 def sharded_forward(
     params: Any,
     config: ViTConfig,
@@ -139,11 +159,14 @@ def sharded_forward(
             )
         )
         replicated = jax.device_put(params, NamedSharding(mesh, P()))
+        n_data = mesh.shape["data"]
 
         def apply_pallas(images):
+            images, b = _pad_batch(images, n_data)
             images = jax.device_put(images, batch_sharding(mesh))
-            return mapped(replicated, images)
+            return mapped(replicated, images)[:b]
 
+        apply_pallas.input_sharding = batch_sharding(mesh)
         return apply_pallas
 
     sharded = shard_params(params, mesh)
@@ -156,10 +179,14 @@ def sharded_forward(
         out_shardings=NamedSharding(mesh, P("data")),
     )
 
-    def apply(images):
-        images = jax.device_put(images, batch_sharding(mesh))
-        return fwd(sharded, images)
+    n_data = mesh.shape["data"]
 
+    def apply(images):
+        images, b = _pad_batch(images, n_data)
+        images = jax.device_put(images, batch_sharding(mesh))
+        return fwd(sharded, images)[:b]
+
+    apply.input_sharding = batch_sharding(mesh)
     return apply
 
 

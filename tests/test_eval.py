@@ -86,3 +86,29 @@ def test_empty_loader_denominators():
     acc, tput = evaluate_model(identity_model, Empty(), warmup=0, progress=False)
     assert acc == 0.0
     assert tput == 0.0
+
+
+def test_partial_final_batch_padded_not_recompiled(rng):
+    """The trailing partial batch is padded to the first batch's shape (one
+    compiled program) and only real images are counted."""
+    import jax.numpy as jnp
+
+    from rajni_tpu.eval import evaluate_model
+
+    shapes_seen = set()
+
+    def model(x):
+        shapes_seen.add(tuple(x.shape))
+        # "correct" prediction = 1 for every row
+        return jnp.stack([jnp.zeros(x.shape[0]), jnp.ones(x.shape[0])], -1)
+
+    class Loader:
+        def __iter__(self):
+            yield (rng.standard_normal((8, 4, 4, 3)).astype(np.float32),
+                   np.ones(8, np.int64))
+            yield (rng.standard_normal((3, 4, 4, 3)).astype(np.float32),
+                   np.ones(3, np.int64))
+
+    acc, tput = evaluate_model(model, Loader(), warmup=0, progress=False)
+    assert shapes_seen == {(8, 4, 4, 3)}  # single compiled shape
+    assert acc == 100.0  # 11 real images, all "correct"; padding not counted
