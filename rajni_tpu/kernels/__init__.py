@@ -26,17 +26,26 @@ Kernel inventory:
 from .attention import fused_sdpa
 from .block import (
     fused_attn_block,
+    fused_attn_block_int8,
     fused_gather_sdpa_proj_residual,
     fused_ln_qkv,
+    fused_ln_qkv_int8,
     fused_ln_qkv_select,
+    fused_pruned_attn_block,
+    fused_pruned_attn_block_int8,
 )
-from .mlp import fused_ln_mlp_residual
+from .mlp import fused_ln_mlp_residual, fused_ln_mlp_residual_int8
 
 __all__ = [
     "fused_sdpa",
     "fused_attn_block",
+    "fused_attn_block_int8",
     "fused_gather_sdpa_proj_residual",
     "fused_ln_qkv",
+    "fused_ln_qkv_int8",
     "fused_ln_qkv_select",
+    "fused_pruned_attn_block",
+    "fused_pruned_attn_block_int8",
     "fused_ln_mlp_residual",
+    "fused_ln_mlp_residual_int8",
 ]

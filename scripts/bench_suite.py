@@ -65,11 +65,14 @@ def measure(model, schedule, batch, iters, impl, device=None, warmup=3,
     fwd = jax.jit(vit_forward, static_argnums=(2, 3, 4), device=device)
     for _ in range(warmup):
         fence(fwd(params, imgs, cfg, sched, impl))
-    t0 = time.time()
-    for _ in range(iters):
-        out = fwd(params, imgs, cfg, sched, impl)
-    fence(out)
-    img_s = iters * batch / max(time.time() - t0, 1e-9)
+    # best-of-3: the shared chip shows ±5-10% run-to-run variance
+    img_s = 0.0
+    for _ in range(3):
+        t0 = time.time()
+        for _ in range(iters):
+            out = fwd(params, imgs, cfg, sched, impl)
+        fence(out)
+        img_s = max(img_s, iters * batch / max(time.time() - t0, 1e-9))
     tokens = model_stats(cfg, sched)["token_counts"] if sched else None
     return img_s, tokens
 
