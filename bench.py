@@ -5,14 +5,18 @@ Prints ONE JSON line:
    "vs_baseline": <pruned / unpruned speedup on the same chip>}
 
 Protocol mirrors the reference measurement definition (BASELINE.md): timed
-region is the forward only, device-fenced per batch (the JAX equivalent of
-`torch.cuda.synchronize` bracketing, /root/reference/rajni/eval.py:51-59);
-batch 256 (reference run.py:23 default); bf16 inference dtype.
+region is the forward only, device-fenced per timing loop (the JAX
+equivalent of `torch.cuda.synchronize` bracketing,
+/root/reference/rajni/eval.py:51-59 — per-batch fencing through the TPU
+tunnel costs ~40 ms of host round trip, so the fence brackets each loop of
+back-to-back forwards instead; same forward-only quantity, no tunnel
+artifact); batch 256 (reference run.py:23 default); bf16 inference dtype;
+best-of-3 loops (shared-chip variance ±5-10%).
 
 Env overrides: RAJNI_BENCH_BATCH, RAJNI_BENCH_ITERS, RAJNI_BENCH_MODEL,
 RAJNI_BENCH_DTYPE, RAJNI_BENCH_KERNELS (xla|pallas), RAJNI_BENCH_QUANT=1
-(int8 MLP weights + dynamic activation quantization — opt-in, changes
-numerics; see rajni_tpu/quant.py).
+(int8 MLP + attention-projection weights with dynamic activation
+quantization — opt-in, changes numerics; see rajni_tpu/quant.py).
 """
 
 from __future__ import annotations
@@ -20,53 +24,17 @@ from __future__ import annotations
 import json
 import os
 import sys
-import time
 
 import jax
 import jax.numpy as jnp
 
 from rajni_tpu.models.vit import get_config, init_params, vit_forward
-from rajni_tpu.utils.schedule import normalize_schedule
-from rajni_tpu.utils.timing import fence
-
-SCHEDULE_JSON = {  # reference schedule.json:1-7
-    3: {"keep_ratio": 0.95, "update": False},
-    4: {"keep_ratio": 0.95, "update": True},
-    5: {"keep_ratio": 0.85, "update": True},
-    6: {"keep_ratio": 0.85, "update": True},
-    7: {"keep_ratio": 0.95, "update": True},
-}
+from rajni_tpu.utils.schedule import REFERENCE_SCHEDULE, normalize_schedule
+from rajni_tpu.utils.timing import measure_throughput
 
 
 def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
-
-
-def measure(fwd, params, images, config, schedule, iters, warmup=3,
-            impl="xla") -> float:
-    """img/s over ``iters`` back-to-back forwards, fenced once at the end.
-
-    The reference accumulates per-batch synced times (eval.py:51-59); on CUDA
-    the sync costs ~µs so the two protocols agree. Here the device fence is a
-    host round-trip through the TPU tunnel (~40 ms measured), so per-batch
-    fencing would add a constant +40 ms to *both* models and systematically
-    understate absolute throughput and speedup. Timing the whole loop with a
-    single trailing fence measures the same quantity (forward-only wall time,
-    H2D excluded — inputs are device-resident) without the artifact.
-    """
-    for _ in range(warmup):
-        fence(fwd(params, images, config, schedule, impl))
-    # best-of-3 timing loops: the shared chip shows ±5-10% run-to-run
-    # variance; the max is the least-contended (most reproducible) figure.
-    best = 0.0
-    for _ in range(3):
-        t0 = time.time()
-        for _ in range(iters):
-            out = fwd(params, images, config, schedule, impl)
-        fence(out)
-        total = time.time() - t0
-        best = max(best, iters * images.shape[0] / max(total, 1e-6))
-    return best
 
 
 def main() -> None:
@@ -81,13 +49,13 @@ def main() -> None:
 
     log(f"devices: {jax.devices()}")
     config = get_config(model)
-    schedule = normalize_schedule(SCHEDULE_JSON, config.depth)
+    schedule = normalize_schedule(REFERENCE_SCHEDULE, config.depth)
     params = init_params(jax.random.key(0), config, dtype)
     if quant:
         from rajni_tpu.quant import quantize_params
 
         params = quantize_params(params)
-        log("int8-quantized MLP weights (RAJNI_BENCH_QUANT=1)")
+        log("int8-quantized weights (RAJNI_BENCH_QUANT=1)")
     images = jax.device_put(
         jax.random.normal(
             jax.random.key(1), (batch, config.img_size, config.img_size, 3), dtype
@@ -96,11 +64,13 @@ def main() -> None:
     fwd = jax.jit(vit_forward, static_argnums=(2, 3, 4))
 
     log(f"compiling + measuring base (identity schedule, {impl})...")
-    base = measure(fwd, params, images, config, None, iters, impl=impl)
+    base = measure_throughput(fwd, params, images, config, None, impl,
+                              iters=iters)
     log(f"base: {base:.1f} img/s")
 
     log(f"compiling + measuring pruned (schedule.json, {impl})...")
-    pruned = measure(fwd, params, images, config, schedule, iters, impl=impl)
+    pruned = measure_throughput(fwd, params, images, config, schedule, impl,
+                                iters=iters)
     log(f"pruned: {pruned:.1f} img/s")
 
     print(

@@ -43,12 +43,18 @@ def main() -> None:
         load_schedule(args.schedule, config.depth) if args.schedule else None
     )
 
-    params = None
     if args.checkpoint:
         from rajni_tpu.params.io import load_params
 
         params = load_params(args.checkpoint, dtype=jnp.bfloat16)
-    if args.quantize and params is not None:
+    else:
+        import jax
+
+        from rajni_tpu import init_params
+
+        print("WARNING: no --checkpoint; random weights (pipeline demo only)")
+        params = init_params(jax.random.key(0), config, jnp.bfloat16)
+    if args.quantize:
         from rajni_tpu.quant import quantize_params
 
         params = quantize_params(params)

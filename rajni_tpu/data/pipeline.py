@@ -54,12 +54,12 @@ class ImageFolder:
         self,
         root: str,
         img_size: int = 224,
-        resize: int = 256,
+        resize: int | None = None,
         use_native: bool = True,
     ):
         self.root = root
         self.img_size = img_size
-        self.resize = resize
+        self.resize = _default_resize(img_size, resize)
         self.use_native = use_native
         self.classes, self.class_to_idx = find_classes(root)
         self.samples: list[tuple[str, int]] = []
@@ -96,7 +96,14 @@ class ImageFolder:
         return arr, label
 
 
-def preprocess(im, img_size: int = 224, resize: int = 256) -> np.ndarray:
+def _default_resize(img_size: int, resize: int | None) -> int:
+    """Shorter-side target: 256 for 224 crops (reference run.py:64), scaled
+    proportionally for other resolutions (384 -> 438) so the crop never
+    exceeds the resized image."""
+    return int(img_size * 256 / 224) if resize is None else resize
+
+
+def preprocess(im, img_size: int = 224, resize: int | None = None) -> np.ndarray:
     """Resize-shorter-side(bicubic) → center-crop → [0,1] → normalize.
 
     Bit-matches the reference transform stack (run.py:62-70): torchvision's
@@ -107,6 +114,7 @@ def preprocess(im, img_size: int = 224, resize: int = 256) -> np.ndarray:
     """
     from PIL import Image
 
+    resize = _default_resize(img_size, resize)
     w, h = im.size
     # torchvision computes the scaled long side with int() TRUNCATION
     # (`_compute_resized_output_size`: ``int(size * long / short)``), not

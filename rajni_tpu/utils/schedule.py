@@ -155,3 +155,15 @@ def main(argv=None) -> None:
 
 if __name__ == "__main__":
     main()
+
+
+# The reference repo's shipped schedule (reference schedule.json:1-7) — the
+# flagship benchmark configuration, shared by bench.py, the driver entry
+# points, and the benchmark suite so they cannot drift apart.
+REFERENCE_SCHEDULE = {
+    3: {"keep_ratio": 0.95, "update": False},
+    4: {"keep_ratio": 0.95, "update": True},
+    5: {"keep_ratio": 0.85, "update": True},
+    6: {"keep_ratio": 0.85, "update": True},
+    7: {"keep_ratio": 0.95, "update": True},
+}

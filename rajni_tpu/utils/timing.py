@@ -27,3 +27,32 @@ def fence(tree) -> None:
             # A 1-element, data-dependent host pull: completes only after the
             # producing computation has fully executed.
             np.asarray(jax.device_get(leaf.ravel()[:1]))
+
+
+def measure_throughput(fn, *args, iters: int = 20, warmup: int = 3,
+                       batch: int | None = None, repeats: int = 3) -> float:
+    """Best-of-``repeats`` throughput of ``fn(*args)`` in items/sec.
+
+    Shared by bench.py and scripts/bench_suite.py so the measurement
+    protocol cannot drift: ``warmup`` fenced calls, then ``repeats`` timing
+    loops of ``iters`` back-to-back dispatches fenced once at the end (the
+    per-loop fence is a host round trip through the TPU tunnel, so fencing
+    per *loop* rather than per call measures forward-only wall time without
+    the tunnel artifact — see bench.py's protocol note).
+    """
+    import time
+
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    if batch is None:
+        batch = args[1].shape[0] if len(args) > 1 else 1
+    for _ in range(warmup):
+        fence(fn(*args))
+    best = 0.0
+    for _ in range(max(1, repeats)):
+        t0 = time.time()
+        for _ in range(iters):
+            out = fn(*args)
+        fence(out)
+        best = max(best, iters * batch / max(time.time() - t0, 1e-9))
+    return best

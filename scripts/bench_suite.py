@@ -17,7 +17,6 @@ import argparse
 import json
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -25,8 +24,8 @@ import jax
 import jax.numpy as jnp
 
 from rajni_tpu.models.vit import get_config, init_params, model_stats, vit_forward
-from rajni_tpu.utils.schedule import normalize_schedule
-from rajni_tpu.utils.timing import fence
+from rajni_tpu.utils.schedule import REFERENCE_SCHEDULE, normalize_schedule
+from rajni_tpu.utils.timing import measure_throughput
 
 README_SCHEDULE = {  # reference README.md:25-30
     3: {"keep_ratio": 0.88}, 4: {"keep_ratio": 0.88},
@@ -60,19 +59,13 @@ def measure(model, schedule, batch, iters, impl, device=None, warmup=3,
         jnp.bfloat16,
     )
     if device is not None:
+        # committed inputs pin execution to the device (jit's `device=`
+        # kwarg is deprecated in jax 0.9)
         params = jax.device_put(params, device)
         imgs = jax.device_put(imgs, device)
-    fwd = jax.jit(vit_forward, static_argnums=(2, 3, 4), device=device)
-    for _ in range(warmup):
-        fence(fwd(params, imgs, cfg, sched, impl))
-    # best-of-3: the shared chip shows ±5-10% run-to-run variance
-    img_s = 0.0
-    for _ in range(3):
-        t0 = time.time()
-        for _ in range(iters):
-            out = fwd(params, imgs, cfg, sched, impl)
-        fence(out)
-        img_s = max(img_s, iters * batch / max(time.time() - t0, 1e-9))
+    fwd = jax.jit(vit_forward, static_argnums=(2, 3, 4))
+    img_s = measure_throughput(fwd, params, imgs, cfg, sched, impl,
+                               iters=iters, warmup=warmup)
     tokens = model_stats(cfg, sched)["token_counts"] if sched else None
     return img_s, tokens
 
@@ -117,10 +110,8 @@ def main():
     # Opt-in int8 record on the headline model (numerics differ from the
     # reference bf16 semantics — reported separately, never as the headline).
     if on_tpu:
-        sched = {3: {"keep_ratio": 0.95, "update": False},
-                 4: {"keep_ratio": 0.95}, 5: {"keep_ratio": 0.85},
-                 6: {"keep_ratio": 0.85}, 7: {"keep_ratio": 0.95}}
-        pruned, _ = measure("vit_base_patch16_224", sched, 256, args.iters,
+        pruned, _ = measure("vit_base_patch16_224", REFERENCE_SCHEDULE,
+                            256, args.iters,
                             impl, quantize=True)
         base, _ = measure("vit_base_patch16_224", None, 256, args.iters,
                           impl, quantize=True)

@@ -86,23 +86,28 @@ def test_synthetic_loader():
     assert batches[0][1].shape == (4,)
 
 
-def test_resize_long_side_truncates_like_torchvision():
+def test_resize_long_side_truncates_like_torchvision(rng):
     """torchvision's Resize computes the scaled long side with int()
     truncation (`_compute_resized_output_size`), not rounding: a 375x499
     image must land on 256x340 (int(256*499/375)=340, round would give 341).
-    """
+
+    Geometry-sensitive: the expected tensor is built by explicitly resizing
+    to (256, 340) and cropping, so a regression to round() (340 -> 341)
+    changes the resampled pixels and fails the exact comparison."""
     from PIL import Image
 
-    from rajni_tpu.data.pipeline import preprocess
+    from rajni_tpu.data.pipeline import (
+        IMAGENET_MEAN, IMAGENET_STD, preprocess)
 
-    im = Image.fromarray(np.zeros((499, 375, 3), np.uint8))  # h=499, w=375
-    # expose the intermediate geometry via a resize-equal-to-crop call: with
-    # crop == resize the crop offsets depend on the resized dims
-    out = preprocess(im, img_size=224, resize=256)
-    assert out.shape == (224, 224, 3)
     assert int(256 * 499 / 375) == 340 and round(256 * 499 / 375) == 341
+    arr = rng.integers(0, 256, (499, 375, 3), dtype=np.uint8)
+    im = Image.fromarray(arr)  # w=375, h=499
 
-    # direct check of the computed geometry
-    w, h = im.size
-    nw, nh = 256, max(1, int(h * 256 / w))
-    assert (nw, nh) == (256, 340)
+    got = preprocess(im, img_size=224, resize=256)
+
+    want = im.resize((256, 340), Image.BICUBIC)  # int()-truncated long side
+    left = int(round((256 - 224) / 2.0))
+    top = int(round((340 - 224) / 2.0))
+    want = want.crop((left, top, left + 224, top + 224))
+    want = (np.asarray(want, np.float32) / 255.0 - IMAGENET_MEAN) / IMAGENET_STD
+    np.testing.assert_array_equal(got, want)

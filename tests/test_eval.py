@@ -65,11 +65,20 @@ def test_warmup_restarts_iterator():
 
 def test_max_batches_cutoff():
     loader = CountingLoader(num_batches=5, batch=4)
-    acc, _ = evaluate_model(
-        identity_model, loader, warmup=0, progress=False, max_batches=2
+    calls = []
+
+    def counting_model(x):
+        calls.append(x.shape)
+        return identity_model(x)
+
+    evaluate_model(
+        counting_model, loader, warmup=0, progress=False, max_batches=2,
+        prefetch=0,
     )
-    # totals only cover the first 2 batches
-    assert loader.batches_served >= 2
+    # the timed loop must stop after exactly max_batches forwards
+    # (reference eval.py:45-46); the loader may be drained further only by
+    # the prefetcher (disabled here)
+    assert len(calls) == 2
 
 
 def test_empty_loader_denominators():
