@@ -1,0 +1,72 @@
+"""AOT model export for serving (StableHLO via ``jax.export``).
+
+Production deployments should not retrace/recompile Python at startup:
+:func:`export_model` ahead-of-time lowers the pruned forward — params baked
+in, schedule/backend resolved — to a serialized StableHLO artifact that a
+serving process rehydrates with :func:`load_exported` and calls directly.
+The artifact is self-contained (weights are constants in the program) and
+platform-checked by ``jax.export`` at load time.
+
+    from rajni_tpu.export import export_model, load_exported
+
+    export_model("vit_b16.rajni", params, config, schedule, batch=256)
+    ...
+    serve_fn = load_exported("vit_b16.rajni")
+    logits = serve_fn(images)        # [256, H, W, 3] -> [256, 1000]
+
+The reference has no serving/export story (SURVEY.md §1 "no serving layer");
+this is TPU-native surface beyond parity.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import export as _jexport
+
+from .models.vit import ViTConfig, vit_forward
+from .utils.schedule import Schedule, normalize_schedule
+
+
+def export_model(
+    path: str,
+    params,
+    config: ViTConfig,
+    schedule: Schedule | None = None,
+    batch: int = 256,
+    dtype: jnp.dtype = jnp.bfloat16,
+    impl: str = "auto",
+) -> None:
+    """AOT-lower the forward (params baked in) and serialize it to ``path``.
+
+    The artifact is specific to (batch, resolution, schedule, platform) —
+    exactly the static tuple one compiled XLA program covers (SURVEY.md §2
+    "critical insight").
+    """
+    schedule = normalize_schedule(schedule, config.depth)
+
+    fn = jax.jit(
+        functools.partial(
+            vit_forward, params, config=config, schedule=schedule, impl=impl
+        )
+    )
+    spec = jax.ShapeDtypeStruct(
+        (batch, config.img_size, config.img_size, 3), dtype
+    )
+    exported = _jexport.export(fn)(spec)
+    with open(path, "wb") as f:
+        f.write(exported.serialize())
+
+
+def load_exported(path: str):
+    """Rehydrate an artifact saved by :func:`export_model`.
+
+    Returns a callable ``images -> logits`` running the pre-lowered program
+    (no Python model code, no retracing; jit-wrapped so repeat calls hit the
+    executable cache).
+    """
+    with open(path, "rb") as f:
+        exported = _jexport.deserialize(f.read())
+    return jax.jit(exported.call)
