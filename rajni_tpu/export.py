@@ -70,3 +70,49 @@ def load_exported(path: str):
     with open(path, "rb") as f:
         exported = _jexport.deserialize(f.read())
     return jax.jit(exported.call)
+
+
+def main(argv=None) -> None:
+    """CLI: ``python -m rajni_tpu.export ckpt.msgpack model.rajni
+    --model vit_base_patch16_224 --schedule sched.json --batch 256``."""
+    import argparse
+
+    from .models.vit import get_config
+    from .params.io import load_params
+    from .utils.schedule import load_schedule
+
+    p = argparse.ArgumentParser("rajni-tpu AOT serving export")
+    p.add_argument("checkpoint", help="params checkpoint (msgpack/orbax)")
+    p.add_argument("output", help="output artifact path (.rajni)")
+    p.add_argument("--model", default="vit_base_patch16_224")
+    p.add_argument("--schedule", default=None, help="pruning schedule JSON")
+    p.add_argument("--batch", type=int, default=256)
+    p.add_argument("--dtype", default="bfloat16",
+                   choices=["bfloat16", "float32"])
+    p.add_argument("--quantize", action="store_true",
+                   help="int8-quantize weights before export (rajni_tpu.quant)")
+    p.add_argument("--kernels", default="auto",
+                   choices=["auto", "xla", "pallas"])
+    args = p.parse_args(argv)
+
+    config = get_config(args.model)
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    params = load_params(args.checkpoint, dtype=dtype)
+    if args.quantize:
+        from .quant import quantize_params
+
+        params = quantize_params(params)
+    schedule = (
+        load_schedule(args.schedule, config.depth) if args.schedule else None
+    )
+    export_model(args.output, params, config, schedule, args.batch, dtype,
+                 args.kernels)
+    import os
+
+    print(f"exported {args.model} (batch {args.batch}, "
+          f"{'int8' if args.quantize else args.dtype}) -> {args.output} "
+          f"({os.path.getsize(args.output) / 1e6:.1f} MB)")
+
+
+if __name__ == "__main__":
+    main()

@@ -39,3 +39,28 @@ def test_export_identity_schedule(tmp_path, rng):
     serve = load_exported(path)
     out = serve(jnp.zeros((1, 16, 16, 3), jnp.float32))
     assert out.shape == (1, 6)
+
+
+def test_export_cli(tmp_path, rng, capsys):
+    """checkpoint → artifact → serve, via the CLI end to end."""
+    import json
+
+    from rajni_tpu.export import main
+    from rajni_tpu.models.vit import get_config
+    from rajni_tpu.params.io import save_params
+
+    tiny_cfg = get_config("vit_tiny_patch16_224")
+    params = init_params(jax.random.key(2), tiny_cfg, jnp.float32)
+    ckpt = str(tmp_path / "p.msgpack")
+    save_params(ckpt, params)
+    sched = tmp_path / "s.json"
+    sched.write_text(json.dumps({"3": {"keep_ratio": 0.9}}))
+    out = str(tmp_path / "m.rajni")
+
+    main([ckpt, out, "--model", "vit_tiny_patch16_224",
+          "--schedule", str(sched), "--batch", "1", "--dtype", "float32"])
+    assert "exported vit_tiny_patch16_224" in capsys.readouterr().out
+
+    serve = load_exported(out)
+    logits = serve(jnp.zeros((1, 224, 224, 3), jnp.float32))
+    assert logits.shape == (1, 1000)
