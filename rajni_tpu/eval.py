@@ -40,13 +40,33 @@ except ImportError:  # pragma: no cover
 
 def _place(x, placement):
     """device_put with a graceful fallback for batches a sharding cannot
-    split (the partial final batch on a data-parallel mesh): the model fn
-    pads and places those itself (parallel.mesh._pad_batch)."""
+    split: the model fn pads and places those itself
+    (parallel.mesh._pad_batch). With :func:`_batch_divisor`-aware padding in
+    the warmup/prefetch paths this fallback should never trigger — it would
+    move the H2D transfer inside the timed region."""
     x = np.asarray(x)
     try:
         return jax.device_put(x, placement)
     except ValueError:
         return x
+
+
+def _batch_divisor(placement) -> int:
+    """Number of shards ``placement`` splits the batch (leading) dim into.
+
+    1 for a plain device; for a ``NamedSharding`` the product of the mesh
+    axes mapped to dim 0. Batches are padded to a multiple of this before
+    ``device_put`` so the DP scatter always succeeds in the untimed region
+    (ADVICE r1: the ``_place`` fallback silently retimed the H2D)."""
+    mesh = getattr(placement, "mesh", None)
+    spec = getattr(placement, "spec", None)
+    if mesh is None or spec is None or len(spec) == 0 or spec[0] is None:
+        return 1
+    axes = spec[0] if isinstance(spec[0], tuple) else (spec[0],)
+    div = 1
+    for a in axes:
+        div *= mesh.shape[a]
+    return div
 
 
 def _pad_to(images: np.ndarray, b: int) -> np.ndarray:
@@ -81,11 +101,14 @@ def _prefetch_to_device(iterator, device, depth: int = 2):
     import collections
 
     buf = collections.deque()
+    div = _batch_divisor(device)
     full_b = None
     for images, labels in iterator:
         images = np.asarray(images)
         if full_b is None:
-            full_b = images.shape[0]
+            # round the compiled batch up to a data-axis multiple so the
+            # DP scatter never falls back to host placement (_place).
+            full_b = -(-images.shape[0] // div) * div
         buf.append(
             (_place(_pad_to(images, full_b), device), np.asarray(labels))
         )
@@ -133,13 +156,19 @@ def evaluate_model(
     if warmup > 0:
         print(f"Warming up {warmup} batches")
         it = iter(dataloader)
+        div = _batch_divisor(placement)
+        warm_b = None  # pad warmup batches exactly like the timed loop so
+        # a tiny dataset's partial batch never compiles a second program
         for _ in range(warmup):
             try:
                 x, _ = next(it)
             except StopIteration:
                 it = iter(dataloader)
                 x, _ = next(it)
-            fence(model(_place(x, placement)))
+            x = np.asarray(x)
+            if warm_b is None:
+                warm_b = -(-x.shape[0] // div) * div
+            fence(model(_place(_pad_to(x, warm_b), placement)))
 
     correct = 0
     total = 0

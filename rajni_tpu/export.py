@@ -38,14 +38,37 @@ def export_model(
     batch: int = 256,
     dtype: jnp.dtype = jnp.bfloat16,
     impl: str = "auto",
+    platform: str = "tpu",
 ) -> None:
     """AOT-lower the forward (params baked in) and serialize it to ``path``.
 
     The artifact is specific to (batch, resolution, schedule, platform) —
     exactly the static tuple one compiled XLA program covers (SURVEY.md §2
-    "critical insight").
+    "critical insight"). ``platform`` pins the target backend explicitly
+    (``jax.export`` stamps it into the artifact and refuses to load
+    elsewhere), and ``impl="auto"`` resolves against it — NOT against the
+    export host's default backend, so a CPU CI host can produce a valid
+    TPU artifact.
     """
     schedule = normalize_schedule(schedule, config.depth)
+
+    if impl == "auto":
+        from .models.vit import _PALLAS_MIN_BATCH
+
+        impl = (
+            "pallas"
+            if platform == "tpu" and batch >= _PALLAS_MIN_BATCH
+            else "xla"
+        )
+    if impl == "pallas" and jax.default_backend() != "tpu":
+        # kernels auto-switch to interpret mode off-TPU (kernels.math.
+        # use_interpret), which would bake python callbacks into the
+        # artifact — unloadable on the serving host. Fail loudly instead.
+        raise ValueError(
+            "impl='pallas' export requires a TPU-attached host (Mosaic "
+            "lowering); export with --kernels xla from this host, or "
+            "export on TPU"
+        )
 
     fn = jax.jit(
         functools.partial(
@@ -55,7 +78,7 @@ def export_model(
     spec = jax.ShapeDtypeStruct(
         (batch, config.img_size, config.img_size, 3), dtype
     )
-    exported = _jexport.export(fn)(spec)
+    exported = _jexport.export(fn, platforms=[platform])(spec)
     with open(path, "wb") as f:
         f.write(exported.serialize())
 
@@ -93,6 +116,9 @@ def main(argv=None) -> None:
                    help="int8-quantize weights before export (rajni_tpu.quant)")
     p.add_argument("--kernels", default="auto",
                    choices=["auto", "xla", "pallas"])
+    p.add_argument("--platform", default="tpu",
+                   choices=["tpu", "cpu", "cuda"],
+                   help="target backend baked into the artifact")
     args = p.parse_args(argv)
 
     config = get_config(args.model)
@@ -106,7 +132,7 @@ def main(argv=None) -> None:
         load_schedule(args.schedule, config.depth) if args.schedule else None
     )
     export_model(args.output, params, config, schedule, args.batch, dtype,
-                 args.kernels)
+                 args.kernels, args.platform)
     import os
 
     print(f"exported {args.model} (batch {args.batch}, "

@@ -43,6 +43,22 @@ def _restore_blocks(obj: Any) -> Any:
     return obj
 
 
+def _cast_tree(obj: Any, dtype: jnp.dtype) -> Any:
+    """Cast every leaf to ``dtype`` — EXCEPT inside int8 quantization
+    records (``{"int8", "scale"}``, see rajni_tpu.quant), whose dtypes are
+    semantic: casting them to bf16 while ``is_quantized`` still routes the
+    block into the int8 kernels would silently corrupt the forward."""
+    from ..quant import is_quantized
+
+    if is_quantized(obj):
+        return {k: jnp.asarray(v) for k, v in obj.items()}
+    if isinstance(obj, dict):
+        return {k: _cast_tree(v, dtype) for k, v in obj.items()}
+    if isinstance(obj, list):
+        return [_cast_tree(v, dtype) for v in obj]
+    return jnp.asarray(obj, dtype=dtype)
+
+
 def load_params(path: str, dtype: jnp.dtype | None = None) -> Params:
     """Load a parameter pytree saved by :func:`save_params` (msgpack file)
     or :func:`save_params_orbax` (directory).
@@ -50,6 +66,8 @@ def load_params(path: str, dtype: jnp.dtype | None = None) -> Params:
     Args:
       path: checkpoint path.
       dtype: optional cast applied to every leaf (bf16 for TPU inference).
+        Int8 quantization records are exempt — their int8/fp32-scale dtypes
+        are part of the format.
     """
     import os
 
@@ -60,9 +78,7 @@ def load_params(path: str, dtype: jnp.dtype | None = None) -> Params:
             raw = serialization.msgpack_restore(f.read())
         params = _restore_blocks(raw)
     if dtype is not None:
-        params = jax.tree_util.tree_map(
-            lambda x: jnp.asarray(x, dtype=dtype), params
-        )
+        params = _cast_tree(params, dtype)
     return params
 
 

@@ -121,3 +121,63 @@ def test_partial_final_batch_padded_not_recompiled(rng):
     acc, tput = evaluate_model(model, Loader(), warmup=0, progress=False)
     assert shapes_seen == {(8, 4, 4, 3)}  # single compiled shape
     assert acc == 100.0  # 11 real images, all "correct"; padding not counted
+
+
+def test_warmup_batches_padded(rng):
+    """Warmup batches go through the same padding as the timed loop, so a
+    tiny dataset's partial batch never compiles a second program during
+    warmup (VERDICT r1 weak #7)."""
+    import jax.numpy as jnp
+
+    shapes_seen = []
+
+    def model(x):
+        shapes_seen.append(tuple(x.shape))
+        return jnp.zeros((x.shape[0], 2))
+
+    class Loader:
+        def __iter__(self):
+            yield (rng.standard_normal((8, 4, 4, 3)).astype(np.float32),
+                   np.zeros(8, np.int64))
+            yield (rng.standard_normal((3, 4, 4, 3)).astype(np.float32),
+                   np.zeros(3, np.int64))
+
+    evaluate_model(model, Loader(), warmup=2, progress=False, max_batches=0)
+    assert set(shapes_seen) == {(8, 4, 4, 3)}
+
+
+def test_batch_divisor_named_sharding():
+    """_batch_divisor reads the data-axis size off a NamedSharding so DP
+    batches are padded to a splittable size before device_put (ADVICE r1)."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from rajni_tpu.eval import _batch_divisor
+    from rajni_tpu.parallel.mesh import make_mesh
+
+    assert _batch_divisor(jax.devices()[0]) == 1
+    mesh = make_mesh(jax.devices(), model=1)
+    assert _batch_divisor(NamedSharding(mesh, P("data"))) == len(jax.devices())
+    assert _batch_divisor(NamedSharding(mesh, P(None, "data"))) == 1
+
+
+def test_dp_partial_batch_placed_untimed():
+    """A batch size that doesn't divide the data axis must still be padded
+    and placed by the prefetcher — never falling back to host arrays (which
+    would move the H2D inside the timed region, ADVICE r1)."""
+    import jax
+
+    from rajni_tpu.eval import _prefetch_to_device
+    from rajni_tpu.parallel.mesh import batch_sharding, make_mesh
+
+    n = len(jax.devices())
+    mesh = make_mesh(jax.devices(), model=1)
+    sharding = batch_sharding(mesh)
+
+    def gen():
+        yield np.zeros((n + 1, 4, 4, 3), np.float32), np.zeros(n + 1)
+        yield np.zeros((3, 4, 4, 3), np.float32), np.zeros(3)
+
+    for images_dev, _labels in _prefetch_to_device(gen(), sharding):
+        assert isinstance(images_dev, jax.Array)  # placed, not host fallback
+        assert images_dev.shape[0] % n == 0

@@ -21,7 +21,8 @@ SCHED = {1: {"keep_ratio": 0.5}}
 def test_export_roundtrip(tmp_path, rng):
     params = init_params(jax.random.key(0), CFG, jnp.float32)
     path = str(tmp_path / "model.rajni")
-    export_model(path, params, CFG, SCHED, batch=2, dtype=jnp.float32)
+    export_model(path, params, CFG, SCHED, batch=2, dtype=jnp.float32,
+                 platform="cpu")
 
     serve = load_exported(path)
     x = jnp.asarray(rng.standard_normal((2, 16, 16, 3)), jnp.float32)
@@ -35,10 +36,47 @@ def test_export_roundtrip(tmp_path, rng):
 def test_export_identity_schedule(tmp_path, rng):
     params = init_params(jax.random.key(1), CFG, jnp.float32)
     path = str(tmp_path / "base.rajni")
-    export_model(path, params, CFG, None, batch=1, dtype=jnp.float32)
+    export_model(path, params, CFG, None, batch=1, dtype=jnp.float32,
+                 platform="cpu")
     serve = load_exported(path)
     out = serve(jnp.zeros((1, 16, 16, 3), jnp.float32))
     assert out.shape == (1, 6)
+
+
+def test_export_platform_stamped(tmp_path, rng):
+    """The artifact is pinned to an explicit target platform (ADVICE r1:
+    platforms= was omitted, silently locking exports to the CI host)."""
+    from jax import export as jexport
+
+    params = init_params(jax.random.key(3), CFG, jnp.float32)
+    path = str(tmp_path / "cpu.rajni")
+    export_model(path, params, CFG, SCHED, batch=2, dtype=jnp.float32,
+                 platform="cpu")
+    with open(path, "rb") as f:
+        exported = jexport.deserialize(f.read())
+    assert exported.platforms == ("cpu",)
+
+
+def test_export_pallas_off_tpu_raises(tmp_path):
+    """impl='pallas' would bake interpret-mode callbacks on a non-TPU host;
+    must fail loudly rather than produce a broken artifact."""
+    import pytest
+
+    params = init_params(jax.random.key(4), CFG, jnp.float32)
+    with pytest.raises(ValueError, match="pallas"):
+        export_model(str(tmp_path / "x.rajni"), params, CFG, None,
+                     batch=2, dtype=jnp.float32, impl="pallas")
+
+
+def test_export_auto_resolves_against_target_platform(tmp_path):
+    """impl='auto' + platform='cpu' must resolve to xla even at batch ≥ 8
+    (resolution is against the target, not the export host)."""
+    params = init_params(jax.random.key(5), CFG, jnp.float32)
+    path = str(tmp_path / "auto_cpu.rajni")
+    export_model(path, params, CFG, None, batch=16, dtype=jnp.float32,
+                 impl="auto", platform="cpu")
+    serve = load_exported(path)
+    assert serve(jnp.zeros((16, 16, 16, 3), jnp.float32)).shape == (16, 6)
 
 
 def test_export_cli(tmp_path, rng, capsys):
@@ -58,7 +96,8 @@ def test_export_cli(tmp_path, rng, capsys):
     out = str(tmp_path / "m.rajni")
 
     main([ckpt, out, "--model", "vit_tiny_patch16_224",
-          "--schedule", str(sched), "--batch", "1", "--dtype", "float32"])
+          "--schedule", str(sched), "--batch", "1", "--dtype", "float32",
+          "--platform", "cpu"])
     assert "exported vit_tiny_patch16_224" in capsys.readouterr().out
 
     serve = load_exported(out)

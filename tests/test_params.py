@@ -189,6 +189,27 @@ def test_load_dtype_cast(oracle, tmp_path):
     assert loaded["cls_token"].dtype == jnp.bfloat16
 
 
+def test_load_dtype_cast_preserves_quantized_records(oracle, tmp_path):
+    """Loading a quantized checkpoint with dtype= must NOT cast the int8
+    weights / fp32 scales (ADVICE r1: a bf16-cast int8 record would still
+    route into the int8 kernels and silently corrupt the forward)."""
+    from rajni_tpu.quant import quantize_params
+
+    params = quantize_params(
+        convert_timm_state_dict(oracle.state_dict(), CFG, np.float32)
+    )
+    path = str(tmp_path / "q.msgpack")
+    save_params(path, params)
+    loaded = load_params(path, dtype=jnp.bfloat16)
+
+    rec = loaded["blocks"][0]["mlp"]["fc1"]["kernel"]
+    assert rec["int8"].dtype == jnp.int8
+    assert rec["scale"].dtype == jnp.float32
+    # non-quantized leaves still get the cast
+    assert loaded["cls_token"].dtype == jnp.bfloat16
+    assert loaded["blocks"][0]["mlp"]["fc1"]["bias"].dtype == jnp.bfloat16
+
+
 def dataclass_replace(cfg, **kw):
     import dataclasses
 
