@@ -108,12 +108,60 @@ VARIANTS: dict[str, ViTConfig] = {
 }
 
 
+# timm size-word → (embed_dim, depth, num_heads, mlp_ratio); the reference
+# CLI forwards ANY timm name (run.py:28-29), so names outside VARIANTS are
+# parsed from the canonical `{family}_{size}_patch{P}_{res}` grammar.
+_SIZE_WORDS: dict[str, tuple[int, int, int, float]] = {
+    "tiny": (192, 12, 3, 4.0),
+    "small": (384, 12, 6, 4.0),
+    "medium": (512, 12, 8, 4.0),
+    "base": (768, 12, 12, 4.0),
+    "large": (1024, 24, 16, 4.0),
+    "huge": (1280, 32, 16, 4.0),
+    "giant": (1408, 40, 16, 48 / 11),
+    "gigantic": (1664, 48, 16, 64 / 13),
+}
+
+
+def _parse_model_name(name: str) -> ViTConfig | None:
+    """`vit_large_patch14_336` → ViTConfig, for names not in VARIANTS."""
+    import re
+
+    m = re.fullmatch(
+        r"(vit|deit|deit3)_([a-z]+)_patch(\d+)_(\d+)", name
+    )
+    if m is None or m.group(2) not in _SIZE_WORDS:
+        return None
+    dim, depth, heads, mlp_ratio = _SIZE_WORDS[m.group(2)]
+    patch, img = int(m.group(3)), int(m.group(4))
+    if img % patch:
+        return None
+    return ViTConfig(
+        img_size=img,
+        patch_size=patch,
+        embed_dim=dim,
+        depth=depth,
+        num_heads=heads,
+        mlp_ratio=mlp_ratio,
+        # deit3 trains with LayerScale (timm init_values=1e-6); the actual
+        # gammas come from the checkpoint, this only shapes init_params.
+        use_layer_scale=m.group(1) == "deit3",
+    )
+
+
 def get_config(name: str) -> ViTConfig:
-    if name not in VARIANTS:
-        raise ValueError(
-            f"unknown model {name!r}; known: {sorted(VARIANTS)}"
-        )
-    return VARIANTS[name]
+    """Resolve a timm model name to a config: registry first, then the
+    `{family}_{size}_patch{P}_{res}` grammar (reference run.py:28-29 accepts
+    any timm name; this is the equivalent open surface)."""
+    if name in VARIANTS:
+        return VARIANTS[name]
+    parsed = _parse_model_name(name)
+    if parsed is not None:
+        return parsed
+    raise ValueError(
+        f"unknown model {name!r}; known: {sorted(VARIANTS)} or any "
+        "'{vit|deit|deit3}_{size}_patch{P}_{res}' timm name"
+    )
 
 
 # --------------------------------------------------------------------------

@@ -64,6 +64,71 @@ def _norm(sd: Mapping[str, Any], prefix: str) -> dict:
     }
 
 
+def _cubic_weights(n_in: int, n_out: int, a: float = -0.75) -> np.ndarray:
+    """Dense 1-D bicubic interpolation matrix ``W [n_out, n_in]`` matching
+    ``torch.nn.functional.interpolate(mode="bicubic", align_corners=False)``
+    — the resampler timm applies to pretrained pos-embeds on a resolution
+    change (upscale path; torch ignores antialias when upscaling).
+
+    torch's bicubic uses the Keys kernel with ``a = -0.75`` (NOT the
+    ``-0.5`` of ``jax.image.resize``) and replicate-clamped borders, so the
+    matrix is built explicitly rather than via jax.image.
+    """
+
+    def kernel(t: np.ndarray) -> np.ndarray:
+        at = np.abs(t)
+        w = np.where(
+            at <= 1.0,
+            (a + 2.0) * at**3 - (a + 3.0) * at**2 + 1.0,
+            np.where(
+                at < 2.0,
+                a * at**3 - 5.0 * a * at**2 + 8.0 * a * at - 4.0 * a,
+                0.0,
+            ),
+        )
+        return w
+
+    W = np.zeros((n_out, n_in), np.float64)
+    scale = n_in / n_out
+    for i in range(n_out):
+        x = (i + 0.5) * scale - 0.5
+        x0 = int(np.floor(x))
+        for k in range(-1, 3):
+            idx = min(max(x0 + k, 0), n_in - 1)  # replicate border
+            W[i, idx] += kernel(np.asarray(x - (x0 + k)))
+    return W
+
+
+def resample_pos_embed(
+    pos_embed: np.ndarray, new_tokens: int, num_prefix: int = 1
+) -> np.ndarray:
+    """Bicubic-resample a ``[1, N, C]`` absolute pos-embed to a new square
+    grid, keeping the ``num_prefix`` leading (CLS) embeds unchanged.
+
+    Matches timm's ``resample_abs_pos_embed`` (which the reference inherits
+    via ``timm.create_model(..., img_size=...)`` — run.py:89): separate the
+    prefix, reshape the patch grid square, ``F.interpolate(bicubic,
+    align_corners=False)`` in fp32, re-flatten, re-attach the prefix.
+    """
+    pe = np.asarray(pos_embed, np.float32)
+    prefix, grid = pe[:, :num_prefix], pe[:, num_prefix:]
+    n_old = grid.shape[1]
+    n_new = new_tokens - num_prefix
+    g_old = int(round(n_old**0.5))
+    g_new = int(round(n_new**0.5))
+    if g_old * g_old != n_old or g_new * g_new != n_new:
+        raise ValueError(
+            f"pos_embed grids must be square: {n_old} -> {n_new} patches"
+        )
+    C = grid.shape[-1]
+    grid = grid.reshape(g_old, g_old, C)
+    W = _cubic_weights(g_old, g_new).astype(np.float32)
+    # separable bicubic: rows then columns, each a dense matmul over the grid
+    grid = np.einsum("oh,hwc->owc", W, grid)
+    grid = np.einsum("ow,hwc->hoc", W, grid)
+    return np.concatenate([prefix, grid.reshape(1, n_new, C)], axis=1)
+
+
 def convert_timm_state_dict(
     state_dict: Mapping[str, Any],
     config: ViTConfig,
@@ -116,11 +181,16 @@ def convert_timm_state_dict(
     kernel = conv_w.transpose(2, 3, 1, 0).reshape(P * P * config.in_chans, C)
 
     pos_embed = _to_numpy(sd["pos_embed"])
-    if pos_embed.shape != (1, config.num_tokens, C):
+    if pos_embed.shape[-1] != C or pos_embed.ndim != 3:
         raise ValueError(
-            f"pos_embed shape {pos_embed.shape} != (1, {config.num_tokens}, "
-            f"{C}) — resolution mismatch (interpolation not implemented)"
+            f"pos_embed shape {pos_embed.shape} incompatible with C={C}"
         )
+    if pos_embed.shape[1] != config.num_tokens:
+        # Resolution transfer: e.g. a 224-pretrained checkpoint (N=197)
+        # loaded into a 384 config (N=577). timm does this inside
+        # create_model (reference run.py:89 with any --model); here the
+        # converter resamples explicitly with the same bicubic recipe.
+        pos_embed = resample_pos_embed(pos_embed, config.num_tokens)
 
     params: Params = {
         "patch_embed": {
