@@ -7,6 +7,7 @@ Public API surface mirrors the reference package
 ``compute_importance`` keep their names.
 """
 
+from .attest import check_fixture, load_fixture, save_fixture
 from .eval import evaluate_model
 from .models.wrapper import RAJNIViT
 from .models.vit import (
@@ -15,6 +16,7 @@ from .models.vit import (
     get_config,
     init_params,
     model_stats,
+    vit_activations,
     vit_forward,
 )
 from .ops.attention import attention, pruned_attention
@@ -36,8 +38,12 @@ __all__ = [
     "ViTConfig",
     "PruneSpec",
     "attention",
+    "check_fixture",
     "compute_importance",
     "evaluate_model",
+    "load_fixture",
+    "save_fixture",
+    "vit_activations",
     "gather_tokens",
     "get_config",
     "init_params",

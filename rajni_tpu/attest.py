@@ -1,0 +1,247 @@
+"""Accuracy attestation: captured-logits fixtures + drift reports.
+
+The north-star claim is "≥2× img/s at ≤0.5% ImageNet top-1 drop"
+(BASELINE.md). The throughput half is measured by ``bench.py``; this module
+is the machinery for the accuracy half (VERDICT r1 "what's missing" #1):
+
+1. **Fixture format** — a single ``.npz`` capturing a reference model's
+   behavior on a pinned set of inputs: preprocessed images, the reference
+   logits, the model name, and the pruning schedule. A fixture captured
+   from the original torch implementation (``/root/reference/rajni``) can
+   be dropped into ``tests/fixtures/`` and is then replayed against this
+   framework automatically (tests/test_attest.py), turning "same model"
+   from a structural argument into a measured one.
+2. **Checker** — :func:`check_fixture` runs this framework's forward on the
+   fixture images and reports max/mean logit deviation and top-1 agreement
+   against the captured reference logits.
+3. **CLI** — ``python -m rajni_tpu.attest fixture.npz --checkpoint p.msgpack``
+   prints the report and exits non-zero when agreement falls below
+   ``--min_agreement`` (CI-friendly).
+
+Capture side: :func:`save_fixture` works with logits from *any* source —
+this framework (self-fixtures pinning today's behavior against regressions)
+or a torch run of the reference (parity attestation). Images are stored
+**preprocessed** (post resize/crop/normalize, NHWC fp32) so the fixture
+tests the model, not the data pipeline (that has its own oracle,
+tests/test_native.py).
+
+Reference behavior being attested: the pretrained-weight eval path at
+``/root/reference/rajni/run.py:89-131`` (model + schedule → top-1).
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any, Mapping
+
+import numpy as np
+
+FIXTURE_VERSION = 1
+
+
+def save_fixture(
+    path: str,
+    images: np.ndarray,
+    logits: np.ndarray,
+    model: str,
+    schedule: Mapping[int, Any] | None = None,
+    source: str = "",
+) -> None:
+    """Write a captured-logits fixture.
+
+    Args:
+      path: output ``.npz`` path.
+      images: ``[n, H, W, 3]`` preprocessed (normalized) images, NHWC fp32.
+      logits: ``[n, num_classes]`` reference logits for those images.
+      model: timm model name (resolvable by ``get_config``).
+      schedule: pruning schedule dict (``None`` = unpruned base model).
+      source: free-text provenance (e.g. "reference torch fp32 cuda").
+    """
+    images = np.asarray(images, np.float32)
+    logits = np.asarray(logits, np.float32)
+    if images.ndim != 4 or images.shape[-1] != 3:
+        raise ValueError(f"images must be [n, H, W, 3] NHWC, got {images.shape}")
+    if logits.shape[0] != images.shape[0]:
+        raise ValueError("images/logits length mismatch")
+    from .utils.schedule import schedule_to_dict
+
+    sched_json = (
+        json.dumps({int(k): dict(v) for k, v in schedule_to_dict(
+            schedule if isinstance(schedule, (list, tuple)) else
+            _normalized(schedule, model)
+        ).items()})
+        if schedule is not None else "null"
+    )
+    np.savez_compressed(
+        path,
+        version=FIXTURE_VERSION,
+        images=images,
+        logits=logits,
+        model=np.str_(model),
+        schedule=np.str_(sched_json),
+        source=np.str_(source),
+    )
+
+
+def _normalized(schedule, model: str):
+    from .models.vit import get_config
+    from .utils.schedule import normalize_schedule
+
+    return normalize_schedule(schedule, get_config(model).depth)
+
+
+def load_fixture(path: str) -> dict:
+    """Load a fixture saved by :func:`save_fixture` → dict with ``images``,
+    ``logits``, ``model``, ``schedule`` (dict or None), ``source``."""
+    with np.load(path, allow_pickle=False) as z:
+        version = int(z["version"])
+        if version > FIXTURE_VERSION:
+            raise ValueError(f"fixture version {version} > {FIXTURE_VERSION}")
+        sched = json.loads(str(z["schedule"]))
+        return {
+            "images": z["images"],
+            "logits": z["logits"],
+            "model": str(z["model"]),
+            "schedule": (
+                {int(k): v for k, v in sched.items()} if sched else None
+            ),
+            "source": str(z["source"]),
+        }
+
+
+def check_fixture(
+    fixture: str | dict,
+    params,
+    dtype=None,
+    impl: str = "xla",
+    batch: int | None = None,
+) -> dict:
+    """Replay a fixture through this framework and report the deviation.
+
+    Returns ``{"n", "top1_agreement", "max_abs_diff", "mean_abs_diff",
+    "model", "source"}`` where ``top1_agreement`` is the fraction of images
+    whose argmax matches the captured reference logits — the quantity the
+    ≤0.5%-drop claim rides on (argmax agreement ≥ 1 - drop).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from .models.vit import get_config, vit_forward
+    from .utils.schedule import normalize_schedule
+
+    fix = load_fixture(fixture) if isinstance(fixture, str) else fixture
+    config = get_config(fix["model"])
+    schedule = normalize_schedule(fix["schedule"], config.depth)
+    images = np.asarray(fix["images"], np.float32)
+    ref = np.asarray(fix["logits"], np.float32)
+    n = images.shape[0]
+    if batch is None:
+        batch = n
+
+    if dtype is not None:
+        params = jax.tree_util.tree_map(
+            lambda x: x if not hasattr(x, "astype") else jnp.asarray(x, dtype),
+            params,
+        )
+    fn = jax.jit(vit_forward, static_argnums=(2, 3, 4))
+
+    outs = []
+    for i in range(0, n, batch):
+        chunk = images[i: i + batch]
+        pad = batch - chunk.shape[0]
+        if pad > 0:  # keep one compiled shape
+            chunk = np.concatenate(
+                [chunk, np.zeros((pad,) + chunk.shape[1:], chunk.dtype)]
+            )
+        out = np.asarray(
+            fn(params, jnp.asarray(chunk), config, schedule, impl),
+            np.float32,
+        )
+        outs.append(out[: out.shape[0] - pad if pad else None])
+    got = np.concatenate(outs)[:n]
+
+    diff = np.abs(got - ref)
+    return {
+        "n": int(n),
+        "top1_agreement": float((got.argmax(1) == ref.argmax(1)).mean()),
+        "max_abs_diff": float(diff.max()),
+        "mean_abs_diff": float(diff.mean()),
+        "model": fix["model"],
+        "source": fix["source"],
+    }
+
+
+def capture_self_fixture(
+    path: str,
+    params,
+    model: str,
+    schedule=None,
+    n: int = 32,
+    seed: int = 0,
+    impl: str = "xla",
+) -> dict:
+    """Capture THIS framework's fp32 logits on random normalized images as a
+    fixture — a behavioral pin against future regressions (run once after a
+    verified build; any later semantic drift fails the replay)."""
+    import jax
+    import jax.numpy as jnp
+
+    from .models.vit import get_config, vit_forward
+    from .utils.schedule import normalize_schedule
+
+    config = get_config(model)
+    rng = np.random.default_rng(seed)
+    images = rng.standard_normal(
+        (n, config.img_size, config.img_size, 3)
+    ).astype(np.float32)
+    sched = normalize_schedule(schedule, config.depth)
+    logits = np.asarray(
+        jax.jit(vit_forward, static_argnums=(2, 3, 4))(
+            params, jnp.asarray(images), config, sched, impl
+        ),
+        np.float32,
+    )
+    save_fixture(path, images, logits, model, schedule,
+                 source=f"rajni-tpu self fp32 {impl}")
+    return {"n": n, "path": path}
+
+
+def main(argv=None) -> None:
+    """CLI: replay a fixture against a checkpoint and gate on agreement."""
+    import argparse
+
+    p = argparse.ArgumentParser("rajni-tpu accuracy attestation")
+    p.add_argument("fixture", help="captured-logits .npz fixture")
+    p.add_argument("--checkpoint", required=True,
+                   help="params checkpoint (msgpack/orbax/.pth)")
+    p.add_argument("--dtype", default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="activation/param dtype to attest (bf16 = the "
+                        "serving configuration)")
+    p.add_argument("--kernels", default="xla",
+                   choices=["xla", "pallas", "auto"])
+    p.add_argument("--batch", type=int, default=None)
+    p.add_argument("--min_agreement", type=float, default=0.995,
+                   help="fail (exit 1) below this top-1 agreement "
+                        "(0.995 = the ≤0.5%% drop north star)")
+    args = p.parse_args(argv)
+
+    import jax.numpy as jnp
+
+    from .params.io import load_checkpoint_auto
+
+    fix = load_fixture(args.fixture)
+    dtype = jnp.float32 if args.dtype == "float32" else jnp.bfloat16
+    params = load_checkpoint_auto(args.checkpoint, fix["model"], dtype=dtype)
+    report = check_fixture(fix, params, impl=args.kernels, batch=args.batch)
+    report["dtype"] = args.dtype
+    print(json.dumps(report))
+    if report["top1_agreement"] < args.min_agreement:
+        raise SystemExit(
+            f"top-1 agreement {report['top1_agreement']:.4f} < "
+            f"{args.min_agreement}"
+        )
+
+
+if __name__ == "__main__":
+    main()

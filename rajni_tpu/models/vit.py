@@ -394,6 +394,7 @@ def vit_forward(
     config: ViTConfig,
     schedule: Schedule | None = None,
     impl: str = "xla",
+    _tap=None,
 ) -> jax.Array:
     """Pruned ViT forward: ``[B, H, W, 3] -> [B, num_classes]`` logits.
 
@@ -409,6 +410,10 @@ def vit_forward(
     The per-block token counts are a compile-time constant of
     ``(config, schedule)`` — retrieve them with :func:`model_stats` (the
     reference's ``get_last_stats`` contract, model.py:25-28).
+
+    ``_tap``, when given, is called as ``_tap(block_idx, x)`` with each
+    block's output activations — the capture hook behind
+    :func:`vit_activations` (attestation/debug; not for jitted hot paths).
     """
     schedule = normalize_schedule(schedule, config.depth)
     B = images.shape[0]
@@ -421,7 +426,7 @@ def vit_forward(
     x = x + params["pos_embed"][:, : x.shape[1]]
 
     scores: jax.Array | None = None
-    for spec, block in zip(schedule, params["blocks"]):
+    for blk_i, (spec, block) in enumerate(zip(schedule, params["blocks"])):
         if spec is not None:
             n = x.shape[1]
             keep = keep_count(spec.keep_ratio, n)
@@ -468,6 +473,8 @@ def vit_forward(
                         with_scores,
                     )
                     x = _mlp_branch(x, block, config, impl)
+                    if _tap is not None:
+                        _tap(blk_i, x)
                     continue
                 if quantized:
                     qkv, new_scores = fused_ln_qkv_int8(
@@ -545,6 +552,8 @@ def vit_forward(
         else:
             x = stock_block(x, block, config, impl)
             scores = None  # invalidate: token layout unchanged (model.py:63)
+        if _tap is not None:
+            _tap(blk_i, x)
 
     # Final norm + head on the CLS token only (reference model.py:65-66).
     # LayerNorm is per-token, so norm(x)[:, 0] ≡ norm(x[:, 0:1])[:, 0] —
@@ -553,6 +562,28 @@ def vit_forward(
         x[:, 0:1], params["norm"], config.layer_norm_eps
     )[:, 0]
     return cls_out @ params["head"]["kernel"] + params["head"]["bias"]
+
+
+def vit_activations(
+    params: Params,
+    images: jax.Array,
+    config: ViTConfig,
+    schedule: Schedule | None = None,
+    impl: str = "xla",
+) -> tuple[list[jax.Array], jax.Array]:
+    """Forward returning ``(per_block_outputs, logits)``.
+
+    The attestation capture path (bf16-vs-fp32 drift measurement at real
+    model geometry, tests/test_attest.py): each entry is the residual
+    stream after block *i*, shape ``[B, N_i, C]`` with ``N_i`` following
+    the schedule's token-count trace.
+    """
+    acts: list[jax.Array] = []
+    logits = vit_forward(
+        params, images, config, schedule, impl,
+        _tap=lambda i, x: acts.append(x),
+    )
+    return acts, logits
 
 
 def model_stats(config: ViTConfig, schedule: Schedule | None = None) -> dict:

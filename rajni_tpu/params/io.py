@@ -82,6 +82,30 @@ def load_params(path: str, dtype: jnp.dtype | None = None) -> Params:
     return params
 
 
+def load_checkpoint_auto(
+    path: str, model: str, dtype: jnp.dtype | None = None
+) -> Params:
+    """One-stop checkpoint loader: native msgpack/orbax checkpoints load
+    directly; torch ``.pth``/``.pt``/``.bin`` files are converted on the fly
+    (timm state_dict → pytree, pos-embed resampled on resolution mismatch).
+
+    This is the "point at a .pth and eval" path the reference gets from timm
+    (`/root/reference/rajni/run.py:89-92`): ``python -m rajni_tpu.run
+    --checkpoint vit_b.pth --model vit_base_patch16_224 ...`` just works.
+    """
+    if path.endswith((".pth", ".pt", ".bin")):
+        from ..models.vit import get_config
+        from .convert import convert_timm_state_dict, load_torch_checkpoint
+
+        params = convert_timm_state_dict(
+            load_torch_checkpoint(path), get_config(model)
+        )
+        if dtype is not None:
+            params = _cast_tree(params, dtype)
+        return params
+    return load_params(path, dtype=dtype)
+
+
 def save_params_orbax(path: str, params: Params) -> None:
     """Alternative backend: Orbax checkpoint directory (sharded-friendly;
     use for multi-host or very large models where msgpack's single-file

@@ -69,7 +69,9 @@ def get_args(argv=None):
     parser.add_argument("--dtype", type=str, default="bfloat16",
                         choices=["bfloat16", "float32"])
     parser.add_argument("--checkpoint", type=str, default=None,
-                        help="Converted params checkpoint (msgpack/orbax)")
+                        help="Params checkpoint: native msgpack/orbax, or a "
+                             "raw torch .pth/.pt (timm state_dict, converted "
+                             "on the fly incl. pos-embed resampling)")
     parser.add_argument("--synthetic", type=int, default=None, metavar="N",
                         help="Use N synthetic batches instead of --data_path")
     parser.add_argument("--data_parallel", action="store_true",
@@ -169,9 +171,9 @@ def main(argv=None):
 
     # ---- Params ----
     if args.checkpoint:
-        from .params.io import load_params
+        from .params.io import load_checkpoint_auto
 
-        params = load_params(args.checkpoint, dtype=dtype)
+        params = load_checkpoint_auto(args.checkpoint, args.model, dtype=dtype)
         print(f"Loaded params from {args.checkpoint}")
     else:
         params = init_params(jax.random.key(args.seed), config, dtype)
