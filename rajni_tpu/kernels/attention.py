@@ -57,7 +57,7 @@ def _mha_kernel(qkv_ref, out_ref, *, num_heads: int, scale: float):
         ) * scale  # [N, N] fp32, VMEM-resident
         m = jnp.max(logits, axis=-1, keepdims=True)
         p = jnp.exp(logits - m)
-        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        p = p * (1.0 / jnp.sum(p, axis=-1, keepdims=True))
 
         out = jax.lax.dot_general(
             p.astype(v.dtype), v,
