@@ -41,8 +41,24 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .math import gelu_fast
+from .math import quantize_cols as _quantize_cols
 from .math import quantize_rows as _quantize_rows
 from .math import use_interpret as _use_interpret
+
+
+def _col_to_row(col):
+    """``[N, 1]`` fp32 column → ``[1, N]`` row via an eye-masked reduce.
+
+    Mosaic has no cheap sublane↔lane vector transpose; the masked [N, N]
+    elementwise reduce is small next to any adjacent [N, N] matmul."""
+    N = col.shape[0]
+    iota_l = jax.lax.broadcasted_iota(jnp.int32, (N, N), 1)
+    iota_s = jax.lax.broadcasted_iota(jnp.int32, (N, N), 0)
+    eye_f = (iota_l == iota_s).astype(jnp.float32)
+    return jnp.sum(
+        eye_f * jnp.broadcast_to(col, (N, N)), axis=0, keepdims=True
+    )
 
 
 def _layer_norm_f32(x32, scale_ref, bias_ref, eps):
@@ -76,6 +92,59 @@ def _mha(qkv, num_heads: int, scale: float, out_dtype):
                 p.astype(qkv.dtype), v, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
+        )
+    return jnp.concatenate(outs, axis=-1).astype(out_dtype)
+
+
+def _mha_int8(qkv32, num_heads: int, scale: float, out_dtype):
+    """Per-head SDPA with BOTH matmuls on the int8 MXU: ``[N, 3C]`` fp32
+    packed QKV → ``[N, C]``.
+
+    Quantization layout (chosen so every dequant factor moves outside the
+    contractions):
+      * q, k: symmetric per-token-row int8 over the full ``C`` row (one
+        scale per token, shared across heads — one VPU pass instead of H);
+        the k scales become the logits' column scales via :func:`_col_to_row`.
+      * softmax: fp32 on the VPU. The normalizer is FOLDED INTO THE DEQUANT:
+        ``exp(l - max)`` has row-max exactly 1, so ``p_q = round(127·exp)``
+        is already the per-row int8 quantization of the softmax with scale
+        ``1/(127·Σexp)`` — the usual normalize multiply disappears.
+      * v: symmetric per-channel (column) int8, constant along the contracted
+        token axis, so ``p @ v`` dequantizes as ``acc · p_scale[i] · v_scale[j]``.
+
+    Numerics: weight-int8 error already dominates (the int8 path is the
+    opt-in :mod:`rajni_tpu.quant` mode); the extra SDPA quantization adds
+    ≤1% relative logit error at ViT geometry (tests/test_quant.py bounds).
+    The reference SDPA being replaced: attention.py:47-56.
+    """
+    N, three_c = qkv32.shape
+    C = three_c // 3
+    D = C // num_heads
+
+    q_all, qs = _quantize_rows(qkv32[:, :C])        # [N, C] int8, [N, 1]
+    k_all, ks = _quantize_rows(qkv32[:, C:2 * C])
+    v_all, vs = _quantize_cols(qkv32[:, 2 * C:])    # [N, C] int8, [1, C]
+    ks_row = _col_to_row(ks)                        # [1, N]
+    q_deq = qs * scale                              # [N, 1]
+
+    outs = []
+    for h in range(num_heads):
+        acc = jax.lax.dot_general(
+            q_all[:, h * D:(h + 1) * D], k_all[:, h * D:(h + 1) * D],
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32)
+        logits = acc * q_deq * ks_row               # [N, N] fp32
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        e = jnp.exp(logits - m)
+        s = jnp.sum(e, axis=-1, keepdims=True)
+        p_q = jnp.round(e * 127.0).astype(jnp.int8)  # rows scale 1/(127·s)
+        acc2 = jax.lax.dot_general(
+            p_q, v_all[:, h * D:(h + 1) * D], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32)
+        outs.append(
+            acc2 * (1.0 / (127.0 * s)) * vs[:, h * D:(h + 1) * D]
         )
     return jnp.concatenate(outs, axis=-1).astype(out_dtype)
 
@@ -683,6 +752,93 @@ def fused_gather_sdpa_proj_residual(
     )
 
 
+def _gather_attn_int8_kernel(
+    qkv_ref, sel_ref, x_ref, wproj_ref, sproj_ref, bproj_ref, ls_ref,
+    out_ref, *, num_heads: int, scale: float,
+):
+    """Int8 variant of :func:`_gather_attn_kernel`: SDPA and the output
+    projection both run on the int8 MXU (the gather matmuls stay bf16 —
+    one-hot rows quantize trivially but gain nothing)."""
+    sel = sel_ref[0]  # [K, N] one-hot rows
+    qkv_g32 = jax.lax.dot_general(
+        sel, qkv_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [K, 3C] fp32
+    x_g32 = jax.lax.dot_general(
+        sel, x_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [K, C]
+
+    attn = _mha_int8(qkv_g32, num_heads, scale, jnp.float32)
+    out = _int8_matmul(attn, wproj_ref, sproj_ref)
+    out = out + bproj_ref[:].astype(jnp.float32)
+    out = out * ls_ref[:].astype(jnp.float32)
+    out_ref[0] = (x_g32 + out).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads", "scale"))
+def fused_gather_sdpa_proj_residual_int8(
+    qkv: jax.Array,
+    sel: jax.Array,
+    x: jax.Array,
+    proj_params,
+    ls: jax.Array | None,
+    num_heads: int,
+    scale: float,
+) -> jax.Array:
+    """Int8 pruned attention tail (two-kernel fallback path): like
+    :func:`fused_gather_sdpa_proj_residual` but with the SDPA and output
+    projection on the int8 MXU. ``proj_params["kernel"]`` is a
+    :func:`rajni_tpu.quant.quantize_weight` record. Falls back to the
+    dequantized bf16 chunked kernel when the fast VMEM estimate fails
+    (caller's responsibility — see ``vit_forward``)."""
+    B, N, three_c = qkv.shape
+    C = three_c // 3
+    K = sel.shape[1]
+    wproj = proj_params["kernel"]
+    if ls is None:
+        ls = jnp.ones((C,), x.dtype)
+
+    return pl.pallas_call(
+        functools.partial(
+            _gather_attn_int8_kernel, num_heads=num_heads, scale=scale
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, K, C), x.dtype),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, N, three_c), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, K, N), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N, C), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, C), lambda b: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), lambda b: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), lambda b: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), lambda b: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, K, C), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
+        interpret=_use_interpret(),
+    )(
+        qkv,
+        sel,
+        x,
+        wproj["int8"],
+        wproj["scale"].reshape(1, C),
+        proj_params["bias"].reshape(1, C),
+        ls.reshape(1, C),
+    )
+
+
 # --------------------------------------------------------------------------
 # Int8 variants (weights quantized per output channel; activations
 # dynamically quantized per token row — see rajni_tpu.quant)
@@ -709,7 +865,7 @@ def _attn_block_int8_kernel(
     qkv = _int8_matmul(y, wqkv_ref, sqkv_ref) + bqkv_ref[:].astype(
         jnp.float32
     )
-    attn = _mha(qkv.astype(x_ref.dtype), num_heads, scale, x_ref.dtype)
+    attn = _mha_int8(qkv, num_heads, scale, x_ref.dtype)
     out = _int8_matmul(attn.astype(jnp.float32), wproj_ref, sproj_ref)
     out = out + bproj_ref[:].astype(jnp.float32)
     out = out * ls_ref[:].astype(jnp.float32)
@@ -868,8 +1024,6 @@ def _pruned_block_kernel(
     *, num_heads: int, scale: float, eps: float, with_scores: bool,
 ):
     dtype = x_ref.dtype
-    N = x_ref.shape[1]
-    C = out_ref.shape[-1]
     K = out_ref.shape[1]
 
     x32 = x_ref[0].astype(jnp.float32)
@@ -883,13 +1037,7 @@ def _pruned_block_kernel(
     else:
         # reuse threaded scores (reference attention.py:25-28); convert the
         # [N, 1] column input to a row with an eye-masked reduce
-        col = pscores_ref[0]  # [N, 1]
-        iota_l = jax.lax.broadcasted_iota(jnp.int32, (N, N), 1)
-        iota_s = jax.lax.broadcasted_iota(jnp.int32, (N, N), 0)
-        eye_f = (iota_l == iota_s).astype(jnp.float32)
-        s_row = jnp.sum(
-            eye_f * jnp.broadcast_to(col, (N, N)), axis=0, keepdims=True
-        )
+        s_row = _col_to_row(pscores_ref[0])
 
     sel, _, next_scores = _select_from_scores(s_row, K, dtype)
 
@@ -1011,13 +1159,207 @@ def fused_pruned_attn_block(
     return out, ns[..., 0]
 
 
+# --------------------------------------------------------------------------
+# Whole pruned block in ONE kernel (attention half + MLP): neither the QKV
+# nor the compacted [K, C] inter-half activation ever reaches HBM
+# --------------------------------------------------------------------------
+
+
+def _pruned_block_full_int8_kernel(
+    x_ref, ln1s_ref, ln1b_ref, wqkv_ref, sqkv_ref, bqkv_ref,
+    wproj_ref, sproj_ref, bproj_ref, ls1_ref,
+    ln2s_ref, ln2b_ref, w1_ref, s1_ref, b1_ref, w2_ref, s2_ref, b2_ref,
+    ls2_ref, pscores_ref, out_ref, ns_ref,
+    *, num_heads: int, scale: float, eps: float, with_scores: bool,
+):
+    dtype = x_ref.dtype
+    K = out_ref.shape[1]
+
+    # ---- attention half (reference model.py:51-58) ----
+    x32 = x_ref[0].astype(jnp.float32)
+    y = _layer_norm_f32(x32, ln1s_ref, ln1b_ref, eps)
+    qkv = _int8_matmul(y, wqkv_ref, sqkv_ref) + bqkv_ref[:].astype(
+        jnp.float32
+    )
+    qkv = qkv.astype(dtype).astype(jnp.float32)  # bf16 storage rounding
+
+    if with_scores:
+        s_row = _importance_f32(qkv, num_heads)[None, :]
+    else:
+        s_row = _col_to_row(pscores_ref[0])
+    sel, _, next_scores = _select_from_scores(s_row, K, jnp.float32)
+
+    qkv_g32 = jax.lax.dot_general(
+        sel, qkv, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    x_g32 = jax.lax.dot_general(
+        sel, x32, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    attn = _mha_int8(qkv_g32, num_heads, scale, jnp.float32)
+    out = _int8_matmul(attn, wproj_ref, sproj_ref)
+    out = out + bproj_ref[:].astype(jnp.float32)
+    x_mid = x_g32 + out * ls1_ref[:].astype(jnp.float32)  # [K, C] fp32
+
+    # ---- MLP half (reference model.py:59), VMEM-resident ----
+    y2 = _layer_norm_f32(
+        x_mid.astype(dtype).astype(jnp.float32), ln2s_ref, ln2b_ref, eps
+    )
+    y2_q, a1 = _quantize_rows(y2)
+    h = jax.lax.dot_general(
+        y2_q, w1_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    ).astype(jnp.float32)
+    h = gelu_fast(h * a1 * s1_ref[:] + b1_ref[:].astype(jnp.float32))
+    h_q, a2 = _quantize_rows(h)
+    out2 = jax.lax.dot_general(
+        h_q, w2_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    ).astype(jnp.float32)
+    out2 = out2 * a2 * s2_ref[:] + b2_ref[:].astype(jnp.float32)
+    out_ref[0] = (
+        x_mid.astype(dtype).astype(jnp.float32)
+        + out2 * ls2_ref[:].astype(jnp.float32)
+    ).astype(out_ref.dtype)
+    ns_ref[0] = next_scores
+
+
+def _full_block_fits_int8(
+    N: int, K: int, C: int, hidden: int, itemsize: int
+) -> bool:
+    """VMEM estimate for the whole-block int8 kernel: double-buffered IO +
+    resident int8 weights + the largest simultaneously-live fp32 values."""
+    io = 2 * (N * C + K * C + 2 * N) * itemsize
+    weights = 4 * C * C + 2 * C * hidden  # int8 bytes
+    scales = (3 * C + C + hidden + C) * 4
+    live = (
+        N * 3 * C * 4          # qkv fp32
+        + 4 * N * N * 4        # selection masks
+        + K * 3 * C * 4        # gathered qkv
+        + K * hidden * 4       # MLP hidden fp32
+        + 3 * K * C * 4        # x_mid / attn / out2
+    )
+    return io + weights + scales + live <= _VMEM_BUDGET
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_heads", "keep", "scale", "eps",
+                              "with_scores")
+)
+def fused_pruned_block_full_int8(
+    x: jax.Array,
+    block_params,
+    prev_scores: jax.Array | None,
+    num_heads: int,
+    keep: int,
+    scale: float,
+    eps: float = 1e-6,
+    with_scores: bool = True,
+) -> tuple[jax.Array, jax.Array]:
+    """ENTIRE pruned ViT block in one kernel per image (int8 weights):
+    LN1 → int8 QKV → RAJNI scoring → selection → gather → int8 SDPA →
+    int8 proj → residual → LN2 → int8 fc1 → GELU → int8 fc2 → residual
+    (reference model.py:51-59 + attention.py:17-60 in a single program).
+
+    Versus :func:`fused_pruned_attn_block_int8` + the int8 MLP kernel this
+    saves a [B, K, C] HBM write + read per pruned block (~120 MB of HBM
+    traffic per block at batch-256 ViT-B) and one kernel launch; the int8
+    weight records (7.1 MB for ViT-B vs 14.2 bf16) are what make the whole
+    block's weights VMEM-resident.
+
+    ``block_params`` is one entry of ``params["blocks"]`` with quantized
+    kernels. Returns ``(x_out [B, K, C], next_scores [B, K])``.
+    """
+    B, N, C = x.shape
+    K = keep + 1
+    attn_p = block_params["attn"]
+    mlp_p = block_params["mlp"]
+    wqkv = attn_p["qkv"]["kernel"]
+    wproj = attn_p["proj"]["kernel"]
+    w1 = mlp_p["fc1"]["kernel"]
+    w2 = mlp_p["fc2"]["kernel"]
+    hidden = w1["int8"].shape[1]
+    ls1 = block_params.get("ls1")
+    ls2 = block_params.get("ls2")
+    if ls1 is None:
+        ls1 = jnp.ones((C,), x.dtype)
+    if ls2 is None:
+        ls2 = jnp.ones((C,), x.dtype)
+    if prev_scores is None:
+        prev_scores = jnp.zeros((B, N), jnp.float32)
+
+    vec = lambda n: pl.BlockSpec(  # noqa: E731
+        (1, n), lambda b: (0, 0), memory_space=pltpu.VMEM
+    )
+    mat = lambda s: pl.BlockSpec(  # noqa: E731
+        s, lambda b: (0, 0), memory_space=pltpu.VMEM
+    )
+    out, ns = pl.pallas_call(
+        functools.partial(
+            _pruned_block_full_int8_kernel, num_heads=num_heads,
+            scale=scale, eps=eps, with_scores=with_scores,
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, K, C), x.dtype),
+            jax.ShapeDtypeStruct((B, K, 1), jnp.float32),
+        ),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, N, C), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            vec(C), vec(C),                            # ln1
+            mat((C, 3 * C)), vec(3 * C), vec(3 * C),   # qkv int8/scale/bias
+            mat((C, C)), vec(C), vec(C),               # proj int8/scale/bias
+            vec(C),                                    # ls1
+            vec(C), vec(C),                            # ln2
+            mat((C, hidden)), vec(hidden), vec(hidden),  # fc1
+            mat((hidden, C)), vec(C), vec(C),          # fc2
+            vec(C),                                    # ls2
+            pl.BlockSpec((1, N, 1), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, K, C), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, K, 1), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
+        interpret=_use_interpret(),
+    )(
+        x,
+        block_params["norm1"]["scale"].reshape(1, C),
+        block_params["norm1"]["bias"].reshape(1, C),
+        wqkv["int8"],
+        wqkv["scale"].reshape(1, 3 * C),
+        attn_p["qkv"]["bias"].reshape(1, 3 * C),
+        wproj["int8"],
+        wproj["scale"].reshape(1, C),
+        attn_p["proj"]["bias"].reshape(1, C),
+        ls1.reshape(1, C),
+        block_params["norm2"]["scale"].reshape(1, C),
+        block_params["norm2"]["bias"].reshape(1, C),
+        w1["int8"],
+        w1["scale"].reshape(1, hidden),
+        mlp_p["fc1"]["bias"].reshape(1, hidden),
+        w2["int8"],
+        w2["scale"].reshape(1, C),
+        mlp_p["fc2"]["bias"].reshape(1, C),
+        ls2.reshape(1, C),
+        prev_scores[..., None],
+    )
+    return out, ns[..., 0]
+
+
 def _pruned_block_int8_kernel(
     x_ref, lns_ref, lnb_ref, wqkv_ref, sqkv_ref, bqkv_ref,
     wproj_ref, sproj_ref, bproj_ref, ls_ref, pscores_ref, out_ref, ns_ref,
     *, num_heads: int, scale: float, eps: float, with_scores: bool,
 ):
     dtype = x_ref.dtype
-    N = x_ref.shape[1]
     K = out_ref.shape[1]
 
     x32 = x_ref[0].astype(jnp.float32)
@@ -1030,26 +1372,20 @@ def _pruned_block_int8_kernel(
     if with_scores:
         s_row = _importance_f32(qkv.astype(jnp.float32), num_heads)[None, :]
     else:
-        col = pscores_ref[0]
-        iota_l = jax.lax.broadcasted_iota(jnp.int32, (N, N), 1)
-        iota_s = jax.lax.broadcasted_iota(jnp.int32, (N, N), 0)
-        eye_f = (iota_l == iota_s).astype(jnp.float32)
-        s_row = jnp.sum(
-            eye_f * jnp.broadcast_to(col, (N, N)), axis=0, keepdims=True
-        )
+        s_row = _col_to_row(pscores_ref[0])
 
     sel, _, next_scores = _select_from_scores(s_row, K, dtype)
 
-    qkv_g = jax.lax.dot_general(
+    qkv_g32 = jax.lax.dot_general(
         sel, qkv, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ).astype(dtype)
+    )  # fp32: feeds the int8 SDPA's in-kernel quantization directly
     x_g32 = jax.lax.dot_general(
         sel, x32, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
 
-    attn = _mha(qkv_g, num_heads, scale, dtype)
+    attn = _mha_int8(qkv_g32, num_heads, scale, dtype)
     out = _int8_matmul(attn.astype(jnp.float32), wproj_ref, sproj_ref)
     out = out + bproj_ref[:].astype(jnp.float32)
     out = out * ls_ref[:].astype(jnp.float32)

@@ -38,6 +38,23 @@ def quantize_rows(y32):
     return q, absmax * (1.0 / 127.0)
 
 
+def quantize_cols(y32):
+    """Symmetric per-column int8 activation quantization:
+    ``(int8 [R, C], scale f32 [1, C])`` with ``y ≈ int8 * scale``.
+
+    The column-axis counterpart of :func:`quantize_rows`, used where the
+    contraction runs over the ROW axis (e.g. the ``p @ v`` value matmul of
+    int8 SDPA: v's scales must be constant along the contracted token axis
+    for the dequant factor to leave the sum)."""
+    absmax = jnp.maximum(
+        jnp.max(jnp.abs(y32), axis=0, keepdims=True), 1e-8
+    )
+    q = jnp.clip(
+        jnp.round(y32 * (127.0 / absmax)), -127, 127
+    ).astype(jnp.int8)
+    return q, absmax * (1.0 / 127.0)
+
+
 def erf(x: jnp.ndarray) -> jnp.ndarray:
     """Abramowitz & Stegun 7.1.26 rational approximation of erf.
 

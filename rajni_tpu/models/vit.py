@@ -436,6 +436,7 @@ def vit_forward(
                 # gather+SDPA+proj+compacted-residual. Same semantics as the
                 # XLA branch below, no intermediate HBM round trips.
                 from ..kernels.block import (
+                    _gather_fits_fast,
                     _pruned_block_fits,
                     fused_gather_sdpa_proj_residual,
                     fused_ln_qkv,
@@ -447,6 +448,34 @@ def vit_forward(
 
                 with_scores = spec.update or scores is None
                 quantized = is_quantized(block["attn"]["qkv"]["kernel"])
+                if quantized and is_quantized(
+                    block["mlp"]["fc1"]["kernel"]
+                ):
+                    from ..kernels.block import (
+                        _full_block_fits_int8,
+                        fused_pruned_block_full_int8,
+                    )
+
+                    hidden = block["mlp"]["fc1"]["kernel"]["int8"].shape[1]
+                    if _full_block_fits_int8(
+                        n, keep + 1, config.embed_dim, hidden,
+                        jnp.dtype(x.dtype).itemsize,
+                    ):
+                        # Whole block in one kernel: QKV *and* the [B, K, C]
+                        # inter-half activation never reach HBM.
+                        x, scores = fused_pruned_block_full_int8(
+                            x,
+                            block,
+                            scores,
+                            config.num_heads,
+                            keep,
+                            config.attn_scale,
+                            config.layer_norm_eps,
+                            with_scores,
+                        )
+                        if _tap is not None:
+                            _tap(blk_i, x)
+                        continue
                 if _pruned_block_fits(
                     n, keep + 1, config.embed_dim,
                     jnp.dtype(x.dtype).itemsize,
@@ -502,15 +531,33 @@ def vit_forward(
                 # fused_ln_qkv_select: 4230 vs 4520 img/s end-to-end).
                 keep_idx, sel = select_tokens_dense(scores, keep, x.dtype)
                 scores = jnp.take_along_axis(scores, keep_idx, axis=1)
-                x = fused_gather_sdpa_proj_residual(
-                    qkv,
-                    sel,
-                    x,
-                    _dequant_attn(block["attn"], x.dtype)["proj"],
-                    block.get("ls1"),
-                    config.num_heads,
-                    config.attn_scale,
-                )
+                if quantized and _gather_fits_fast(
+                    n, keep + 1, config.embed_dim,
+                    jnp.dtype(x.dtype).itemsize,
+                ):
+                    from ..kernels.block import (
+                        fused_gather_sdpa_proj_residual_int8,
+                    )
+
+                    x = fused_gather_sdpa_proj_residual_int8(
+                        qkv,
+                        sel,
+                        x,
+                        block["attn"]["proj"],
+                        block.get("ls1"),
+                        config.num_heads,
+                        config.attn_scale,
+                    )
+                else:
+                    x = fused_gather_sdpa_proj_residual(
+                        qkv,
+                        sel,
+                        x,
+                        _dequant_attn(block["attn"], x.dtype)["proj"],
+                        block.get("ls1"),
+                        config.num_heads,
+                        config.attn_scale,
+                    )
             else:
                 x_norm = layer_norm(x, block["norm1"], config.layer_norm_eps)
                 out, keep_idx, scores = pruned_attention(
@@ -561,7 +608,25 @@ def vit_forward(
     cls_out = layer_norm(
         x[:, 0:1], params["norm"], config.layer_norm_eps
     )[:, 0]
-    return cls_out @ params["head"]["kernel"] + params["head"]["bias"]
+    head = params["head"]
+    from ..quant import is_quantized
+
+    if is_quantized(head["kernel"]):
+        # Int8 classifier head (full-int8 mode): per-row dynamic activation
+        # quantization + int8 dot, dequantized by row·column scales. Plain
+        # XLA — a [B, C] @ [C, classes] matmul needs no Pallas kernel.
+        from ..kernels.math import quantize_rows
+
+        y_q, a_scale = quantize_rows(cls_out.astype(jnp.float32))
+        acc = jax.lax.dot_general(
+            y_q, head["kernel"]["int8"], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32)
+        logits = acc * a_scale * head["kernel"]["scale"] + head[
+            "bias"
+        ].astype(jnp.float32)
+        return logits.astype(cls_out.dtype)
+    return cls_out @ head["kernel"] + head["bias"]
 
 
 def vit_activations(

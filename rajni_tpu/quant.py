@@ -57,13 +57,20 @@ def is_quantized(leaf: Any) -> bool:
     return isinstance(leaf, dict) and "int8" in leaf
 
 
-def quantize_params(params: Params, attn: bool = True) -> Params:
+def quantize_params(
+    params: Params, attn: bool = True, head: bool = True
+) -> Params:
     """Quantize every block's MLP (fc1 + fc2) — and, with ``attn=True``,
-    the QKV/output-projection — weights to int8.
+    the QKV/output-projection, and with ``head=True``, the classifier
+    head — weights to int8.
 
-    Embeddings, norms, and the classifier head stay in the original dtype.
-    Attention *logits* always stay bf16/fp32 (only the projections are
-    quantized); importance scoring operates on the dequantized QKV, so the
+    Embeddings and norms stay in the original dtype. With the full set of
+    flags (the default) every matmul in the forward runs on the int8 MXU:
+    the projections and MLP via :mod:`rajni_tpu.kernels`' ``*_int8``
+    kernels, the SDPA via in-kernel q/k/v quantization
+    (:func:`rajni_tpu.kernels.block._mha_int8` — per-token q/k rows,
+    per-channel v columns, fp32 softmax), and the head as a plain XLA int8
+    dot. Importance scoring operates on the dequantized QKV, so the RAJNI
     scoring semantics are unchanged up to weight-quantization error.
     """
     if params["blocks"] and is_quantized(
@@ -89,4 +96,8 @@ def quantize_params(params: Params, attn: bool = True) -> Params:
             b["attn"] = a
         blocks.append(b)
     out["blocks"] = blocks
+    if head:
+        hd = dict(params["head"])
+        hd["kernel"] = quantize_weight(hd["kernel"])
+        out["head"] = hd
     return out

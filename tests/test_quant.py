@@ -84,11 +84,96 @@ def test_int8_kernel_matches_dequantized_reference(rng):
     np.testing.assert_allclose(np.asarray(got), want, rtol=1e-3, atol=1e-3)
 
 
+def test_int8_sdpa_attn_block_matches_quantized_oracle(rng):
+    """The full-int8 attention block (int8 QKV proj → int8 SDPA → int8 out
+    proj) must equal a NumPy re-derivation with identical quantization
+    steps — the only error source is quantization itself, not the kernel.
+
+    Pins the int8-SDPA layout: per-token-row q/k scales (shared across
+    heads), per-channel v scales, and the softmax normalizer folded into
+    the p-dequant (p_q = round(127·exp(l−m)), scale 1/(127·Σexp))."""
+    from rajni_tpu.kernels.block import fused_attn_block_int8
+
+    B, N, C, H = 2, 24, 64, 4
+    D = C // H
+    scale = D**-0.5
+    x = jnp.asarray(rng.standard_normal((B, N, C)), jnp.float32)
+    ln = {"scale": jnp.asarray(1 + 0.1 * rng.standard_normal(C), jnp.float32),
+          "bias": jnp.asarray(0.1 * rng.standard_normal(C), jnp.float32)}
+    attn_q = {
+        "qkv": {"kernel": quantize_weight(jnp.asarray(
+                    rng.standard_normal((C, 3 * C)) * 0.1, jnp.float32)),
+                "bias": jnp.asarray(rng.standard_normal(3 * C) * 0.1,
+                                    jnp.float32)},
+        "proj": {"kernel": quantize_weight(jnp.asarray(
+                    rng.standard_normal((C, C)) * 0.1, jnp.float32)),
+                 "bias": jnp.asarray(rng.standard_normal(C) * 0.1,
+                                     jnp.float32)},
+    }
+    got = fused_attn_block_int8(x, ln, attn_q, None, H, scale)
+
+    def rows_q(y):  # identical to kernels.math.quantize_rows
+        am = np.maximum(np.abs(y).max(axis=-1, keepdims=True), 1e-8)
+        return np.clip(np.round(y * (127.0 / am)), -127, 127), am / 127.0
+
+    def cols_q(y):
+        am = np.maximum(np.abs(y).max(axis=0, keepdims=True), 1e-8)
+        return np.clip(np.round(y * (127.0 / am)), -127, 127), am / 127.0
+
+    wq = np.asarray(attn_q["qkv"]["kernel"]["int8"], np.float64)
+    sq = np.asarray(attn_q["qkv"]["kernel"]["scale"], np.float64)
+    wp = np.asarray(attn_q["proj"]["kernel"]["int8"], np.float64)
+    sp = np.asarray(attn_q["proj"]["kernel"]["scale"], np.float64)
+
+    want = np.empty((B, N, C))
+    for b in range(B):
+        x32 = np.asarray(x[b], np.float64)
+        mu = x32.mean(-1, keepdims=True)
+        va = ((x32 - mu) ** 2).mean(-1, keepdims=True)
+        y = (x32 - mu) / np.sqrt(va + 1e-6)
+        y = y * np.asarray(ln["scale"]) + np.asarray(ln["bias"])
+        yq, ys = rows_q(y)
+        qkv = (yq @ wq) * ys * sq + np.asarray(attn_q["qkv"]["bias"])
+
+        qq, qs = rows_q(qkv[:, :C])
+        kq, ks = rows_q(qkv[:, C:2 * C])
+        vq, vs = cols_q(qkv[:, 2 * C:])
+        heads = []
+        for h in range(H):
+            acc = qq[:, h * D:(h + 1) * D] @ kq[:, h * D:(h + 1) * D].T
+            logits = acc * (qs * scale) * ks.T
+            e = np.exp(logits - logits.max(-1, keepdims=True))
+            s = e.sum(-1, keepdims=True)
+            pq = np.round(e * 127.0)
+            acc2 = pq @ vq[:, h * D:(h + 1) * D]
+            heads.append(acc2 / (127.0 * s) * vs[:, h * D:(h + 1) * D])
+        attn = np.concatenate(heads, axis=-1)
+        aq, as_ = rows_q(attn)
+        out = (aq @ wp) * as_ * sp + np.asarray(attn_q["proj"]["bias"])
+        want[b] = x32 + out
+
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-3, atol=2e-3)
+
+
+def test_int8_head(rng):
+    """head=True quantizes the classifier; the int8 head tracks fp32."""
+    params = init_params(jax.random.key(0), CFG, jnp.float32)
+    q = quantize_params(params)
+    assert is_quantized(q["head"]["kernel"])
+    assert not is_quantized(
+        quantize_params(params, head=False)["head"]["kernel"])
+    x = jnp.asarray(rng.standard_normal((2, 32, 32, 3)), jnp.float32)
+    ref = np.asarray(vit_forward(params, x, CFG, None, "xla"))
+    got = np.asarray(vit_forward(q, x, CFG, None, "xla"))
+    assert np.isfinite(got).all()
+    assert np.abs(got - ref).max() / np.abs(ref).max() < 0.15
+
+
 def test_quantized_forward_close_to_fp32(rng):
     """End-to-end: the int8 model tracks the fp32 model closely on both
     backends, pruned schedule included."""
     params = init_params(jax.random.key(0), CFG, jnp.float32)
-    qparams = quantize_params(params, attn=False)  # MLP-only in this test
+    qparams = quantize_params(params, attn=False, head=False)  # MLP-only
     sched = normalize_schedule({1: {"keep_ratio": 0.6}}, CFG.depth)
     x = jnp.asarray(rng.standard_normal((2, 32, 32, 3)), jnp.float32)
 
