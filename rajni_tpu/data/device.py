@@ -1,0 +1,179 @@
+"""On-device (TPU) preprocessing: uint8 H2D + in-graph resize/crop/normalize.
+
+The reference preprocesses on the host (torchvision CPU transforms,
+`/root/reference/rajni/run.py:62-70`) and ships float32 to the device. This
+module moves the math onto the TPU, in two tiers (SURVEY.md §7 step 3 /
+BASELINE.json north star "on-device preprocessing path"):
+
+  * :func:`normalize_images` — the host keeps the *geometry* (decode +
+    shorter-side bicubic resize + center crop, still PIL-exact via
+    :func:`rajni_tpu.data.pipeline.preprocess_u8`) and ships the final
+    **uint8** crop; scaling to [0, 1] and ImageNet mean/std normalization
+    run on-device, fused by XLA into the patch-embed matmul that consumes
+    them. H2D bytes drop exactly 4× (uint8 vs float32 at the same shape)
+    and the result is bit-identical to the host pipeline (same fp32
+    arithmetic, just executed on the VPU).
+
+  * :func:`preprocess_on_device` — the full resize/crop/normalize in-graph.
+    Variable image geometry cannot be dynamic *shapes* under XLA, so the
+    TPU-native formulation makes it dynamic *content*: each image arrives
+    decode-only on a fixed uint8 canvas with its true (h, w), and the PIL
+    antialiased-bicubic resample is expressed as two per-image
+    interpolation-weight MATRICES built in-graph from those scalars with
+    ``broadcasted_iota`` — resize + crop become two MXU matmuls
+    (``Wv @ img @ Whᵀ``), batched over the batch with ``vmap``. Weights
+    replicate PIL ``precompute_coeffs`` exactly (kernel a = −0.5, support
+    scaled by the downsampling ratio, truncation bounds, per-row
+    normalization — the same algorithm as the native C++ pass,
+    ``data/_native/preprocess.cpp:42-72``), including the 8-bit
+    round-and-clamp between the horizontal and vertical passes, so results
+    match the host path within ±1/255 per pass.
+
+Both tiers keep the eval protocol unchanged: H2D stays in the untimed
+region (the reference excludes `.to(device)` from timing, eval.py:48-53);
+on-device work joins the timed forward, where it is ~1.7% of model FLOPs.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from .pipeline import IMAGENET_MEAN, IMAGENET_STD
+
+
+def normalize_images(
+    images_u8: jax.Array, dtype=jnp.bfloat16
+) -> jax.Array:
+    """``uint8 [B, H, W, 3] → dtype``: scale to [0, 1] and ImageNet-normalize.
+
+    Jit-safe and fusable: under jit this folds into the consuming model's
+    first op, so the only cost over shipping float32 is a VPU multiply-add —
+    against a 4× smaller H2D transfer. Arithmetic matches the host pipeline
+    (``(x / 255 − mean) / std`` in fp32) bit-for-bit.
+    """
+    x = images_u8.astype(jnp.float32) / 255.0
+    x = (x - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
+    return x.astype(dtype)
+
+
+def _bicubic(x: jax.Array) -> jax.Array:
+    """PIL's bicubic kernel (a = −0.5), vectorized."""
+    a = -0.5
+    x = jnp.abs(x)
+    near = ((a + 2.0) * x - (a + 3.0)) * x * x + 1.0
+    far = (((x - 5.0) * x + 8.0) * x - 4.0) * a
+    return jnp.where(x < 1.0, near, jnp.where(x < 2.0, far, 0.0))
+
+
+def _resample_rows(
+    in_size: jax.Array, out_size: jax.Array, offset: jax.Array,
+    crop: int, canvas: int,
+) -> jax.Array:
+    """``[crop, canvas]`` PIL-exact antialiased-bicubic weight matrix.
+
+    Row ``i`` holds the resample weights producing output pixel
+    ``offset + i`` of an ``in_size → out_size`` PIL bicubic resize, over a
+    source axis padded to ``canvas``. All three geometry arguments are
+    traced scalars — the matrix is dynamic *content* on a static shape,
+    which is what lets a whole variable-geometry batch run as one compiled
+    program. Mirrors ``precompute_coeffs`` (see preprocess.cpp:42-72):
+    ``center = (i + 0.5)·scale``, truncated ``±(support − 0.5)`` bounds
+    clamped to the real extent, kernel evaluated at
+    ``(x + 0.5 − center) / filterscale``, rows normalized to sum 1.
+    """
+    in_f = in_size.astype(jnp.float32)
+    scale = in_f / out_size.astype(jnp.float32)
+    filterscale = jnp.maximum(scale, 1.0)
+    support = 2.0 * filterscale
+
+    out_idx = (
+        jax.lax.broadcasted_iota(jnp.float32, (crop, canvas), 0)
+        + offset.astype(jnp.float32)
+    )
+    src_idx = jax.lax.broadcasted_iota(jnp.float32, (crop, canvas), 1)
+    center = (out_idx + 0.5) * scale
+    # C++ int() truncates toward zero; negatives are clamped to 0 anyway.
+    lo = jnp.maximum(jnp.trunc(center - support + 0.5), 0.0)
+    hi = jnp.minimum(jnp.trunc(center + support + 0.5), in_f)
+    w = _bicubic((src_idx + 0.5 - center) / filterscale)
+    w = jnp.where((src_idx >= lo) & (src_idx < hi), w, 0.0)
+    total = jnp.sum(w, axis=1, keepdims=True)
+    return w / jnp.where(total == 0.0, 1.0, total)
+
+
+def _round8(x: jax.Array) -> jax.Array:
+    """PIL's 8bpc inter-pass rounding: round-half-up and clamp to [0, 255].
+
+    (preprocess.cpp:74-76 ``clamp8``: ``min(255, max(0, v + 0.5))`` then
+    truncate — i.e. floor(v + 0.5) for non-negative v.)"""
+    return jnp.clip(jnp.floor(x + 0.5), 0.0, 255.0)
+
+
+@functools.partial(jax.jit, static_argnames=("crop", "resize", "dtype"))
+def preprocess_on_device(
+    canvas_u8: jax.Array,
+    sizes: jax.Array,
+    crop: int = 224,
+    resize: int = 256,
+    dtype=jnp.bfloat16,
+) -> jax.Array:
+    """Full eval preprocessing on the TPU: ``uint8 canvas → normalized crop``.
+
+    Args:
+      canvas_u8: ``[B, S, S, 3]`` uint8 — each image decode-only, placed
+        top-left on a fixed ``S×S`` canvas (padding bytes are ignored: the
+        weight matrices mask beyond each image's true extent).
+      sizes: ``[B, 2]`` int32 ``(h, w)`` true sizes; every entry must be
+        ≤ S. Images smaller than the canvas are fine (typical ImageNet-val
+        canvas: 512).
+      crop: output side (reference CenterCrop, run.py:66).
+      resize: shorter-side target (reference Resize, run.py:64).
+
+    Returns ``[B, crop, crop, 3]`` in ``dtype``, normalized. Semantics are
+    the host pipeline's exactly (``pipeline.preprocess``): torchvision's
+    int-truncation long-side geometry, round-half-even center-crop offsets,
+    PIL two-pass bicubic with 8-bit rounding between passes.
+    """
+    B, S = canvas_u8.shape[0], canvas_u8.shape[1]
+    del B
+
+    def one(img_u8, hw):
+        h = hw[0].astype(jnp.int32)
+        w = hw[1].astype(jnp.int32)
+        # shorter-side geometry with torchvision's int() truncation
+        # (pipeline.py:119-126).
+        nw_tall = jnp.int32(resize)
+        nh_tall = jnp.maximum(1, (h * resize) // w)
+        nh_wide = jnp.int32(resize)
+        nw_wide = jnp.maximum(1, (w * resize) // h)
+        tall = w <= h
+        nw = jnp.where(tall, nw_tall, nw_wide)
+        nh = jnp.where(tall, nh_tall, nh_wide)
+        # center-crop offsets: Python round() = round-half-even
+        # (pipeline.py:130-131).
+        left = jnp.round((nw - crop) / 2.0).astype(jnp.int32)
+        top = jnp.round((nh - crop) / 2.0).astype(jnp.int32)
+
+        wh = _resample_rows(w, nw, left, crop, S)   # [crop, S] columns
+        wv = _resample_rows(h, nh, top, crop, S)    # [crop, S] rows
+
+        x = img_u8.astype(jnp.float32)              # [S, S, 3]
+        # horizontal pass (+ column crop): [S, S, 3] → [S, crop, 3]
+        tmp = jnp.einsum(
+            "hwc,ow->hoc", x, wh, preferred_element_type=jnp.float32
+        )
+        tmp = _round8(tmp)  # PIL 8bpc pipeline rounds between passes
+        # vertical pass (+ row crop): → [crop, crop, 3]
+        out = jnp.einsum(
+            "hoc,kh->koc", tmp, wv, preferred_element_type=jnp.float32
+        )
+        out = _round8(out)
+        out = (out * (1.0 / 255.0) - jnp.asarray(IMAGENET_MEAN)) * (
+            1.0 / jnp.asarray(IMAGENET_STD)
+        )
+        return out.astype(dtype)
+
+    return jax.vmap(one)(canvas_u8, sizes)

@@ -48,6 +48,19 @@ class ImageFolder:
     Preprocessing runs through the native C++ library when it builds on this
     machine (:mod:`rajni_tpu.data.native` — GIL-free, so the decode thread
     pool scales), falling back to the pure-PIL :func:`preprocess` otherwise.
+
+    ``output`` selects how much work stays on the host
+    (:mod:`rajni_tpu.data.device` consumes the other two tiers):
+      * ``"float32"`` (default): fully host-preprocessed normalized NHWC —
+        the reference protocol.
+      * ``"uint8"``: host geometry (resize + crop), **uint8** crop out; the
+        device normalizes (4× smaller H2D).
+      * ``"canvas"``: decode-only — each image top-left on a fixed
+        ``canvas×canvas`` uint8 canvas plus its true ``(h, w)``; resize,
+        crop, and normalize all run on the TPU
+        (:func:`rajni_tpu.data.device.preprocess_on_device`). Images larger
+        than the canvas are PIL-downscaled to fit first (geometry preserved
+        within the resample's tolerance).
     """
 
     def __init__(
@@ -56,11 +69,17 @@ class ImageFolder:
         img_size: int = 224,
         resize: int | None = None,
         use_native: bool = True,
+        output: str = "float32",
+        canvas: int = 512,
     ):
+        if output not in ("float32", "uint8", "canvas"):
+            raise ValueError(f"unknown output mode {output!r}")
         self.root = root
         self.img_size = img_size
         self.resize = _default_resize(img_size, resize)
         self.use_native = use_native
+        self.output = output
+        self.canvas = canvas
         self.classes, self.class_to_idx = find_classes(root)
         self.samples: list[tuple[str, int]] = []
         for cls in self.classes:
@@ -75,12 +94,16 @@ class ImageFolder:
     def __len__(self) -> int:
         return len(self.samples)
 
-    def load(self, index: int) -> tuple[np.ndarray, int]:
+    def load(self, index: int):
         path, label = self.samples[index]
         from PIL import Image
 
         with Image.open(path) as im:
             im = im.convert("RGB")
+            if self.output == "uint8":
+                return preprocess_u8(im, self.img_size, self.resize), label
+            if self.output == "canvas":
+                return decode_to_canvas(im, self.canvas), label
             if self.use_native:
                 from . import native
 
@@ -135,6 +158,45 @@ def preprocess(im, img_size: int = 224, resize: int | None = None) -> np.ndarray
     return (arr - IMAGENET_MEAN) / IMAGENET_STD
 
 
+def preprocess_u8(im, img_size: int = 224, resize: int | None = None) -> np.ndarray:
+    """Host geometry only: :func:`preprocess` without the normalize — returns
+    the uint8 ``[img_size, img_size, 3]`` center crop for uint8 H2D transfer
+    with on-device normalization (:func:`rajni_tpu.data.device.normalize_images`).
+    Bit-exact composition: ``normalize_images(preprocess_u8(im)) ==
+    preprocess(im)``."""
+    from PIL import Image
+
+    resize = _default_resize(img_size, resize)
+    w, h = im.size
+    if w <= h:
+        nw, nh = resize, max(1, int(h * resize / w))
+    else:
+        nh, nw = resize, max(1, int(w * resize / h))
+    im = im.resize((nw, nh), Image.BICUBIC)
+    left = int(round((nw - img_size) / 2.0))
+    top = int(round((nh - img_size) / 2.0))
+    im = im.crop((left, top, left + img_size, top + img_size))
+    return np.asarray(im, np.uint8)
+
+
+def decode_to_canvas(im, canvas: int = 512) -> tuple[np.ndarray, np.ndarray]:
+    """Decode-only host step for the full on-device path: the image placed
+    top-left on a ``[canvas, canvas, 3]`` uint8 buffer plus its true
+    ``(h, w)`` int32. Oversized images are PIL-bicubic-downscaled to fit the
+    canvas first (shorter-side semantics preserved: the subsequent on-device
+    resize sees consistent geometry)."""
+    from PIL import Image
+
+    w, h = im.size
+    if max(h, w) > canvas:
+        f = canvas / max(h, w)
+        w, h = max(1, int(w * f)), max(1, int(h * f))
+        im = im.resize((w, h), Image.BICUBIC)
+    buf = np.zeros((canvas, canvas, 3), np.uint8)
+    buf[:h, :w] = np.asarray(im, np.uint8)
+    return buf, np.array([h, w], np.int32)
+
+
 class DataLoader:
     """Batched, re-iterable loader with threaded decode (reference run.py:75-82).
 
@@ -160,8 +222,14 @@ class DataLoader:
 
     def _load_batch(self, indices: Sequence[int]):
         out = [self.dataset.load(i) for i in indices]
-        images = np.stack([o[0] for o in out])
         labels = np.array([o[1] for o in out], np.int64)
+        if isinstance(out[0][0], tuple):  # canvas mode: (canvas, (h, w))
+            images = (
+                np.stack([o[0][0] for o in out]),
+                np.stack([o[0][1] for o in out]),
+            )
+        else:
+            images = np.stack([o[0] for o in out])
         return images, labels
 
     def __iter__(self) -> Iterator[tuple[np.ndarray, np.ndarray]]:

@@ -38,13 +38,26 @@ except ImportError:  # pragma: no cover
     tqdm = None
 
 
+def _host_batch(images):
+    """Materialize a host batch: a single array, or (for the on-device
+    preprocessing canvas mode, :mod:`rajni_tpu.data.device`) a tuple of
+    arrays — ``(canvas_u8, sizes)`` — treated as one pytree throughout."""
+    if isinstance(images, tuple):
+        return tuple(np.asarray(e) for e in images)
+    return np.asarray(images)
+
+
+def _batch_dim(images) -> int:
+    return (images[0] if isinstance(images, tuple) else images).shape[0]
+
+
 def _place(x, placement):
     """device_put with a graceful fallback for batches a sharding cannot
     split: the model fn pads and places those itself
     (parallel.mesh._pad_batch). With :func:`_batch_divisor`-aware padding in
     the warmup/prefetch paths this fallback should never trigger — it would
     move the H2D transfer inside the timed region."""
-    x = np.asarray(x)
+    x = _host_batch(x)
     try:
         return jax.device_put(x, placement)
     except ValueError:
@@ -78,6 +91,8 @@ def _pad_to(images: np.ndarray, b: int) -> np.ndarray:
     timed region. The padded rows' logits are discarded and only real
     labels are counted, so accuracy/throughput accounting is unchanged.
     """
+    if isinstance(images, tuple):
+        return tuple(_pad_to(e, b) for e in images)
     pad = b - images.shape[0]
     if pad <= 0:
         return images
@@ -104,11 +119,11 @@ def _prefetch_to_device(iterator, device, depth: int = 2):
     div = _batch_divisor(device)
     full_b = None
     for images, labels in iterator:
-        images = np.asarray(images)
+        images = _host_batch(images)
         if full_b is None:
             # round the compiled batch up to a data-axis multiple so the
             # DP scatter never falls back to host placement (_place).
-            full_b = -(-images.shape[0] // div) * div
+            full_b = -(-_batch_dim(images) // div) * div
         buf.append(
             (_place(_pad_to(images, full_b), device), np.asarray(labels))
         )
@@ -165,9 +180,9 @@ def evaluate_model(
             except StopIteration:
                 it = iter(dataloader)
                 x, _ = next(it)
-            x = np.asarray(x)
+            x = _host_batch(x)
             if warm_b is None:
-                warm_b = -(-x.shape[0] // div) * div
+                warm_b = -(-_batch_dim(x) // div) * div
             fence(model(_place(_pad_to(x, warm_b), placement)))
 
     correct = 0

@@ -84,6 +84,18 @@ def get_args(argv=None):
                         help="Int8-quantize MLP + attention-projection "
                              "weights (dynamic per-token activation scales; "
                              "changes numerics — see rajni_tpu.quant)")
+    parser.add_argument("--preprocess", type=str, default="host",
+                        choices=["host", "device", "device-full"],
+                        help="Where eval preprocessing runs (rajni_tpu.data."
+                             "device): 'host' = reference protocol (fp32 "
+                             "H2D); 'device' = host geometry + uint8 H2D + "
+                             "on-device normalize (4x less H2D, bit-exact); "
+                             "'device-full' = decode-only host, resize/crop/"
+                             "normalize on the TPU via in-graph PIL-exact "
+                             "bicubic weight matrices")
+    parser.add_argument("--canvas", type=int, default=512,
+                        help="uint8 decode-canvas side for "
+                             "--preprocess device-full")
     parser.add_argument("--profile", type=str, default=None, metavar="DIR",
                         help="Capture a jax.profiler trace of the RAJNI "
                              "evaluation into DIR (view with TensorBoard) — "
@@ -104,17 +116,41 @@ def resolve_kernels(kernels: str = "auto", batch: int = 256) -> str:
 
 
 def make_model_fn(params, config, schedule, data_parallel=False,
-                  kernels="auto"):
+                  kernels="auto", preprocess="host", dtype=jnp.bfloat16):
     """Jitted logits fn closed over params; optionally batch-sharded.
 
     ``kernels="auto"`` is passed through and resolved per-batch at trace
-    time (:func:`rajni_tpu.models.vit.resolve_impl`)."""
+    time (:func:`rajni_tpu.models.vit.resolve_impl`). ``preprocess``
+    prepends the on-device stage matching the loader's output mode
+    (:mod:`rajni_tpu.data.device`): the stage runs *inside* the jitted
+    forward, so XLA fuses the normalize into the patch-embed load."""
     impl = kernels
+
+    def forward(p, images, config, schedule, impl):
+        if preprocess == "device":
+            from .data.device import normalize_images
+
+            images = normalize_images(images, dtype)
+        elif preprocess == "device-full":
+            from .data.device import preprocess_on_device
+
+            canvas, sizes = images
+            images = preprocess_on_device(
+                canvas, sizes, crop=config.img_size,
+                resize=int(config.img_size * 256 / 224), dtype=dtype,
+            )
+        return vit_forward(p, images, config, schedule, impl)
+
     if data_parallel:
+        if preprocess != "host":
+            raise ValueError(
+                "--preprocess device modes are single-chip for now; "
+                "combine with --data_parallel in a follow-up"
+            )
         from .parallel.mesh import data_parallel_forward
 
         return data_parallel_forward(params, config, schedule, impl=impl)
-    fwd = jax.jit(vit_forward, static_argnums=(2, 3, 4))
+    fwd = jax.jit(forward, static_argnums=(2, 3, 4))
     return functools.partial(
         fwd, params, config=config, schedule=schedule, impl=impl
     )
@@ -150,6 +186,10 @@ def main(argv=None):
 
     # ---- Dataset ----
     if args.synthetic is not None:
+        if args.preprocess != "host":
+            print("WARNING: --synthetic yields preprocessed float batches; "
+                  "forcing --preprocess host")
+            args.preprocess = "host"
         loader = SyntheticLoader(
             num_batches=args.synthetic,
             batch_size=args.batch_size,
@@ -162,7 +202,10 @@ def main(argv=None):
     else:
         if args.data_path is None:
             raise ValueError("provide --data_path or --synthetic N")
-        dataset = ImageFolder(args.data_path, img_size=config.img_size)
+        output = {"host": "float32", "device": "uint8",
+                  "device-full": "canvas"}[args.preprocess]
+        dataset = ImageFolder(args.data_path, img_size=config.img_size,
+                              output=output, canvas=args.canvas)
         loader = DataLoader(
             dataset, batch_size=args.batch_size, num_workers=args.num_workers
         )
@@ -191,7 +234,7 @@ def main(argv=None):
     if args.compare_base:
         print("\nEvaluating BASE model")
         base_fn = make_model_fn(params, config, None, args.data_parallel,
-                                kernels)
+                                kernels, args.preprocess, dtype)
         base_acc, base_tput = evaluate_model(
             base_fn, loader, device=device,
             warmup=args.warmup, max_batches=args.max_batches,
@@ -212,7 +255,7 @@ def main(argv=None):
 
     print("\nEvaluating RAJNI model")
     rajni_fn = make_model_fn(params, config, schedule, args.data_parallel,
-                             kernels)
+                             kernels, args.preprocess, dtype)
     import contextlib
 
     if args.profile:

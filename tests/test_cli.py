@@ -78,3 +78,35 @@ def test_main_data_parallel_synthetic(tmp_path):
         "--warmup", "0", "--dtype", "float32", "--data_parallel",
     ])
     assert "rajni" in result
+
+
+def test_main_preprocess_device_modes(tmp_path):
+    """--preprocess host/device/device-full agree end-to-end on a real
+    ImageFolder: same accuracy, all three code paths compile and run.
+    'device' is bit-exact vs host (geometry identical, normalize on-chip);
+    'device-full' re-derives the resample in-graph (±1/255 per pass) —
+    argmax-stable on this tiny model either way."""
+    import numpy as np
+    from PIL import Image
+
+    data = tmp_path / "data"
+    rng = np.random.default_rng(0)
+    for cls in ("a", "b"):
+        d = data / cls
+        d.mkdir(parents=True)
+        for i in range(3):
+            arr = rng.integers(0, 256, (300, 260, 3), dtype=np.uint8)
+            Image.fromarray(arr, "RGB").save(d / f"{i}.png")
+    sched = tmp_path / "s.json"
+    sched.write_text(json.dumps({"3": {"keep_ratio": 0.9}}))
+
+    results = {}
+    for mode in ("host", "device", "device-full"):
+        results[mode] = main([
+            "--data_path", str(data), "--batch_size", "3",
+            "--model", "vit_tiny_patch16_224", "--schedule", str(sched),
+            "--warmup", "0", "--dtype", "float32", "--num_workers", "1",
+            "--preprocess", mode,
+        ])["rajni"][0]
+    assert results["host"] == results["device"]
+    assert results["host"] == results["device-full"]
