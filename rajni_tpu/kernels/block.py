@@ -1354,6 +1354,482 @@ def fused_pruned_block_full_int8(
     return out, ns[..., 0]
 
 
+def _fc_chunk(C: int, hidden: int, itemsize: int, resident: int) -> int:
+    """Largest fc1/fc2 hidden chunk whose double-buffered streamed blocks
+    fit what the VMEM weight budget leaves after ``resident`` bytes."""
+    budget = max(_VMEM_BUDGET // 2 - resident, 2 * 128 * C * itemsize * 2)
+    hc = hidden
+    while hc > 128 and 4 * C * hc * itemsize > budget:
+        hc //= 2
+    while hidden % hc:
+        hc //= 2
+    return max(hc, 128)
+
+
+def _pruned_block_full_kernel(
+    x_ref, ln1s_ref, ln1b_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
+    ls1_ref, ln2s_ref, ln2b_ref, w1_ref, b1_ref, w2_ref, b2_ref, ls2_ref,
+    pscores_ref, out_ref, ns_ref, xmid_ref, y2_ref, acc_ref,
+    *, num_heads: int, scale: float, eps: float, with_scores: bool,
+):
+    """bf16 whole-pruned-block kernel: the attention half runs once per
+    image (grid step k==0), then fc1/fc2 stream through VMEM in hidden
+    chunks with an fp32 accumulator — the bf16 weights (14.2 MB for ViT-B)
+    cannot all be resident, so the MLP weights ride the grid pipeline
+    instead (same recipe as kernels/mlp.py's chunked variant)."""
+    k = pl.program_id(1)
+    nk = pl.num_programs(1)
+    dtype = x_ref.dtype
+    K = out_ref.shape[1]
+
+    @pl.when(k == 0)
+    def _():
+        x32 = x_ref[0].astype(jnp.float32)
+        y = _layer_norm_f32(x32, ln1s_ref, ln1b_ref, eps).astype(dtype)
+        qkv = jnp.dot(y, wqkv_ref[:], preferred_element_type=jnp.float32)
+        qkv = (qkv + bqkv_ref[:].astype(jnp.float32)).astype(dtype)
+        if with_scores:
+            s_row = _importance_f32(
+                qkv.astype(jnp.float32), num_heads
+            )[None, :]
+        else:
+            s_row = _col_to_row(pscores_ref[0])
+        sel, _, next_scores = _select_from_scores(s_row, K, dtype)
+        qkv_g = jax.lax.dot_general(
+            sel, qkv, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(dtype)
+        x_g32 = jax.lax.dot_general(
+            sel, x32, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        attn = _mha(qkv_g, num_heads, scale, dtype)
+        out = jnp.dot(attn, wproj_ref[:], preferred_element_type=jnp.float32)
+        out = out + bproj_ref[:].astype(jnp.float32)
+        out = out * ls1_ref[:].astype(jnp.float32)
+        x_mid = (x_g32 + out).astype(dtype)  # bf16 boundary rounding: same
+        xmid_ref[:] = x_mid                  # numerics as the 2-kernel path
+        y2_ref[:] = _layer_norm_f32(
+            x_mid.astype(jnp.float32), ln2s_ref, ln2b_ref, eps
+        ).astype(dtype)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        ns_ref[0] = next_scores
+
+    h = jnp.dot(y2_ref[:], w1_ref[:], preferred_element_type=jnp.float32)
+    h = gelu_fast(h + b1_ref[:].astype(jnp.float32))
+    acc_ref[:] += jnp.dot(
+        h.astype(dtype), w2_ref[:], preferred_element_type=jnp.float32
+    )
+
+    @pl.when(k == nk - 1)
+    def _():
+        out2 = acc_ref[:] + b2_ref[:].astype(jnp.float32)
+        out2 = out2 * ls2_ref[:].astype(jnp.float32)
+        out_ref[0] = (
+            xmid_ref[:].astype(jnp.float32) + out2
+        ).astype(out_ref.dtype)
+
+
+def _pruned_block_full_fits(
+    N: int, K: int, C: int, hidden: int, hc: int, itemsize: int
+) -> bool:
+    io = 2 * (N * C + K * C + 2 * N) * itemsize
+    resident = 4 * C * C * itemsize          # qkv + proj weights
+    streamed = 2 * 2 * C * hc * itemsize     # double-buffered fc chunks
+    scratch = K * C * (2 * itemsize + 4) + K * hc * 4
+    live = (
+        N * 3 * C * (itemsize + 4)  # qkv (+fp32 transient)
+        + 4 * N * N * 4
+        + K * 3 * C * itemsize
+        + K * N * 4
+    )
+    return io + resident + streamed + scratch + live <= _VMEM_BUDGET
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_heads", "keep", "scale", "eps",
+                              "with_scores")
+)
+def fused_pruned_block_full(
+    x: jax.Array,
+    block_params,
+    prev_scores: jax.Array | None,
+    num_heads: int,
+    keep: int,
+    scale: float,
+    eps: float = 1e-6,
+    with_scores: bool = True,
+) -> tuple[jax.Array, jax.Array]:
+    """bf16 counterpart of :func:`fused_pruned_block_full_int8`: the ENTIRE
+    pruned block in one kernel per image, with the MLP weights streamed in
+    hidden chunks (second grid dimension) because bf16 block weights exceed
+    VMEM. Eliminates the [B, K, C] HBM round trip between the attention and
+    MLP halves. Returns ``(x_out [B, K, C], next_scores [B, K])``."""
+    B, N, C = x.shape
+    K = keep + 1
+    attn_p = block_params["attn"]
+    mlp_p = block_params["mlp"]
+    wqkv = attn_p["qkv"]["kernel"]
+    wproj = attn_p["proj"]["kernel"]
+    w1 = mlp_p["fc1"]["kernel"]
+    w2 = mlp_p["fc2"]["kernel"]
+    hidden = w1.shape[1]
+    itemsize = jnp.dtype(x.dtype).itemsize
+    hc = _fc_chunk(C, hidden, itemsize, 4 * C * C * itemsize)
+    ls1 = block_params.get("ls1")
+    ls2 = block_params.get("ls2")
+    if ls1 is None:
+        ls1 = jnp.ones((C,), x.dtype)
+    if ls2 is None:
+        ls2 = jnp.ones((C,), x.dtype)
+    if prev_scores is None:
+        prev_scores = jnp.zeros((B, N), jnp.float32)
+
+    vec = lambda n: pl.BlockSpec(  # noqa: E731
+        (1, n), lambda b, k: (0, 0), memory_space=pltpu.VMEM
+    )
+    mat = lambda s: pl.BlockSpec(  # noqa: E731
+        s, lambda b, k: (0, 0), memory_space=pltpu.VMEM
+    )
+    out, ns = pl.pallas_call(
+        functools.partial(
+            _pruned_block_full_kernel, num_heads=num_heads, scale=scale,
+            eps=eps, with_scores=with_scores,
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, K, C), x.dtype),
+            jax.ShapeDtypeStruct((B, K, 1), jnp.float32),
+        ),
+        grid=(B, hidden // hc),
+        in_specs=[
+            pl.BlockSpec((1, N, C), lambda b, k: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            vec(C), vec(C),
+            mat((C, 3 * C)), vec(3 * C),
+            mat((C, C)), vec(C),
+            vec(C),
+            vec(C), vec(C),
+            pl.BlockSpec((C, hc), lambda b, k: (0, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hc), lambda b, k: (0, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((hc, C), lambda b, k: (k, 0),
+                         memory_space=pltpu.VMEM),
+            vec(C),
+            vec(C),
+            pl.BlockSpec((1, N, 1), lambda b, k: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, K, C), lambda b, k: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, K, 1), lambda b, k: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((K, C), x.dtype),       # x_mid (bf16 boundary)
+            pltpu.VMEM((K, C), x.dtype),       # LN2 output
+            pltpu.VMEM((K, C), jnp.float32),   # fc2 accumulator
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=_use_interpret(),
+    )(
+        x,
+        block_params["norm1"]["scale"].reshape(1, C),
+        block_params["norm1"]["bias"].reshape(1, C),
+        wqkv,
+        attn_p["qkv"]["bias"].reshape(1, 3 * C),
+        wproj,
+        attn_p["proj"]["bias"].reshape(1, C),
+        ls1.reshape(1, C),
+        block_params["norm2"]["scale"].reshape(1, C),
+        block_params["norm2"]["bias"].reshape(1, C),
+        w1,
+        mlp_p["fc1"]["bias"].reshape(1, hidden),
+        w2,
+        mlp_p["fc2"]["bias"].reshape(1, C),
+        ls2.reshape(1, C),
+        prev_scores[..., None],
+    )
+    return out, ns[..., 0]
+
+
+def _attn_mlp_block_kernel(
+    x_ref, ln1s_ref, ln1b_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
+    ls1_ref, ln2s_ref, ln2b_ref, w1_ref, b1_ref, w2_ref, b2_ref, ls2_ref,
+    out_ref, xmid_ref, y2_ref, acc_ref,
+    *, num_heads: int, scale: float, eps: float,
+):
+    """bf16 whole-STOCK-block kernel (chunked MLP): one HBM read and one
+    write of the [B, N, C] stream per block instead of three of each."""
+    k = pl.program_id(1)
+    nk = pl.num_programs(1)
+    dtype = x_ref.dtype
+
+    @pl.when(k == 0)
+    def _():
+        x32 = x_ref[0].astype(jnp.float32)
+        y = _layer_norm_f32(x32, ln1s_ref, ln1b_ref, eps).astype(dtype)
+        qkv = jnp.dot(y, wqkv_ref[:], preferred_element_type=jnp.float32)
+        qkv = (qkv + bqkv_ref[:].astype(jnp.float32)).astype(dtype)
+        attn = _mha(qkv, num_heads, scale, dtype)
+        out = jnp.dot(attn, wproj_ref[:], preferred_element_type=jnp.float32)
+        out = out + bproj_ref[:].astype(jnp.float32)
+        out = out * ls1_ref[:].astype(jnp.float32)
+        x_mid = (x32 + out).astype(dtype)
+        xmid_ref[:] = x_mid
+        y2_ref[:] = _layer_norm_f32(
+            x_mid.astype(jnp.float32), ln2s_ref, ln2b_ref, eps
+        ).astype(dtype)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    h = jnp.dot(y2_ref[:], w1_ref[:], preferred_element_type=jnp.float32)
+    h = gelu_fast(h + b1_ref[:].astype(jnp.float32))
+    acc_ref[:] += jnp.dot(
+        h.astype(dtype), w2_ref[:], preferred_element_type=jnp.float32
+    )
+
+    @pl.when(k == nk - 1)
+    def _():
+        out2 = acc_ref[:] + b2_ref[:].astype(jnp.float32)
+        out2 = out2 * ls2_ref[:].astype(jnp.float32)
+        out_ref[0] = (
+            xmid_ref[:].astype(jnp.float32) + out2
+        ).astype(out_ref.dtype)
+
+
+def _attn_mlp_block_fits(N: int, C: int, hidden: int, hc: int,
+                         itemsize: int) -> bool:
+    io = 2 * 2 * N * C * itemsize
+    resident = 4 * C * C * itemsize
+    streamed = 2 * 2 * C * hc * itemsize
+    scratch = N * C * (2 * itemsize + 4) + N * hc * 4
+    live = N * 3 * C * (itemsize + 4) + N * N * 4
+    return io + resident + streamed + scratch + live <= _VMEM_BUDGET
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads", "scale", "eps"))
+def fused_attn_mlp_block(
+    x: jax.Array,
+    block_params,
+    num_heads: int,
+    scale: float,
+    eps: float = 1e-6,
+) -> jax.Array:
+    """Whole stock block in one bf16 kernel per image (chunked MLP):
+    ``x + ls1·proj(mhsa(LN1(x)))`` then ``+ ls2·mlp(LN2(·))``
+    (reference model.py:61). Same numerics as
+    :func:`fused_attn_block` + :func:`rajni_tpu.kernels.mlp.fused_ln_mlp_residual`
+    including the bf16 rounding at the half boundary."""
+    B, N, C = x.shape
+    attn_p = block_params["attn"]
+    mlp_p = block_params["mlp"]
+    w1 = mlp_p["fc1"]["kernel"]
+    hidden = w1.shape[1]
+    itemsize = jnp.dtype(x.dtype).itemsize
+    hc = _fc_chunk(C, hidden, itemsize, 4 * C * C * itemsize)
+    ls1 = block_params.get("ls1")
+    ls2 = block_params.get("ls2")
+    if ls1 is None:
+        ls1 = jnp.ones((C,), x.dtype)
+    if ls2 is None:
+        ls2 = jnp.ones((C,), x.dtype)
+
+    vec = lambda n: pl.BlockSpec(  # noqa: E731
+        (1, n), lambda b, k: (0, 0), memory_space=pltpu.VMEM
+    )
+    mat = lambda s: pl.BlockSpec(  # noqa: E731
+        s, lambda b, k: (0, 0), memory_space=pltpu.VMEM
+    )
+    return pl.pallas_call(
+        functools.partial(
+            _attn_mlp_block_kernel, num_heads=num_heads, scale=scale,
+            eps=eps,
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, N, C), x.dtype),
+        grid=(B, hidden // hc),
+        in_specs=[
+            pl.BlockSpec((1, N, C), lambda b, k: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            vec(C), vec(C),
+            mat((C, 3 * C)), vec(3 * C),
+            mat((C, C)), vec(C),
+            vec(C),
+            vec(C), vec(C),
+            pl.BlockSpec((C, hc), lambda b, k: (0, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hc), lambda b, k: (0, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((hc, C), lambda b, k: (k, 0),
+                         memory_space=pltpu.VMEM),
+            vec(C),
+            vec(C),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, N, C), lambda b, k: (b, 0, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((N, C), x.dtype),
+            pltpu.VMEM((N, C), x.dtype),
+            pltpu.VMEM((N, C), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=_use_interpret(),
+    )(
+        x,
+        block_params["norm1"]["scale"].reshape(1, C),
+        block_params["norm1"]["bias"].reshape(1, C),
+        attn_p["qkv"]["kernel"],
+        attn_p["qkv"]["bias"].reshape(1, 3 * C),
+        attn_p["proj"]["kernel"],
+        attn_p["proj"]["bias"].reshape(1, C),
+        ls1.reshape(1, C),
+        block_params["norm2"]["scale"].reshape(1, C),
+        block_params["norm2"]["bias"].reshape(1, C),
+        w1,
+        mlp_p["fc1"]["bias"].reshape(1, hidden),
+        mlp_p["fc2"]["kernel"],
+        mlp_p["fc2"]["bias"].reshape(1, C),
+        ls2.reshape(1, C),
+    )
+
+
+def _block_full_int8_kernel(
+    x_ref, ln1s_ref, ln1b_ref, wqkv_ref, sqkv_ref, bqkv_ref,
+    wproj_ref, sproj_ref, bproj_ref, ls1_ref,
+    ln2s_ref, ln2b_ref, w1_ref, s1_ref, b1_ref, w2_ref, s2_ref, b2_ref,
+    ls2_ref, out_ref,
+    *, num_heads: int, scale: float, eps: float,
+):
+    """Whole STOCK block, one kernel, int8 weights (no pruning): the
+    [B, N, C] residual stream makes one HBM read and one write per block
+    instead of three of each (reference model.py:61 ``blk(x)``)."""
+    dtype = x_ref.dtype
+    x32 = x_ref[0].astype(jnp.float32)
+    y = _layer_norm_f32(x32, ln1s_ref, ln1b_ref, eps)
+    qkv = _int8_matmul(y, wqkv_ref, sqkv_ref) + bqkv_ref[:].astype(
+        jnp.float32
+    )
+    attn = _mha_int8(qkv, num_heads, scale, jnp.float32)
+    out = _int8_matmul(attn, wproj_ref, sproj_ref)
+    out = out + bproj_ref[:].astype(jnp.float32)
+    x_mid = x32 + out * ls1_ref[:].astype(jnp.float32)
+
+    y2 = _layer_norm_f32(
+        x_mid.astype(dtype).astype(jnp.float32), ln2s_ref, ln2b_ref, eps
+    )
+    y2_q, a1 = _quantize_rows(y2)
+    h = jax.lax.dot_general(
+        y2_q, w1_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    ).astype(jnp.float32)
+    h = gelu_fast(h * a1 * s1_ref[:] + b1_ref[:].astype(jnp.float32))
+    h_q, a2 = _quantize_rows(h)
+    out2 = jax.lax.dot_general(
+        h_q, w2_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    ).astype(jnp.float32)
+    out2 = out2 * a2 * s2_ref[:] + b2_ref[:].astype(jnp.float32)
+    out_ref[0] = (
+        x_mid.astype(dtype).astype(jnp.float32)
+        + out2 * ls2_ref[:].astype(jnp.float32)
+    ).astype(out_ref.dtype)
+
+
+def _block_full_int8_fits(N: int, C: int, hidden: int, itemsize: int) -> bool:
+    io = 2 * 2 * N * C * itemsize
+    weights = 4 * C * C + 2 * C * hidden
+    live = N * 3 * C * 4 + N * hidden * 4 + 3 * N * C * 4 + N * N * 4
+    return io + weights + live <= _VMEM_BUDGET
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_heads", "scale", "eps")
+)
+def fused_block_full_int8(
+    x: jax.Array,
+    block_params,
+    num_heads: int,
+    scale: float,
+    eps: float = 1e-6,
+) -> jax.Array:
+    """Stock-block counterpart of :func:`fused_pruned_block_full_int8`:
+    ``x + ls1·proj(mhsa(LN1(x)))`` then ``+ ls2·mlp(LN2(·))`` in one int8
+    kernel per image. Both matmul halves and the SDPA run on the int8 MXU."""
+    B, N, C = x.shape
+    attn_p = block_params["attn"]
+    mlp_p = block_params["mlp"]
+    wqkv = attn_p["qkv"]["kernel"]
+    wproj = attn_p["proj"]["kernel"]
+    w1 = mlp_p["fc1"]["kernel"]
+    w2 = mlp_p["fc2"]["kernel"]
+    hidden = w1["int8"].shape[1]
+    ls1 = block_params.get("ls1")
+    ls2 = block_params.get("ls2")
+    if ls1 is None:
+        ls1 = jnp.ones((C,), x.dtype)
+    if ls2 is None:
+        ls2 = jnp.ones((C,), x.dtype)
+
+    vec = lambda n: pl.BlockSpec(  # noqa: E731
+        (1, n), lambda b: (0, 0), memory_space=pltpu.VMEM
+    )
+    mat = lambda s: pl.BlockSpec(  # noqa: E731
+        s, lambda b: (0, 0), memory_space=pltpu.VMEM
+    )
+    return pl.pallas_call(
+        functools.partial(
+            _block_full_int8_kernel, num_heads=num_heads, scale=scale,
+            eps=eps,
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, N, C), x.dtype),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, N, C), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            vec(C), vec(C),
+            mat((C, 3 * C)), vec(3 * C), vec(3 * C),
+            mat((C, C)), vec(C), vec(C),
+            vec(C),
+            vec(C), vec(C),
+            mat((C, hidden)), vec(hidden), vec(hidden),
+            mat((hidden, C)), vec(C), vec(C),
+            vec(C),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, N, C), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
+        interpret=_use_interpret(),
+    )(
+        x,
+        block_params["norm1"]["scale"].reshape(1, C),
+        block_params["norm1"]["bias"].reshape(1, C),
+        wqkv["int8"],
+        wqkv["scale"].reshape(1, 3 * C),
+        attn_p["qkv"]["bias"].reshape(1, 3 * C),
+        wproj["int8"],
+        wproj["scale"].reshape(1, C),
+        attn_p["proj"]["bias"].reshape(1, C),
+        ls1.reshape(1, C),
+        block_params["norm2"]["scale"].reshape(1, C),
+        block_params["norm2"]["bias"].reshape(1, C),
+        w1["int8"],
+        w1["scale"].reshape(1, hidden),
+        mlp_p["fc1"]["bias"].reshape(1, hidden),
+        w2["int8"],
+        w2["scale"].reshape(1, C),
+        mlp_p["fc2"]["bias"].reshape(1, C),
+        ls2.reshape(1, C),
+    )
+
+
 def _pruned_block_int8_kernel(
     x_ref, lns_ref, lnb_ref, wqkv_ref, sqkv_ref, bqkv_ref,
     wproj_ref, sproj_ref, bproj_ref, ls_ref, pscores_ref, out_ref, ns_ref,

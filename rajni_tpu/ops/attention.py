@@ -24,6 +24,7 @@ The pruning variant mirrors the reference ``RAJNIAttention.forward``
 
 from __future__ import annotations
 
+import math
 from typing import Any, Mapping
 
 import jax
@@ -41,9 +42,21 @@ AttnParams = Mapping[str, Any]
 
 
 def _qkv_projection(x: jax.Array, params: AttnParams) -> jax.Array:
-    """Packed QKV linear: ``[B, N, C] -> [B, N, 3C]``."""
+    """Packed QKV linear: ``[B, N, C] -> [B, N, 3C]``.
+
+    Also accepts the head-aligned tensor-parallel layout
+    ``kernel [C, 3, C] / bias [3, C]`` (:func:`rajni_tpu.parallel.mesh.
+    repack_qkv_heads`) and then returns ``[B, N, 3, C]`` — same element
+    order, one axis pre-split, so the last axis can be sharded on head
+    boundaries without the packed-(q|k|v) boundary crossing a shard. Every
+    consumer reshapes to ``[B, N, 3, H, D]`` anyway, so both forms are
+    interchangeable downstream.
+    """
     qkv = params["qkv"]
-    return x @ qkv["kernel"] + qkv["bias"]
+    k = qkv["kernel"]
+    if k.ndim == 3:
+        return jnp.einsum("bnc,cte->bnte", x, k) + qkv["bias"]
+    return x @ k + qkv["bias"]
 
 
 def _sdpa(
@@ -65,7 +78,8 @@ def _sdpa(
         on batch-256 ViT-B/16);
       * the softmax itself runs in ``softmax_dtype`` (fp32) for bf16 safety.
     """
-    B, Np, three_c = qkv.shape
+    B, Np = qkv.shape[:2]
+    three_c = math.prod(qkv.shape[2:])
     C = three_c // 3
     D = C // num_heads
     qkv = qkv.reshape(B, Np, 3, num_heads, D)

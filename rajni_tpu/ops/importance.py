@@ -54,7 +54,8 @@ def compute_importance(
     Returns:
       ``[B, N]`` importance scores in ``compute_dtype``.
     """
-    B, N, three_c = qkv.shape
+    B, N = qkv.shape[:2]
+    three_c = math.prod(qkv.shape[2:])  # [B,N,3C] or TP's [B,N,3,C]
     C = three_c // 3
     D = C // num_heads
 

@@ -49,27 +49,118 @@ def make_mesh(
     return Mesh(dev_array, axis_names=("data", "model"))
 
 
+def repack_qkv_heads(params: Any) -> Any:
+    """Head-aligned TP layout for the packed QKV weights.
+
+    ``qkv.kernel [C, 3C]`` sharded ``P(None, "model")`` splits the packed
+    (q|k|v, head, dim) lane order across the q/k/v boundary — correct under
+    SPMD but forces an all-gather before the head reshape. Splitting the
+    packed axis first — ``[C, 3, C]`` kernel, ``[3, C]`` bias, last axis
+    sharded — keeps every shard a whole set of heads (model must divide the
+    head count for zero-comm attention), so the only collectives left per
+    block are the two row-parallel all-reduces (proj, fc2): the Megatron
+    minimum. The forward consumes either layout
+    (:func:`rajni_tpu.ops.attention._qkv_projection`); element order is
+    unchanged, so this is a pure reshape of the checkpoint, not a permute.
+    Int8 quantization records are repacked the same way (int8 ``[C, 3, C]``,
+    scale ``[3, C]``).
+    """
+
+    def repack_block(block):
+        b = dict(block)
+        attn = dict(block["attn"])
+        qkv = dict(attn["qkv"])
+        k = qkv["kernel"]
+        if isinstance(k, dict):  # quantized record
+            if k["int8"].ndim == 2:
+                C = k["int8"].shape[0]
+                k = dict(k)
+                k["int8"] = k["int8"].reshape(C, 3, C)
+                k["scale"] = k["scale"].reshape(3, C)
+                qkv["kernel"] = k
+        elif k.ndim == 2:
+            C = k.shape[0]
+            qkv["kernel"] = k.reshape(C, 3, C)
+        if qkv["bias"].ndim == 1:
+            qkv["bias"] = qkv["bias"].reshape(3, -1)
+        attn["qkv"] = qkv
+        b["attn"] = attn
+        return b
+
+    out = dict(params)
+    out["blocks"] = [repack_block(b) for b in params["blocks"]]
+    return out
+
+
+def _maybe_quantized_spec(kernel, spec):
+    """Match a PartitionSpec to a plain kernel or an int8 record's leaves.
+
+    A quantized record shards its int8 payload like the plain weight; the
+    per-output-channel scale row follows the kernel's *output* axis."""
+    if not isinstance(kernel, dict):
+        return spec
+    out_axis_sharded = len(spec) > 0 and spec[-1] is not None
+    ndim = kernel["scale"].ndim
+    if out_axis_sharded:
+        scale_spec = P(*([None] * (ndim - 1)), "model")
+    else:
+        scale_spec = P()
+    return {"int8": spec, "scale": scale_spec}
+
+
 def param_pspecs(params: Any) -> Any:
     """PartitionSpecs for a ViT param pytree: Megatron TP over ``model``.
 
-    - ``qkv.kernel [C, 3C]`` / ``mlp.fc1.kernel [C, H]``: column-parallel
-      (output dim sharded) with matching bias sharding;
+    - ``qkv.kernel`` / ``mlp.fc1.kernel [C, H]``: column-parallel (output
+      dim sharded) with matching bias sharding; qkv uses the head-aligned
+      ``[C, 3, C]`` layout when present (:func:`repack_qkv_heads`);
     - ``attn.proj.kernel [C, C]`` / ``mlp.fc2.kernel [H, C]``: row-parallel
       (input dim sharded), bias replicated;
-    - embeddings, norms, head: replicated (tiny).
+    - embeddings, norms, head: replicated (tiny);
+    - int8 quantization records shard their payload like the plain weight.
     """
 
     def block_spec(block):
+        qkv_k = block["attn"]["qkv"]["kernel"]
+        packed3 = (
+            qkv_k["int8"].ndim if isinstance(qkv_k, dict) else qkv_k.ndim
+        ) == 3
+        qkv_kernel_spec = (
+            P(None, None, "model") if packed3 else P(None, "model")
+        )
+        qkv_bias_spec = (
+            P(None, "model")
+            if block["attn"]["qkv"]["bias"].ndim == 2
+            else P("model")
+        )
         spec = {
             "norm1": {"scale": P(), "bias": P()},
             "norm2": {"scale": P(), "bias": P()},
             "attn": {
-                "qkv": {"kernel": P(None, "model"), "bias": P("model")},
-                "proj": {"kernel": P("model", None), "bias": P()},
+                "qkv": {
+                    "kernel": _maybe_quantized_spec(qkv_k, qkv_kernel_spec),
+                    "bias": qkv_bias_spec,
+                },
+                "proj": {
+                    "kernel": _maybe_quantized_spec(
+                        block["attn"]["proj"]["kernel"], P("model", None)
+                    ),
+                    "bias": P(),
+                },
             },
             "mlp": {
-                "fc1": {"kernel": P(None, "model"), "bias": P("model")},
-                "fc2": {"kernel": P("model", None), "bias": P()},
+                "fc1": {
+                    "kernel": _maybe_quantized_spec(
+                        block["mlp"]["fc1"]["kernel"], P(None, "model")
+                    ),
+                    "bias": P("model"),
+                },
+                "fc2": {
+                    "kernel": _maybe_quantized_spec(
+                        block["mlp"]["fc2"]["kernel"], P("model", None)
+                    ),
+                    "bias": P(),
+                },
             },
         }
         if "ls1" in block:
@@ -77,19 +168,32 @@ def param_pspecs(params: Any) -> Any:
             spec["ls2"] = P()
         return spec
 
+    head_kernel = params["head"]["kernel"]
     return {
         "patch_embed": {"kernel": P(), "bias": P()},
         "cls_token": P(),
         "pos_embed": P(),
         "blocks": [block_spec(b) for b in params["blocks"]],
         "norm": {"scale": P(), "bias": P()},
-        "head": {"kernel": P(), "bias": P()},
+        "head": {
+            "kernel": _maybe_quantized_spec(head_kernel, P()),
+            "bias": P(),
+        },
     }
 
 
 def shard_params(params: Any, mesh: Mesh) -> Any:
-    """Place a param pytree onto the mesh with TP shardings."""
+    """Place a param pytree onto the mesh with TP shardings.
+
+    With a real ``model`` axis the packed QKV weights are first re-packed
+    head-aligned (:func:`repack_qkv_heads`) so TP attention needs no
+    all-gather — see ``tests/test_parallel.py``'s compiled-HLO collective
+    assertions."""
+    if mesh.shape["model"] > 1:
+        params = repack_qkv_heads(params)
     specs = param_pspecs(params)
+    # quantized records are dicts mirrored by _maybe_quantized_spec, so the
+    # two trees always match leaf-for-leaf
     return jax.tree_util.tree_map(
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs
     )

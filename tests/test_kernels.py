@@ -217,3 +217,117 @@ def test_fused_pruned_block_matches_two_kernel_path(rng):
     np.testing.assert_allclose(
         np.asarray(ns2),
         np.asarray(jnp.take_along_axis(prev, idx2, axis=1)), atol=1e-6)
+
+
+def _tiny_block_params(rng, C, hidden, quantized=False):
+    def dense(i, o):
+        p = {"kernel": jnp.asarray(rng.standard_normal((i, o)) * 0.1,
+                                   jnp.float32),
+             "bias": jnp.asarray(rng.standard_normal(o) * 0.1, jnp.float32)}
+        if quantized:
+            from rajni_tpu.quant import quantize_weight
+
+            p["kernel"] = quantize_weight(p["kernel"])
+        return p
+
+    def norm():
+        return {"scale": jnp.asarray(1 + 0.1 * rng.standard_normal(C),
+                                     jnp.float32),
+                "bias": jnp.asarray(0.1 * rng.standard_normal(C),
+                                    jnp.float32)}
+
+    return {
+        "norm1": norm(),
+        "attn": {"qkv": dense(C, 3 * C), "proj": dense(C, C)},
+        "norm2": norm(),
+        "mlp": {"fc1": dense(C, hidden), "fc2": dense(hidden, C)},
+    }
+
+
+def test_full_stock_block_matches_split_kernels(rng):
+    """fused_attn_mlp_block == fused_attn_block + fused_ln_mlp_residual,
+    including the bf16-free fp32 case and the half-boundary rounding."""
+    from rajni_tpu.kernels import block as blk
+    from rajni_tpu.kernels.mlp import fused_ln_mlp_residual
+
+    B, N, C, H, hidden = 2, 33, 32, 4, 128
+    bp = _tiny_block_params(rng, C, hidden)
+    x = jnp.asarray(rng.standard_normal((B, N, C)), jnp.float32)
+    scale = 8**-0.5
+
+    mid = blk.fused_attn_block(x, bp["norm1"], bp["attn"], None, H, scale)
+    want = fused_ln_mlp_residual(mid, bp["norm2"], bp["mlp"])
+    got = blk.fused_attn_mlp_block(x, bp, H, scale)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_full_pruned_block_matches_split_kernels(rng):
+    """fused_pruned_block_full == fused_pruned_attn_block +
+    fused_ln_mlp_residual, both scoring modes."""
+    from rajni_tpu.kernels import block as blk
+    from rajni_tpu.kernels.mlp import fused_ln_mlp_residual
+
+    B, N, C, H, hidden, keep = 2, 57, 32, 4, 128, 23
+    bp = _tiny_block_params(rng, C, hidden)
+    x = jnp.asarray(rng.standard_normal((B, N, C)), jnp.float32)
+    scale = 8**-0.5
+
+    mid, ns_want = blk.fused_pruned_attn_block(
+        x, bp["norm1"], bp["attn"], None, None, H, keep, scale, 1e-6, True)
+    want = fused_ln_mlp_residual(mid, bp["norm2"], bp["mlp"])
+    got, ns = blk.fused_pruned_block_full(
+        x, bp, None, H, keep, scale, 1e-6, True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ns), np.asarray(ns_want),
+                               atol=1e-6)
+
+    prev = jnp.asarray(rng.standard_normal((B, N)), jnp.float32)
+    mid2, _ = blk.fused_pruned_attn_block(
+        x, bp["norm1"], bp["attn"], None, prev, H, keep, scale, 1e-6, False)
+    want2 = fused_ln_mlp_residual(mid2, bp["norm2"], bp["mlp"])
+    got2, _ = blk.fused_pruned_block_full(
+        x, bp, prev, H, keep, scale, 1e-6, False)
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(want2),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_full_stock_block_int8_matches_split_kernels(rng):
+    """fused_block_full_int8 == fused_attn_block_int8 +
+    fused_ln_mlp_residual_int8 (identical quantization steps on both
+    sides, so the agreement is tight, not statistical)."""
+    from rajni_tpu.kernels import block as blk
+    from rajni_tpu.kernels.mlp import fused_ln_mlp_residual_int8
+
+    B, N, C, H, hidden = 2, 33, 64, 4, 128
+    bp = _tiny_block_params(rng, C, hidden, quantized=True)
+    x = jnp.asarray(rng.standard_normal((B, N, C)), jnp.float32)
+    scale = 16**-0.5
+
+    mid = blk.fused_attn_block_int8(
+        x, bp["norm1"], bp["attn"], None, H, scale)
+    want = fused_ln_mlp_residual_int8(mid, bp["norm2"], bp["mlp"])
+    got = blk.fused_block_full_int8(x, bp, H, scale)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-3, atol=2e-3)
+
+
+def test_full_pruned_block_int8_matches_split_kernels(rng):
+    from rajni_tpu.kernels import block as blk
+    from rajni_tpu.kernels.mlp import fused_ln_mlp_residual_int8
+
+    B, N, C, H, hidden, keep = 2, 57, 64, 4, 128, 23
+    bp = _tiny_block_params(rng, C, hidden, quantized=True)
+    x = jnp.asarray(rng.standard_normal((B, N, C)), jnp.float32)
+    scale = 16**-0.5
+
+    mid, ns_want = blk.fused_pruned_attn_block_int8(
+        x, bp["norm1"], bp["attn"], None, None, H, keep, scale, 1e-6, True)
+    want = fused_ln_mlp_residual_int8(mid, bp["norm2"], bp["mlp"])
+    got, ns = blk.fused_pruned_block_full_int8(
+        x, bp, None, H, keep, scale, 1e-6, True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(ns), np.asarray(ns_want),
+                               atol=1e-6)

@@ -44,11 +44,64 @@ def test_param_placement(setup):
     mesh = make_mesh(data=4, model=2)
     sharded = shard_params(params, mesh)
     qkv = sharded["blocks"][0]["attn"]["qkv"]["kernel"]
-    # column-parallel: output dim split over 2 model chips
+    # head-aligned column-parallel: packed axis split first ([C, 3, C]),
+    # the head axis sharded over 2 model chips — never across the q|k|v
+    # boundary (repack_qkv_heads)
     shard_shapes = {s.data.shape for s in qkv.addressable_shards}
-    assert shard_shapes == {(32, 48)}  # [C, 3C/2]
+    assert shard_shapes == {(32, 3, 16)}  # [C, 3, C/2]
     proj = sharded["blocks"][0]["attn"]["proj"]["kernel"]
     assert {s.data.shape for s in proj.addressable_shards} == {(16, 32)}
+
+
+def test_tp_attention_needs_no_allgather(setup):
+    """Compiled-HLO collective audit (VERDICT r1 #6): with the head-aligned
+    qkv layout, TP attention inserts NO all-gather on the qkv path — the
+    per-block collectives are the two row-parallel all-reduces (Megatron
+    minimum). The legacy [C, 3C] boundary-splitting layout needed ~7
+    all-gathers per block on the same program."""
+    import functools
+    import re
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from rajni_tpu.parallel.mesh import batch_sharding
+
+    params, x = setup
+    mesh = make_mesh(data=2, model=4)
+    sharded = shard_params(params, mesh)
+    fwd = jax.jit(
+        functools.partial(
+            vit_forward, config=TINY, schedule=SCHED, impl="xla"
+        ),
+        in_shardings=(None, batch_sharding(mesh)),
+        out_shardings=NamedSharding(mesh, P("data")),
+    )
+    txt = fwd.lower(sharded, x).compile().as_text()
+    # all-gathered BYTES must stay score-row-sized: the legacy [C, 3C]
+    # boundary-splitting layout gathered whole qkv/weight tensors here.
+    ag_bytes = sum(
+        4 * int(np.prod([int(d) for d in dims.split(",")]))
+        for dims in re.findall(r"all-gather[^=]*= f32\[([\d,]+)\]", txt)
+    )
+    n_ar = len(re.findall(r"all-reduce[.(\"]", txt))
+    limit = 4 * x.shape[0] * TINY.num_tokens * 4
+    assert ag_bytes <= limit, f"TP all-gathers {ag_bytes}B > {limit}B"
+    # the row-parallel matmuls must still reduce (>= 2 per block)
+    assert n_ar >= 2 * TINY.depth, f"expected Megatron all-reduces, got {n_ar}"
+
+
+def test_tp_with_quantized_params(setup):
+    """Int8 records shard structurally (int8 payload like the plain weight,
+    scale row on the output axis) and the TP forward stays correct."""
+    from rajni_tpu.quant import quantize_params
+
+    params, x = setup
+    qparams = quantize_params(params)
+    want = np.asarray(vit_forward(qparams, x, TINY, SCHED))
+    mesh = make_mesh(data=4, model=2)
+    apply = sharded_forward(qparams, TINY, SCHED, mesh)
+    got = np.asarray(apply(x))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
 
 
 def test_eval_step_counters(setup):
