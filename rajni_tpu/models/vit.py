@@ -543,6 +543,13 @@ def vit_forward(
                     if _tap is not None:
                         _tap(blk_i, x)
                     continue
+                # NOTE: kernels/longseq.py holds a token-chunked mega-kernel
+                # for N=577 (QKV never reaches HBM) — kept as a tested
+                # alternative, NOT routed: measured 1317 vs 1355 img/s
+                # against this two-kernel path on ViT-B/384 (the per-image
+                # serial scoring/selection phase costs more than the QKV
+                # round trip it saves; the real 384 bottleneck was XLA
+                # selection, fixed by ops.pruning.select_tokens_radix).
                 if quantized:
                     qkv, new_scores = fused_ln_qkv_int8(
                         x,

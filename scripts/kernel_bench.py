@@ -84,7 +84,14 @@ def main():
     def t(fn, inp, label):
         return chain_time(fn, inp, iters, label, batch)
 
-    t(lambda x: (x, jnp.float32(0)), x, "noop (loop overhead)")
+    # NOTE: the chained fori_loop harness itself costs ~4.7 ms/iteration at
+    # these carry shapes on the axon relay (measured 2026-08-16: a noop body
+    # reports 4.71 ms; selection kernels 4.78-5.27 ms). Treat every number
+    # below as (reported − noop): only DIFFERENCES are meaningful, absolute
+    # per-kernel times are dominated by the harness floor.
+    noop = t(lambda x: (x, jnp.float32(0)), x, "noop (loop overhead)")
+    print(f"(subtract {noop:.3f} ms harness floor from every row below)",
+          file=sys.stderr)
 
     t(lambda x: (lambda o: (o, o[:, 0, 0].astype(jnp.float32).mean()))(
         fused_attn_block(x, blk["norm1"], blk["attn"], None, H,
@@ -121,6 +128,20 @@ def main():
     t(lambda x: (lambda o: (o[0], o[0][:, 0, 0].astype(jnp.float32).mean()))(
         fused_ln_qkv(x, blk["norm1"], blk["attn"]["qkv"], H)),
       x, "ln+qkv(+score) bf16 (N)")
+
+    from rajni_tpu.kernels.block import (
+        fused_block_full_int8,
+        fused_pruned_block_full_int8,
+    )
+
+    t(lambda x: (lambda o: (o, o[:, 0, 0].astype(jnp.float32).mean()))(
+        fused_block_full_int8(x, qblk, H, cfg.attn_scale)),
+      x, "FULL stock block int8 (N)")
+
+    t(lambda x: (lambda o: (o[0], o[0][:, 0, 0].astype(jnp.float32).mean()))(
+        fused_pruned_block_full_int8(x, qblk, None, H, keep,
+                                     cfg.attn_scale)),
+      x, "FULL pruned block int8 (N->K, scored)")
 
 
 if __name__ == "__main__":

@@ -331,3 +331,81 @@ def test_full_pruned_block_int8_matches_split_kernels(rng):
                                rtol=1e-3, atol=2e-3)
     np.testing.assert_allclose(np.asarray(ns), np.asarray(ns_want),
                                atol=1e-6)
+
+
+def test_longseq_block_matches_two_kernel_path(rng):
+    """The token-chunked long-sequence mega-kernel (kernels.longseq) must
+    equal the two-kernel composition on a ragged-chunk geometry (N=300,
+    K=277: three 128-row query chunks, last partial), both scoring modes."""
+    from rajni_tpu.kernels import block as blk
+    from rajni_tpu.kernels.longseq import fused_pruned_attn_block_long
+    from rajni_tpu.ops.pruning import select_tokens_dense
+
+    B, N, C, H = 2, 300, 32, 4
+    keep = 276
+    x = jnp.asarray(rng.standard_normal((B, N, C)), jnp.float32)
+    ln = {"scale": jnp.asarray(1 + 0.1 * rng.standard_normal(C), jnp.float32),
+          "bias": jnp.asarray(0.1 * rng.standard_normal(C), jnp.float32)}
+    attn = {
+        "qkv": {"kernel": jnp.asarray(rng.standard_normal((C, 3 * C)) * 0.1,
+                                      jnp.float32),
+                "bias": jnp.asarray(rng.standard_normal(3 * C) * 0.1,
+                                    jnp.float32)},
+        "proj": {"kernel": jnp.asarray(rng.standard_normal((C, C)) * 0.1,
+                                       jnp.float32),
+                 "bias": jnp.asarray(rng.standard_normal(C) * 0.1,
+                                     jnp.float32)},
+    }
+    scale = 8**-0.5
+
+    qkv, s = blk.fused_ln_qkv(x, ln, attn["qkv"], H, 1e-6, True)
+    idx, sel = select_tokens_dense(s, keep, x.dtype)
+    want = blk.fused_gather_sdpa_proj_residual(
+        qkv, sel, x, attn["proj"], None, H, scale)
+    ns_want = jnp.take_along_axis(s, idx, axis=1)
+
+    got, ns = fused_pruned_attn_block_long(
+        x, ln, attn, None, None, H, keep, scale, 1e-6, True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ns), np.asarray(ns_want),
+                               rtol=1e-5, atol=1e-6)
+
+    # update=False threaded-score reuse
+    prev = jnp.asarray(rng.standard_normal((B, N)), jnp.float32)
+    idx2, sel2 = select_tokens_dense(prev, keep, x.dtype)
+    want2 = blk.fused_gather_sdpa_proj_residual(
+        qkv, sel2, x, attn["proj"], None, H, scale)
+    got2, ns2 = fused_pruned_attn_block_long(
+        x, ln, attn, None, prev, H, keep, scale, 1e-6, False)
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(want2),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(ns2),
+        np.asarray(jnp.take_along_axis(prev, idx2, axis=1)),
+        rtol=1e-5, atol=1e-6)
+
+
+def test_vit_forward_longseq_routing_matches_xla(rng, monkeypatch):
+    """Force the mega-kernel fits-checks off so the pruned pallas path
+    routes through kernels.longseq, and compare against the XLA reference
+    end-to-end (the ViT-B/384 production route, shrunk)."""
+    from rajni_tpu.kernels import block as blk
+
+    monkeypatch.setattr(blk, "_pruned_block_fits", lambda *a: False)
+    monkeypatch.setattr(blk, "_pruned_block_full_fits", lambda *a: False)
+
+    cfg = ViTConfig(img_size=32, patch_size=8, embed_dim=64, depth=3,
+                    num_heads=4, num_classes=13)
+    sched = normalize_schedule(
+        {1: {"keep_ratio": 0.7, "update": True},
+         2: {"keep_ratio": 0.8, "update": False}}, cfg.depth)
+    params = init_params(jax.random.key(0), cfg, jnp.float32)
+    x = jnp.asarray(rng.standard_normal((2, 32, 32, 3)), jnp.float32)
+
+    want = np.asarray(vit_forward(params, x, cfg, sched, "xla"))
+    got = np.asarray(
+        jax.jit(vit_forward, static_argnums=(2, 3, 4)).__wrapped__(
+            params, x, cfg, sched, "pallas")
+    )
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)

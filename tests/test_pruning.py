@@ -174,3 +174,31 @@ class TestEdgeCases:
         for impl in ("xla", "pallas"):
             a = vit_forward(params, x, cfg, sched, impl)
             assert np.isfinite(np.asarray(a)).all()
+
+
+def test_select_tokens_radix_matches_dense(rng):
+    """Radix threshold-search selection is bit-identical to the rank-matrix
+    version (same sets, same order, same lower-index tie-breaks) across
+    random, tie-heavy, negative, and all-equal score patterns."""
+    import jax.numpy as jnp
+
+    from rajni_tpu.ops.pruning import select_tokens_dense, select_tokens_radix
+
+    B, N = 4, 57
+    cases = [
+        rng.standard_normal((B, N)).astype(np.float32),
+        # heavy ties: scores quantized to 4 levels
+        np.round(rng.standard_normal((B, N)) * 2).astype(np.float32) / 2,
+        -np.abs(rng.standard_normal((B, N))).astype(np.float32),
+        np.zeros((B, N), np.float32),
+        np.full((B, N), -0.0, np.float32),
+    ]
+    for keep in (1, 23, N - 1):
+        for i, s in enumerate(cases):
+            si = jnp.asarray(s)
+            idx_d, sel_d = select_tokens_dense(si, keep, jnp.float32)
+            idx_r, sel_r = select_tokens_radix(si, keep, jnp.float32)
+            np.testing.assert_array_equal(
+                np.asarray(idx_d), np.asarray(idx_r), f"case {i} keep {keep}")
+            np.testing.assert_array_equal(
+                np.asarray(sel_d), np.asarray(sel_r), f"case {i} keep {keep}")
