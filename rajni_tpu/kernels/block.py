@@ -1229,18 +1229,27 @@ def _full_block_fits_int8(
     N: int, K: int, C: int, hidden: int, itemsize: int
 ) -> bool:
     """VMEM estimate for the whole-block int8 kernel: double-buffered IO +
-    resident int8 weights + the largest simultaneously-live fp32 values."""
+    resident int8 weights + the larger of the two PHASES' live fp32 values.
+
+    The attention-phase values (qkv, selection masks, gathered qkv) are all
+    dead by the time the MLP hidden activation materializes, so summing
+    them over-rejects: the original sum-form refused K=187/177/150 at
+    ViT-B geometry, all of which compile and run (probed on v5e
+    2026-08-16) — and the full kernel is ~1 ms/batch faster per block than
+    the split path it was falling back to."""
     io = 2 * (N * C + K * C + 2 * N) * itemsize
     weights = 4 * C * C + 2 * C * hidden  # int8 bytes
     scales = (3 * C + C + hidden + C) * 4
-    live = (
+    attn_live = (
         N * 3 * C * 4          # qkv fp32
         + 4 * N * N * 4        # selection masks
         + K * 3 * C * 4        # gathered qkv
-        + K * hidden * 4       # MLP hidden fp32
-        + 3 * K * C * 4        # x_mid / attn / out2
+        + 2 * K * C * 4        # x_g + attn out
     )
-    return io + weights + scales + live <= _VMEM_BUDGET
+    mlp_live = K * hidden * 4 + 3 * K * C * 4
+    return (
+        io + weights + scales + max(attn_live, mlp_live) <= _VMEM_BUDGET
+    )
 
 
 @functools.partial(
