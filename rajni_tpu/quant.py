@@ -65,13 +65,17 @@ def quantize_params(
     head — weights to int8.
 
     Embeddings and norms stay in the original dtype. With the full set of
-    flags (the default) every matmul in the forward runs on the int8 MXU:
-    the projections and MLP via :mod:`rajni_tpu.kernels`' ``*_int8``
-    kernels, the SDPA via in-kernel q/k/v quantization
-    (:func:`rajni_tpu.kernels.block._mha_int8` — per-token q/k rows,
-    per-channel v columns, fp32 softmax), and the head as a plain XLA int8
-    dot. Importance scoring operates on the dequantized QKV, so the RAJNI
-    scoring semantics are unchanged up to weight-quantization error.
+    flags (the default) the projections and MLP run on the int8 MXU via
+    :mod:`rajni_tpu.kernels`' ``*_int8`` kernels, and the head as a plain
+    XLA int8 dot. The SDPA inside those kernels stays bf16 by DEFAULT —
+    an int8 SDPA exists (:func:`rajni_tpu.kernels.block._mha_int8`:
+    per-token q/k rows, per-channel v columns, fp32 softmax with the
+    normalizer folded into the dequant; enable with the kernels'
+    ``int8_sdpa=True``) but measured 0.17 ms/block slower at ViT shapes:
+    the SDPA is ~2% of a block's MACs, so its quantize overhead outweighs
+    the 2× MXU rate. Importance scoring operates on the dequantized QKV,
+    so the RAJNI scoring semantics are unchanged up to weight-quantization
+    error.
     """
     if params["blocks"] and is_quantized(
         params["blocks"][0]["mlp"]["fc1"]["kernel"]

@@ -91,7 +91,9 @@ def test_int8_sdpa_attn_block_matches_quantized_oracle(rng):
 
     Pins the int8-SDPA layout: per-token-row q/k scales (shared across
     heads), per-channel v scales, and the softmax normalizer folded into
-    the p-dequant (p_q = round(127·exp(l−m)), scale 1/(127·Σexp))."""
+    the p-dequant (p_q = round(127·exp(l−m)), scale 1/(127·Σexp)).
+    ``int8_sdpa=True`` opts in (the default keeps SDPA bf16 — measured
+    faster at ViT shapes; the projections stay int8 either way)."""
     from rajni_tpu.kernels.block import fused_attn_block_int8
 
     B, N, C, H = 2, 24, 64, 4
@@ -110,7 +112,8 @@ def test_int8_sdpa_attn_block_matches_quantized_oracle(rng):
                  "bias": jnp.asarray(rng.standard_normal(C) * 0.1,
                                      jnp.float32)},
     }
-    got = fused_attn_block_int8(x, ln, attn_q, None, H, scale)
+    got = fused_attn_block_int8(x, ln, attn_q, None, H, scale,
+                                int8_sdpa=True)
 
     def rows_q(y):  # identical to kernels.math.quantize_rows
         am = np.maximum(np.abs(y).max(axis=-1, keepdims=True), 1e-8)
