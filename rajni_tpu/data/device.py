@@ -32,6 +32,13 @@ BASELINE.json north star "on-device preprocessing path"):
 Both tiers keep the eval protocol unchanged: H2D stays in the untimed
 region (the reference excludes `.to(device)` from timing, eval.py:48-53);
 on-device work joins the timed forward, where it is ~1.7% of model FLOPs.
+
+Measured H2D (batch-256 ViT-B input, v5e via the axon relay, 2026-08-16):
+fp32 154.1 MB → 4.04 s/batch; uint8 38.5 MB → 1.30 s/batch — 3.1× less
+wall-clock in the untimed transfer stage (4× fewer bytes; fixed per-batch
+overheads absorb the rest). Timed img/s is unchanged by protocol; total
+eval WALL time shrinks by whatever fraction transfer wasn't hidden by
+prefetch.
 """
 
 from __future__ import annotations

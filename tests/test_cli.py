@@ -110,3 +110,15 @@ def test_main_preprocess_device_modes(tmp_path):
         ])["rajni"][0]
     assert results["host"] == results["device"]
     assert results["host"] == results["device-full"]
+
+
+def test_main_quantize_end_to_end(tmp_path):
+    """CLI --quantize runs the full-int8 path end-to-end (synthetic)."""
+    sched = tmp_path / "s.json"
+    sched.write_text(json.dumps({"3": {"keep_ratio": 0.9}}))
+    result = main([
+        "--synthetic", "2", "--batch_size", "4", "--max_batches", "1",
+        "--model", "vit_tiny_patch16_224", "--schedule", str(sched),
+        "--warmup", "0", "--dtype", "float32", "--quantize",
+    ])
+    assert "rajni" in result
