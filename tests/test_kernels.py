@@ -409,3 +409,73 @@ def test_vit_forward_longseq_routing_matches_xla(rng, monkeypatch):
             params, x, cfg, sched, "pallas")
     )
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+
+def test_full_stock_block_int8_multi_image_packing(rng):
+    """The stock int8 whole-block kernel packs G images per program when
+    the plan allows; results must be per-image independent (identical to
+    running each image alone) and track the dequantized composition.
+    C=128/hidden=512 plans G=2 with a chunked hidden activation (grouped
+    quantization: per-chunk scales, so composition tolerance is the int8
+    step, not exact)."""
+    from rajni_tpu.kernels import block as blk
+    from rajni_tpu.kernels.mlp import fused_ln_mlp_residual_int8
+
+    B, N, C, H, hidden = 4, 33, 128, 4, 512
+    plan = blk._block_full_int8_plan(N, C, hidden, 4)
+    assert plan is not None and plan[0] == 2, plan  # exercises packing
+    bp = _tiny_block_params(rng, C, hidden, quantized=True)
+    x = jnp.asarray(rng.standard_normal((B, N, C)), jnp.float32)
+    scale = 32**-0.5
+
+    got = blk.fused_block_full_int8(x, bp, H, scale)
+    # per-image independence: image 2 alone == image 2 in the packed batch
+    solo = blk.fused_block_full_int8(x[2:3], bp, H, scale)
+    np.testing.assert_allclose(np.asarray(got[2]), np.asarray(solo[0]),
+                               rtol=1e-5, atol=1e-5)
+    # tracks the split-kernel composition within grouped-quant error
+    mid = blk.fused_attn_block_int8(x, bp["norm1"], bp["attn"], None, H,
+                                    scale)
+    want = fused_ln_mlp_residual_int8(mid, bp["norm2"], bp["mlp"])
+    err = np.abs(np.asarray(got) - np.asarray(want))
+    assert err.max() < 0.05 * np.abs(np.asarray(want)).max(), err.max()
+
+
+def test_full_pruned_block_int8_multi_image_packing(rng):
+    """Pruned int8 whole-block kernel with G=2 packing: per-image
+    independence of selection/scores and grouped-quant agreement with the
+    split composition."""
+    from rajni_tpu.kernels import block as blk
+    from rajni_tpu.kernels.mlp import fused_ln_mlp_residual_int8
+
+    B, N, C, H, hidden, keep = 4, 33, 128, 4, 512, 19
+    plan = blk._pruned_full_int8_plan(N, keep + 1, C, hidden, 4)
+    assert plan is not None and plan[0] == 2, plan
+    bp = _tiny_block_params(rng, C, hidden, quantized=True)
+    x = jnp.asarray(rng.standard_normal((B, N, C)), jnp.float32)
+    scale = 32**-0.5
+
+    got, ns = blk.fused_pruned_block_full_int8(
+        x, bp, None, H, keep, scale, 1e-6, True)
+    assert got.shape == (B, keep + 1, C) and ns.shape == (B, keep + 1)
+    solo, ns_solo = blk.fused_pruned_block_full_int8(
+        x[2:3], bp, None, H, keep, scale, 1e-6, True)
+    np.testing.assert_allclose(np.asarray(got[2]), np.asarray(solo[0]),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ns[2]), np.asarray(ns_solo[0]),
+                               atol=1e-6)
+    # split composition within grouped-quant error
+    mid, _ = blk.fused_pruned_attn_block_int8(
+        x, bp["norm1"], bp["attn"], None, None, H, keep, scale, 1e-6, True)
+    want = fused_ln_mlp_residual_int8(mid, bp["norm2"], bp["mlp"])
+    err = np.abs(np.asarray(got) - np.asarray(want))
+    assert err.max() < 0.05 * np.abs(np.asarray(want)).max(), err.max()
+
+    # update=False threaded-score reuse with packing
+    prev = jnp.asarray(rng.standard_normal((B, N)), jnp.float32)
+    got2, _ = blk.fused_pruned_block_full_int8(
+        x, bp, prev, H, keep, scale, 1e-6, False)
+    solo2, _ = blk.fused_pruned_block_full_int8(
+        x[1:2], bp, prev[1:2], H, keep, scale, 1e-6, False)
+    np.testing.assert_allclose(np.asarray(got2[1]), np.asarray(solo2[0]),
+                               rtol=1e-5, atol=1e-5)
