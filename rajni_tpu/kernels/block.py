@@ -1354,8 +1354,9 @@ def fused_pruned_block_full_int8(
     with_scores: bool = True,
     int8_sdpa: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
-    """ENTIRE pruned ViT block in one kernel per image (int8 weights):
-    LN1 → int8 QKV → RAJNI scoring → selection → gather → int8 SDPA →
+    """ENTIRE pruned ViT block in one kernel (int8 weights), packing
+    :func:`_pruned_full_int8_plan` images per program:
+    LN1 → int8 QKV → RAJNI scoring → selection → gather → SDPA →
     int8 proj → residual → LN2 → int8 fc1 → GELU → int8 fc2 → residual
     (reference model.py:51-59 + attention.py:17-60 in a single program).
 

@@ -479,3 +479,20 @@ def test_full_pruned_block_int8_multi_image_packing(rng):
         x[1:2], bp, prev[1:2], H, keep, scale, 1e-6, False)
     np.testing.assert_allclose(np.asarray(got2[1]), np.asarray(solo2[0]),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_full_block_int8_odd_batch_downgrades_packing(rng):
+    """A batch not divisible by the packing factor falls back to G=1 and
+    still matches the packed result per image."""
+    from rajni_tpu.kernels import block as blk
+
+    B, N, C, H, hidden = 3, 33, 128, 4, 512  # odd B, plan would say G=2
+    bp = _tiny_block_params(rng, C, hidden, quantized=True)
+    x = jnp.asarray(rng.standard_normal((B, N, C)), jnp.float32)
+    scale = 32**-0.5
+    got = blk.fused_block_full_int8(x, bp, H, scale)
+    assert got.shape == (B, N, C)
+    packed = blk.fused_block_full_int8(
+        jnp.concatenate([x, x[:1]], axis=0), bp, H, scale)  # B=4 -> G=2
+    np.testing.assert_allclose(np.asarray(got), np.asarray(packed[:3]),
+                               rtol=1e-4, atol=1e-4)
