@@ -22,6 +22,7 @@ from .models.vit import (
 from .ops.attention import attention, pruned_attention
 from .ops.importance import compute_importance
 from .ops.pruning import gather_tokens, keep_count, select_tokens
+from .utils.flops import flops_per_image, mfu
 from .utils.schedule import (
     PruneSpec,
     load_schedule,
@@ -41,7 +42,9 @@ __all__ = [
     "check_fixture",
     "compute_importance",
     "evaluate_model",
+    "flops_per_image",
     "load_fixture",
+    "mfu",
     "save_fixture",
     "vit_activations",
     "gather_tokens",

@@ -45,44 +45,9 @@ VIT_B_384_MIXED = {
 }
 
 
-BF16_PEAK_TFLOPS = 197.0  # v5e-1 bf16 MXU peak (BASELINE.md)
+from rajni_tpu.utils.flops import flops_per_image, mfu  # noqa: E402
 
-
-def analytic_flops_per_image(cfg, token_counts=None) -> float:
-    """Forward FLOPs (2×MAC) from the architecture + per-block token trace.
-
-    Stock block at N tokens: 24·N·C² (qkv+proj+mlp matmuls) + 4·N²·C (SDPA).
-    Pruned block N→K: the QKV runs at full N (6·N·C², reference
-    attention.py:22), attention/proj/MLP at K (18·K·C² + 4·K²·C).
-    Scoring/selection (O(N·C + N²) VPU work) is excluded — consistent with
-    how the reference's own GFLOPs are quoted (MXU matmuls only), so MFU
-    slightly UNDER-counts the pruned configs.
-    """
-    C = cfg.embed_dim
-    if token_counts is None:
-        token_counts = [cfg.num_tokens] * cfg.depth
-    n0 = cfg.num_tokens
-    flops = 2.0 * (n0 - 1) * cfg.patch_size**2 * 3 * C  # patch embed
-    n_in = n0
-    for n_out in token_counts:
-        if n_out == n_in:  # stock block
-            flops += 24.0 * n_in * C * C + 4.0 * n_in**2 * C
-        else:  # pruned: QKV at n_in, the rest at n_out
-            flops += (
-                6.0 * n_in * C * C
-                + 18.0 * n_out * C * C
-                + 4.0 * n_out**2 * C
-            )
-        n_in = n_out
-    flops += 2.0 * C * cfg.num_classes  # head on CLS
-    return flops
-
-
-def mfu(cfg, token_counts, img_per_s, peak_tflops=BF16_PEAK_TFLOPS) -> float:
-    return (
-        analytic_flops_per_image(cfg, token_counts) * img_per_s
-        / (peak_tflops * 1e12)
-    )
+analytic_flops_per_image = flops_per_image  # back-compat alias
 
 
 def measure(model, schedule, batch, iters, impl, device=None, warmup=3,

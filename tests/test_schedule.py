@@ -83,3 +83,22 @@ def test_trace_shipped_schedule_vitb384():
     assert token_count_trace(577, s) == [
         577, 577, 577, 577, 548, 520, 442, 375, 356, 356, 356, 356,
     ]
+
+
+def test_flops_accounting():
+    """Analytic FLOPs: identity trace == all-stock; pruned trace sits
+    between the all-K and all-N extremes; token-work ratio matches the
+    documented ~0.82x for schedule.json on ViT-B."""
+    from rajni_tpu import flops_per_image, get_config, mfu, model_stats
+    from rajni_tpu.utils.schedule import REFERENCE_SCHEDULE
+
+    cfg = get_config("vit_base_patch16_224")
+    base = flops_per_image(cfg)
+    assert 34e9 < base < 36e9  # ~35 GFLOP (2xMAC) for ViT-B/224
+    sched = normalize_schedule(REFERENCE_SCHEDULE, cfg.depth)
+    trace = model_stats(cfg, sched)["token_counts"]
+    pruned = flops_per_image(cfg, trace)
+    assert 0.78 < pruned / base < 0.85
+    assert abs(mfu(cfg, None, 1970.0) - base * 1970 / 197e12) < 1e-9
+    with pytest.raises(ValueError, match="entries for depth"):
+        flops_per_image(cfg, [197] * 5)
