@@ -54,25 +54,36 @@ def main(argv=None):
         export_model(
             args.artifact, params, cfg,
             schedule={3: {"keep_ratio": 0.7}},
-            batch=max(len(args.images), 1),
+            batch=max(len(args.images), 4),  # > len(images) exercises padding
             platform="cpu" if jax.default_backend() == "cpu" else "tpu",
         )
         print(f"(demo) exported random-weight artifact -> {args.artifact}")
 
     serve = load_exported(args.artifact)
+    # the artifact is batch- and resolution-pinned: read both off its spec
+    spec_batch, img_size = serve.input_spec.shape[0], serve.input_spec.shape[1]
+    in_dtype = serve.input_spec.dtype
 
     crops = []
     for path in args.images:
         from PIL import Image
 
         with Image.open(path) as im:
-            crops.append(preprocess_u8(im.convert("RGB")))
+            crops.append(preprocess_u8(im.convert("RGB"), img_size))
     if not crops:
         print("no images given; exiting")
         return
+    if len(crops) > spec_batch:
+        raise SystemExit(
+            f"artifact was exported with batch {spec_batch}; got "
+            f"{len(crops)} images — re-export with a larger --batch"
+        )
+    n = len(crops)
+    while len(crops) < spec_batch:  # pad to the baked batch, slice below
+        crops.append(np.zeros_like(crops[0]))
     batch_u8 = jnp.asarray(np.stack(crops))
     # normalize on-device, fused ahead of the exported computation
-    logits = np.asarray(serve(normalize_images(batch_u8, jnp.bfloat16)))
+    logits = np.asarray(serve(normalize_images(batch_u8, in_dtype)))[:n]
     for path, row in zip(args.images, logits.astype(np.float32)):
         top5 = np.argsort(row)[::-1][:5]
         print(f"{path}: top-5 classes {top5.tolist()}")

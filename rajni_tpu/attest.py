@@ -139,10 +139,13 @@ def check_fixture(
         batch = n
 
     if dtype is not None:
-        params = jax.tree_util.tree_map(
-            lambda x: x if not hasattr(x, "astype") else jnp.asarray(x, dtype),
-            params,
-        )
+        # quantization-record-aware cast: a raw tree_map would bf16-cast
+        # int8/scale leaves while is_quantized() still routes the block
+        # into the int8 kernels (the exact corruption params/io._cast_tree
+        # exists to prevent)
+        from .params.io import _cast_tree
+
+        params = _cast_tree(params, dtype)
     fn = jax.jit(vit_forward, static_argnums=(2, 3, 4))
 
     outs = []

@@ -182,9 +182,16 @@ def preprocess_u8(im, img_size: int = 224, resize: int | None = None) -> np.ndar
 def decode_to_canvas(im, canvas: int = 512) -> tuple[np.ndarray, np.ndarray]:
     """Decode-only host step for the full on-device path: the image placed
     top-left on a ``[canvas, canvas, 3]`` uint8 buffer plus its true
-    ``(h, w)`` int32. Oversized images are PIL-bicubic-downscaled to fit the
-    canvas first (shorter-side semantics preserved: the subsequent on-device
-    resize sees consistent geometry)."""
+    ``(h, w)`` int32.
+
+    Images that FIT the canvas go through exactly one (on-device) resample
+    — the PIL-exact path the parity tests pin. Images LARGER than the
+    canvas are PIL-bicubic-downscaled to fit first, making the pipeline a
+    double resample with an intermediate uint8 rounding: close (both
+    passes are the same antialiased bicubic) but no longer within the
+    ±1/255-per-pass bound of the host protocol. For strict reference-exact
+    accuracy on datasets with large images, raise ``canvas`` to cover them
+    or use ``--preprocess device`` (host geometry, bit-exact) instead."""
     from PIL import Image
 
     w, h = im.size

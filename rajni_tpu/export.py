@@ -60,6 +60,16 @@ def export_model(
             if platform == "tpu" and batch >= _PALLAS_MIN_BATCH
             else "xla"
         )
+    if impl == "pallas" and platform != "tpu":
+        # Mosaic kernels are TPU programs; baking them into an artifact
+        # pinned to another platform produces a file the serving host can
+        # never run. (The guard checks the TARGET platform, not this
+        # host's backend — a TPU dev host exporting --platform cpu must
+        # fail just as loudly.)
+        raise ValueError(
+            f"impl='pallas' cannot target platform={platform!r}; export "
+            "with --kernels xla for non-TPU serving"
+        )
     if impl == "pallas" and jax.default_backend() != "tpu":
         # kernels auto-switch to interpret mode off-TPU (kernels.math.
         # use_interpret), which would bake python callbacks into the
@@ -88,11 +98,20 @@ def load_exported(path: str):
 
     Returns a callable ``images -> logits`` running the pre-lowered program
     (no Python model code, no retracing; jit-wrapped so repeat calls hit the
-    executable cache).
+    executable cache). The callable's ``input_spec`` attribute carries the
+    baked input aval — the artifact accepts exactly that
+    ``(batch, H, W, 3)`` shape, so callers with fewer images pad up to it
+    and slice the logits (see ``examples/serve.py``).
     """
     with open(path, "rb") as f:
         exported = _jexport.deserialize(f.read())
-    return jax.jit(exported.call)
+    jitted = jax.jit(exported.call)
+
+    def serve(images):
+        return jitted(images)
+
+    serve.input_spec = exported.in_avals[0]
+    return serve
 
 
 def main(argv=None) -> None:

@@ -548,8 +548,12 @@ def vit_forward(
                 # alternative, NOT routed: measured 1317 vs 1355 img/s
                 # against this two-kernel path on ViT-B/384 (the per-image
                 # serial scoring/selection phase costs more than the QKV
-                # round trip it saves; the real 384 bottleneck was XLA
-                # selection, fixed by ops.pruning.select_tokens_radix).
+                # round trip it saves). Dispatch-floor-corrected micro-
+                # benchmarks put XLA selection well under 1 ms here, so
+                # select_tokens_dense stays the selector (the O(N)-memory
+                # select_tokens_radix is a tested alternative for far
+                # longer sequences); the residual 384 gap is the one-hot
+                # gather matmul cost at K ≈ 0.95·N.
                 if quantized:
                     qkv, new_scores = fused_ln_qkv_int8(
                         x,

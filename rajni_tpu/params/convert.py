@@ -66,16 +66,22 @@ def _norm(sd: Mapping[str, Any], prefix: str) -> dict:
 
 def _cubic_weights(n_in: int, n_out: int, a: float = -0.75) -> np.ndarray:
     """Dense 1-D bicubic interpolation matrix ``W [n_out, n_in]`` matching
-    ``torch.nn.functional.interpolate(mode="bicubic", align_corners=False)``
-    — the resampler timm applies to pretrained pos-embeds on a resolution
-    change (upscale path; torch ignores antialias when upscaling).
+    ``torch.nn.functional.interpolate(mode="bicubic", align_corners=False,
+    antialias=True)`` — the resampler timm's ``resample_abs_pos_embed``
+    applies to pretrained pos-embeds on a resolution change (timm defaults
+    ``antialias=True``; torch only applies it when DOWNSCALING, so the
+    upscale branch below is the plain 4-tap kernel either way).
 
-    torch's bicubic uses the Keys kernel with ``a = -0.75`` (NOT the
-    ``-0.5`` of ``jax.image.resize``) and replicate-clamped borders, so the
-    matrix is built explicitly rather than via jax.image.
+    torch's two bicubic paths use DIFFERENT Keys coefficients: the plain
+    4-tap kernel has ``a = -0.75`` with replicate-clamped borders and
+    unnormalized taps, while the antialiased path is PIL-compatible —
+    ``a = -0.5``, kernel support scaled by the downscale ratio, PIL-style
+    spans, per-output weight normalization (verified against
+    ``F.interpolate`` to 4e-8). Both are built explicitly rather than via
+    jax.image, which implements neither exactly.
     """
 
-    def kernel(t: np.ndarray) -> np.ndarray:
+    def kernel(t: np.ndarray, a: float) -> np.ndarray:
         at = np.abs(t)
         w = np.where(
             at <= 1.0,
@@ -90,12 +96,28 @@ def _cubic_weights(n_in: int, n_out: int, a: float = -0.75) -> np.ndarray:
 
     W = np.zeros((n_out, n_in), np.float64)
     scale = n_in / n_out
+    if scale > 1.0:
+        # ---- downscale: torch's antialiased path (PIL-compatible) ----
+        support = 2.0 * scale
+        for i in range(n_out):
+            center = (i + 0.5) * scale
+            xmin = max(0, int(center - support + 0.5))
+            xmax = min(n_in, int(center + support + 0.5))
+            w = kernel(
+                (np.arange(xmin, xmax) + 0.5 - center) / scale, a=-0.5
+            )
+            total = w.sum()
+            if total != 0.0:
+                w = w / total
+            W[i, xmin:xmax] = w
+        return W
+    # ---- upscale / identity: plain 4-tap bicubic ----
     for i in range(n_out):
         x = (i + 0.5) * scale - 0.5
         x0 = int(np.floor(x))
         for k in range(-1, 3):
             idx = min(max(x0 + k, 0), n_in - 1)  # replicate border
-            W[i, idx] += kernel(np.asarray(x - (x0 + k)))
+            W[i, idx] += kernel(np.asarray(x - (x0 + k)), a=a)
     return W
 
 

@@ -92,7 +92,9 @@ def get_args(argv=None):
                              "on-device normalize (4x less H2D, bit-exact); "
                              "'device-full' = decode-only host, resize/crop/"
                              "normalize on the TPU via in-graph PIL-exact "
-                             "bicubic weight matrices")
+                             "bicubic weight matrices (exact for images "
+                             "fitting --canvas; larger ones pre-shrink on "
+                             "the host first = double resample)")
     parser.add_argument("--canvas", type=int, default=512,
                         help="uint8 decode-canvas side for "
                              "--preprocess device-full")

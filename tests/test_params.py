@@ -234,6 +234,9 @@ def test_resample_pos_embed_matches_torch_bicubic():
 
 
 def test_resample_pos_embed_downscale_matches_torch():
+    """Downscale uses torch's ANTIALIASED bicubic — timm's
+    resample_abs_pos_embed defaults antialias=True, and torch applies it
+    exactly when downscaling (loading a 384 checkpoint into a 224 config)."""
     import torch.nn.functional as F
 
     from rajni_tpu.params.convert import resample_pos_embed
@@ -246,7 +249,7 @@ def test_resample_pos_embed_downscale_matches_torch():
         pe[:, 1:].reshape(1, 14, 14, C).transpose(0, 3, 1, 2)
     )
     want = F.interpolate(grid, size=(7, 7), mode="bicubic",
-                         align_corners=False)
+                         align_corners=False, antialias=True)
     want = want.permute(0, 2, 3, 1).reshape(1, 49, C).numpy()
     np.testing.assert_allclose(got[:, 1:], want, rtol=1e-4, atol=1e-5)
 
