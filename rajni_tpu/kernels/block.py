@@ -1476,81 +1476,90 @@ def _fc_chunk(C: int, hidden: int, itemsize: int, resident: int) -> int:
 def _pruned_block_full_kernel(
     x_ref, ln1s_ref, ln1b_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
     ls1_ref, ln2s_ref, ln2b_ref, w1_ref, b1_ref, w2_ref, b2_ref, ls2_ref,
-    pscores_ref, out_ref, ns_ref, xmid_ref, y2_ref, acc_ref,
+    pscores_ref, out_ref, ns_ref,
     *, num_heads: int, scale: float, eps: float, with_scores: bool,
+    seq: int,
 ):
-    """bf16 whole-pruned-block kernel: the attention half runs once per
-    image (grid step k==0), then fc1/fc2 stream through VMEM in hidden
-    chunks with an fp32 accumulator — the bf16 weights (14.2 MB for ViT-B)
-    cannot all be resident, so the MLP weights ride the grid pipeline
-    instead (same recipe as kernels/mlp.py's chunked variant)."""
-    k = pl.program_id(1)
-    nk = pl.num_programs(1)
+    """bf16 whole-pruned-block kernel (full weight residency, multi-image
+    packing — see _block_full_int8_kernel's tiling note). An fc-streaming
+    variant was tried and REVERTED: grid (B, nk) re-fetches the chunks per
+    image, measured 4714 -> 3835 img/s on ViT-B — so this kernel requires
+    all block weights resident and big bf16 models route to the split
+    attention-mega + batched-MLP path instead."""
     dtype = x_ref.dtype
-    K = out_ref.shape[1]
+    rows = x_ref.shape[1]
+    G = rows // seq
+    K = out_ref.shape[1] // G
 
-    @pl.when(k == 0)
-    def _():
-        x32 = x_ref[0].astype(jnp.float32)
-        y = _layer_norm_f32(x32, ln1s_ref, ln1b_ref, eps).astype(dtype)
-        qkv = jnp.dot(y, wqkv_ref[:], preferred_element_type=jnp.float32)
-        qkv = (qkv + bqkv_ref[:].astype(jnp.float32)).astype(dtype)
+    x32 = x_ref[0].astype(jnp.float32)
+    y = _layer_norm_f32(x32, ln1s_ref, ln1b_ref, eps).astype(dtype)
+    qkv = jnp.dot(y, wqkv_ref[:], preferred_element_type=jnp.float32)
+    qkv = (qkv + bqkv_ref[:].astype(jnp.float32)).astype(dtype)
+
+    attns, xgs = [], []
+    for g in range(G):
+        qg = qkv[g * seq:(g + 1) * seq, :]
         if with_scores:
             s_row = _importance_f32(
-                qkv.astype(jnp.float32), num_heads
+                qg.astype(jnp.float32), num_heads
             )[None, :]
         else:
-            s_row = _col_to_row(pscores_ref[0])
+            s_row = _col_to_row(pscores_ref[0, g * seq:(g + 1) * seq, :])
         sel, _, next_scores = _select_from_scores(s_row, K, dtype)
         qkv_g = jax.lax.dot_general(
-            sel, qkv, (((1,), (0,)), ((), ())),
+            sel, qg, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         ).astype(dtype)
-        x_g32 = jax.lax.dot_general(
-            sel, x32, (((1,), (0,)), ((), ())),
+        xgs.append(jax.lax.dot_general(
+            sel, x32[g * seq:(g + 1) * seq, :], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )
-        attn = _mha(qkv_g, num_heads, scale, dtype)
-        out = jnp.dot(attn, wproj_ref[:], preferred_element_type=jnp.float32)
-        out = out + bproj_ref[:].astype(jnp.float32)
-        out = out * ls1_ref[:].astype(jnp.float32)
-        x_mid = (x_g32 + out).astype(dtype)  # bf16 boundary rounding: same
-        xmid_ref[:] = x_mid                  # numerics as the 2-kernel path
-        y2_ref[:] = _layer_norm_f32(
-            x_mid.astype(jnp.float32), ln2s_ref, ln2b_ref, eps
-        ).astype(dtype)
-        acc_ref[:] = jnp.zeros_like(acc_ref)
-        ns_ref[0] = next_scores
+        ))
+        attns.append(_mha(qkv_g, num_heads, scale, dtype))
+        ns_ref[0, g * K:(g + 1) * K, :] = next_scores
+    attn = attns[0] if G == 1 else jnp.concatenate(attns, axis=0)
+    x_g32 = xgs[0] if G == 1 else jnp.concatenate(xgs, axis=0)
 
-    h = jnp.dot(y2_ref[:], w1_ref[:], preferred_element_type=jnp.float32)
+    out = jnp.dot(attn, wproj_ref[:], preferred_element_type=jnp.float32)
+    out = out + bproj_ref[:].astype(jnp.float32)
+    out = out * ls1_ref[:].astype(jnp.float32)
+    x_mid = (x_g32 + out).astype(dtype)  # bf16 half-boundary rounding:
+    x_mid32 = x_mid.astype(jnp.float32)  # same numerics as the split path
+
+    y2 = _layer_norm_f32(x_mid32, ln2s_ref, ln2b_ref, eps).astype(dtype)
+    h = jnp.dot(y2, w1_ref[:], preferred_element_type=jnp.float32)
     h = gelu_fast(h + b1_ref[:].astype(jnp.float32))
-    acc_ref[:] += jnp.dot(
+    out2 = jnp.dot(
         h.astype(dtype), w2_ref[:], preferred_element_type=jnp.float32
     )
-
-    @pl.when(k == nk - 1)
-    def _():
-        out2 = acc_ref[:] + b2_ref[:].astype(jnp.float32)
-        out2 = out2 * ls2_ref[:].astype(jnp.float32)
-        out_ref[0] = (
-            xmid_ref[:].astype(jnp.float32) + out2
-        ).astype(out_ref.dtype)
+    out2 = out2 + b2_ref[:].astype(jnp.float32)
+    out2 = out2 * ls2_ref[:].astype(jnp.float32)
+    out_ref[0] = (x_mid32 + out2).astype(out_ref.dtype)
 
 
-def _pruned_block_full_fits(
-    N: int, K: int, C: int, hidden: int, hc: int, itemsize: int
-) -> bool:
-    io = 2 * (N * C + K * C + 2 * N) * itemsize
-    resident = 4 * C * C * itemsize          # qkv + proj weights
-    streamed = 2 * 2 * C * hc * itemsize     # double-buffered fc chunks
-    scratch = K * C * (2 * itemsize + 4) + K * hc * 4
-    live = (
-        N * 3 * C * (itemsize + 4)  # qkv (+fp32 transient)
-        + 4 * N * N * 4
-        + K * 3 * C * itemsize
-        + K * N * 4
-    )
-    return io + resident + streamed + scratch + live <= _VMEM_BUDGET
+def _bf16_full_plan(
+    N: int, K: int, C: int, hidden: int, itemsize: int
+) -> int | None:
+    """Images-per-program for the bf16 whole-block kernels, or None when
+    the block's bf16 weights cannot all be VMEM-resident (big models route
+    to the split kernels — streaming was measured a loss). Phase-aware
+    like the int8 plans."""
+    weights = (4 * C * C + 2 * C * hidden) * itemsize
+
+    def fits(g: int) -> bool:
+        io = 2 * (g * N * C + g * K * C + 2 * g * N) * itemsize
+        attn_live = (
+            g * N * 3 * C * itemsize   # packed qkv
+            + 4 * N * N * 4            # per-image selection masks
+            + K * 3 * C * itemsize     # one image's gathered qkv
+            + 2 * g * K * C * 4        # x_g + attn accumulation
+        )
+        mlp_live = g * K * hidden * 4 + 3 * g * K * C * 4
+        return io + weights + max(attn_live, mlp_live) <= _VMEM_BUDGET
+
+    for g in (2, 1):
+        if fits(g):
+            return g
+    return None
 
 
 @functools.partial(
@@ -1568,21 +1577,22 @@ def fused_pruned_block_full(
     with_scores: bool = True,
 ) -> tuple[jax.Array, jax.Array]:
     """bf16 counterpart of :func:`fused_pruned_block_full_int8`: the ENTIRE
-    pruned block in one kernel per image, with the MLP weights streamed in
-    hidden chunks (second grid dimension) because bf16 block weights exceed
-    VMEM. Eliminates the [B, K, C] HBM round trip between the attention and
-    MLP halves. Returns ``(x_out [B, K, C], next_scores [B, K])``."""
+    pruned block in one kernel, packing :func:`_bf16_full_plan` images per
+    program. Whole-block weights must be VMEM-resident (DeiT-S/ViT-S
+    class); callers gate on the plan. Eliminates the [B, K, C] HBM round
+    trip between the attention and MLP halves.
+    Returns ``(x_out [B, K, C], next_scores [B, K])``."""
     B, N, C = x.shape
     K = keep + 1
     attn_p = block_params["attn"]
     mlp_p = block_params["mlp"]
-    wqkv = attn_p["qkv"]["kernel"]
-    wproj = attn_p["proj"]["kernel"]
     w1 = mlp_p["fc1"]["kernel"]
-    w2 = mlp_p["fc2"]["kernel"]
     hidden = w1.shape[1]
     itemsize = jnp.dtype(x.dtype).itemsize
-    hc = _fc_chunk(C, hidden, itemsize, 4 * C * C * itemsize)
+    G = _bf16_full_plan(N, K, C, hidden, itemsize) or 1
+    if B % G:
+        G = 1
+    rows, out_rows = G * N, G * K
     ls1 = block_params.get("ls1")
     ls2 = block_params.get("ls2")
     if ls1 is None:
@@ -1593,128 +1603,104 @@ def fused_pruned_block_full(
         prev_scores = jnp.zeros((B, N), jnp.float32)
 
     vec = lambda n: pl.BlockSpec(  # noqa: E731
-        (1, n), lambda b, k: (0, 0), memory_space=pltpu.VMEM
+        (1, n), lambda b: (0, 0), memory_space=pltpu.VMEM
     )
     mat = lambda s: pl.BlockSpec(  # noqa: E731
-        s, lambda b, k: (0, 0), memory_space=pltpu.VMEM
+        s, lambda b: (0, 0), memory_space=pltpu.VMEM
     )
     out, ns = pl.pallas_call(
         functools.partial(
             _pruned_block_full_kernel, num_heads=num_heads, scale=scale,
-            eps=eps, with_scores=with_scores,
+            eps=eps, with_scores=with_scores, seq=N,
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((B, K, C), x.dtype),
-            jax.ShapeDtypeStruct((B, K, 1), jnp.float32),
+            jax.ShapeDtypeStruct((B // G, out_rows, C), x.dtype),
+            jax.ShapeDtypeStruct((B // G, out_rows, 1), jnp.float32),
         ),
-        grid=(B, hidden // hc),
+        grid=(B // G,),
         in_specs=[
-            pl.BlockSpec((1, N, C), lambda b, k: (b, 0, 0),
+            pl.BlockSpec((1, rows, C), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             vec(C), vec(C),
             mat((C, 3 * C)), vec(3 * C),
             mat((C, C)), vec(C),
             vec(C),
             vec(C), vec(C),
-            pl.BlockSpec((C, hc), lambda b, k: (0, k),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, hc), lambda b, k: (0, k),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((hc, C), lambda b, k: (k, 0),
-                         memory_space=pltpu.VMEM),
+            mat((C, hidden)), vec(hidden),
+            mat((hidden, C)), vec(C),
             vec(C),
-            vec(C),
-            pl.BlockSpec((1, N, 1), lambda b, k: (b, 0, 0),
+            pl.BlockSpec((1, rows, 1), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, K, C), lambda b, k: (b, 0, 0),
+            pl.BlockSpec((1, out_rows, C), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, K, 1), lambda b, k: (b, 0, 0),
+            pl.BlockSpec((1, out_rows, 1), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
-        scratch_shapes=[
-            pltpu.VMEM((K, C), x.dtype),       # x_mid (bf16 boundary)
-            pltpu.VMEM((K, C), x.dtype),       # LN2 output
-            pltpu.VMEM((K, C), jnp.float32),   # fc2 accumulator
-        ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary"),
+            dimension_semantics=("parallel",),
         ),
         interpret=_use_interpret(),
     )(
-        x,
+        x.reshape(B // G, rows, C),
         block_params["norm1"]["scale"].reshape(1, C),
         block_params["norm1"]["bias"].reshape(1, C),
-        wqkv,
+        attn_p["qkv"]["kernel"],
         attn_p["qkv"]["bias"].reshape(1, 3 * C),
-        wproj,
+        attn_p["proj"]["kernel"],
         attn_p["proj"]["bias"].reshape(1, C),
         ls1.reshape(1, C),
         block_params["norm2"]["scale"].reshape(1, C),
         block_params["norm2"]["bias"].reshape(1, C),
         w1,
         mlp_p["fc1"]["bias"].reshape(1, hidden),
-        w2,
+        mlp_p["fc2"]["kernel"],
         mlp_p["fc2"]["bias"].reshape(1, C),
         ls2.reshape(1, C),
-        prev_scores[..., None],
+        prev_scores.reshape(B // G, rows, 1),
     )
-    return out, ns[..., 0]
+    return out.reshape(B, K, C), ns.reshape(B, K)
 
 
 def _attn_mlp_block_kernel(
     x_ref, ln1s_ref, ln1b_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
     ls1_ref, ln2s_ref, ln2b_ref, w1_ref, b1_ref, w2_ref, b2_ref, ls2_ref,
-    out_ref, xmid_ref, y2_ref, acc_ref,
-    *, num_heads: int, scale: float, eps: float,
+    out_ref, *, num_heads: int, scale: float, eps: float, seq: int,
 ):
-    """bf16 whole-STOCK-block kernel (chunked MLP): one HBM read and one
-    write of the [B, N, C] stream per block instead of three of each."""
-    k = pl.program_id(1)
-    nk = pl.num_programs(1)
+    """bf16 whole-STOCK-block kernel (full weight residency, multi-image
+    packing): one HBM read and one write of the [B, N, C] stream per block
+    instead of three of each."""
     dtype = x_ref.dtype
+    rows = x_ref.shape[1]
+    x32 = x_ref[0].astype(jnp.float32)
+    y = _layer_norm_f32(x32, ln1s_ref, ln1b_ref, eps).astype(dtype)
+    qkv = jnp.dot(y, wqkv_ref[:], preferred_element_type=jnp.float32)
+    qkv = (qkv + bqkv_ref[:].astype(jnp.float32)).astype(dtype)
+    attns = [
+        _mha(qkv[g:g + seq, :], num_heads, scale, dtype)
+        for g in range(0, rows, seq)
+    ]
+    attn = attns[0] if len(attns) == 1 else jnp.concatenate(attns, axis=0)
+    out = jnp.dot(attn, wproj_ref[:], preferred_element_type=jnp.float32)
+    out = out + bproj_ref[:].astype(jnp.float32)
+    out = out * ls1_ref[:].astype(jnp.float32)
+    x_mid = (x32 + out).astype(dtype)
+    x_mid32 = x_mid.astype(jnp.float32)
 
-    @pl.when(k == 0)
-    def _():
-        x32 = x_ref[0].astype(jnp.float32)
-        y = _layer_norm_f32(x32, ln1s_ref, ln1b_ref, eps).astype(dtype)
-        qkv = jnp.dot(y, wqkv_ref[:], preferred_element_type=jnp.float32)
-        qkv = (qkv + bqkv_ref[:].astype(jnp.float32)).astype(dtype)
-        attn = _mha(qkv, num_heads, scale, dtype)
-        out = jnp.dot(attn, wproj_ref[:], preferred_element_type=jnp.float32)
-        out = out + bproj_ref[:].astype(jnp.float32)
-        out = out * ls1_ref[:].astype(jnp.float32)
-        x_mid = (x32 + out).astype(dtype)
-        xmid_ref[:] = x_mid
-        y2_ref[:] = _layer_norm_f32(
-            x_mid.astype(jnp.float32), ln2s_ref, ln2b_ref, eps
-        ).astype(dtype)
-        acc_ref[:] = jnp.zeros_like(acc_ref)
-
-    h = jnp.dot(y2_ref[:], w1_ref[:], preferred_element_type=jnp.float32)
+    y2 = _layer_norm_f32(x_mid32, ln2s_ref, ln2b_ref, eps).astype(dtype)
+    h = jnp.dot(y2, w1_ref[:], preferred_element_type=jnp.float32)
     h = gelu_fast(h + b1_ref[:].astype(jnp.float32))
-    acc_ref[:] += jnp.dot(
+    out2 = jnp.dot(
         h.astype(dtype), w2_ref[:], preferred_element_type=jnp.float32
     )
-
-    @pl.when(k == nk - 1)
-    def _():
-        out2 = acc_ref[:] + b2_ref[:].astype(jnp.float32)
-        out2 = out2 * ls2_ref[:].astype(jnp.float32)
-        out_ref[0] = (
-            xmid_ref[:].astype(jnp.float32) + out2
-        ).astype(out_ref.dtype)
+    out2 = out2 + b2_ref[:].astype(jnp.float32)
+    out2 = out2 * ls2_ref[:].astype(jnp.float32)
+    out_ref[0] = (x_mid32 + out2).astype(out_ref.dtype)
 
 
-def _attn_mlp_block_fits(N: int, C: int, hidden: int, hc: int,
-                         itemsize: int) -> bool:
-    io = 2 * 2 * N * C * itemsize
-    resident = 4 * C * C * itemsize
-    streamed = 2 * 2 * C * hc * itemsize
-    scratch = N * C * (2 * itemsize + 4) + N * hc * 4
-    live = N * 3 * C * (itemsize + 4) + N * N * 4
-    return io + resident + streamed + scratch + live <= _VMEM_BUDGET
+def _attn_mlp_block_fits(N: int, C: int, hidden: int, itemsize: int) -> bool:
+    return _bf16_full_plan(N, N, C, hidden, itemsize) is not None
 
 
 @functools.partial(jax.jit, static_argnames=("num_heads", "scale", "eps"))
@@ -1725,9 +1711,9 @@ def fused_attn_mlp_block(
     scale: float,
     eps: float = 1e-6,
 ) -> jax.Array:
-    """Whole stock block in one bf16 kernel per image (chunked MLP):
-    ``x + ls1·proj(mhsa(LN1(x)))`` then ``+ ls2·mlp(LN2(·))``
-    (reference model.py:61). Same numerics as
+    """Whole stock block in one bf16 kernel (multi-image packing, weights
+    fully VMEM-resident): ``x + ls1·proj(mhsa(LN1(x)))`` then
+    ``+ ls2·mlp(LN2(·))`` (reference model.py:61). Same numerics as
     :func:`fused_attn_block` + :func:`rajni_tpu.kernels.mlp.fused_ln_mlp_residual`
     including the bf16 rounding at the half boundary."""
     B, N, C = x.shape
@@ -1736,7 +1722,10 @@ def fused_attn_mlp_block(
     w1 = mlp_p["fc1"]["kernel"]
     hidden = w1.shape[1]
     itemsize = jnp.dtype(x.dtype).itemsize
-    hc = _fc_chunk(C, hidden, itemsize, 4 * C * C * itemsize)
+    G = _bf16_full_plan(N, N, C, hidden, itemsize) or 1
+    if B % G:
+        G = 1
+    rows = G * N
     ls1 = block_params.get("ls1")
     ls2 = block_params.get("ls2")
     if ls1 is None:
@@ -1745,49 +1734,39 @@ def fused_attn_mlp_block(
         ls2 = jnp.ones((C,), x.dtype)
 
     vec = lambda n: pl.BlockSpec(  # noqa: E731
-        (1, n), lambda b, k: (0, 0), memory_space=pltpu.VMEM
+        (1, n), lambda b: (0, 0), memory_space=pltpu.VMEM
     )
     mat = lambda s: pl.BlockSpec(  # noqa: E731
-        s, lambda b, k: (0, 0), memory_space=pltpu.VMEM
+        s, lambda b: (0, 0), memory_space=pltpu.VMEM
     )
-    return pl.pallas_call(
+    out = pl.pallas_call(
         functools.partial(
             _attn_mlp_block_kernel, num_heads=num_heads, scale=scale,
-            eps=eps,
+            eps=eps, seq=N,
         ),
-        out_shape=jax.ShapeDtypeStruct((B, N, C), x.dtype),
-        grid=(B, hidden // hc),
+        out_shape=jax.ShapeDtypeStruct((B // G, rows, C), x.dtype),
+        grid=(B // G,),
         in_specs=[
-            pl.BlockSpec((1, N, C), lambda b, k: (b, 0, 0),
+            pl.BlockSpec((1, rows, C), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             vec(C), vec(C),
             mat((C, 3 * C)), vec(3 * C),
             mat((C, C)), vec(C),
             vec(C),
             vec(C), vec(C),
-            pl.BlockSpec((C, hc), lambda b, k: (0, k),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, hc), lambda b, k: (0, k),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((hc, C), lambda b, k: (k, 0),
-                         memory_space=pltpu.VMEM),
-            vec(C),
+            mat((C, hidden)), vec(hidden),
+            mat((hidden, C)), vec(C),
             vec(C),
         ],
         out_specs=pl.BlockSpec(
-            (1, N, C), lambda b, k: (b, 0, 0), memory_space=pltpu.VMEM
+            (1, rows, C), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
         ),
-        scratch_shapes=[
-            pltpu.VMEM((N, C), x.dtype),
-            pltpu.VMEM((N, C), x.dtype),
-            pltpu.VMEM((N, C), jnp.float32),
-        ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary"),
+            dimension_semantics=("parallel",),
         ),
         interpret=_use_interpret(),
     )(
-        x,
+        x.reshape(B // G, rows, C),
         block_params["norm1"]["scale"].reshape(1, C),
         block_params["norm1"]["bias"].reshape(1, C),
         attn_p["qkv"]["kernel"],
@@ -1803,6 +1782,7 @@ def fused_attn_mlp_block(
         mlp_p["fc2"]["bias"].reshape(1, C),
         ls2.reshape(1, C),
     )
+    return out.reshape(B, N, C)
 
 
 def _block_full_int8_kernel(

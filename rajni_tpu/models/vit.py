@@ -480,23 +480,17 @@ def vit_forward(
                     block["mlp"]["fc1"]["kernel"]
                 ):
                     from ..kernels.block import (
-                        _fc_chunk,
-                        _pruned_block_full_fits,
+                        _bf16_full_plan,
                         fused_pruned_block_full,
                     )
 
                     hidden = block["mlp"]["fc1"]["kernel"].shape[1]
                     itemsize = jnp.dtype(x.dtype).itemsize
-                    hc = _fc_chunk(
-                        config.embed_dim, hidden, itemsize,
-                        4 * config.embed_dim**2 * itemsize,
-                    )
-                    # hc == hidden: whole-block weights VMEM-resident.
-                    # Streaming fc chunks re-fetches them per IMAGE (grid
-                    # (B, nk)) — measured 4714 -> 3835 img/s on ViT-B, so
-                    # the full fusion is small-model-only for bf16.
-                    if hc == hidden and _pruned_block_full_fits(
-                        n, keep + 1, config.embed_dim, hidden, hc, itemsize
+                    # plan != None: whole-block bf16 weights VMEM-resident
+                    # (small-model-only — fc streaming was measured a loss,
+                    # see the kernel's docstring).
+                    if _bf16_full_plan(
+                        n, keep + 1, config.embed_dim, hidden, itemsize
                     ):
                         # Whole bf16 block in one kernel (fc chunks
                         # streamed): no [B, K, C] HBM round trip between
@@ -654,19 +648,13 @@ def vit_forward(
             elif not attn_q and not mlp_q:
                 from ..kernels.block import (
                     _attn_mlp_block_fits,
-                    _fc_chunk,
                     fused_attn_mlp_block,
                 )
 
                 hidden = block["mlp"]["fc1"]["kernel"].shape[1]
-                hc = _fc_chunk(
-                    config.embed_dim, hidden, itemsize,
-                    4 * config.embed_dim**2 * itemsize,
-                )
-                # full-residency only (see the pruned branch note): chunked
-                # streaming re-fetches weights per image and loses.
-                if hc == hidden and _attn_mlp_block_fits(
-                    n, config.embed_dim, hidden, hc, itemsize
+                # full weight residency only (fc streaming measured a loss)
+                if _attn_mlp_block_fits(
+                    n, config.embed_dim, hidden, itemsize
                 ):
                     x = fused_attn_mlp_block(
                         x, block, config.num_heads, config.attn_scale,

@@ -393,7 +393,7 @@ def test_vit_forward_longseq_routing_matches_xla(rng, monkeypatch):
     from rajni_tpu.kernels import block as blk
 
     monkeypatch.setattr(blk, "_pruned_block_fits", lambda *a: False)
-    monkeypatch.setattr(blk, "_pruned_block_full_fits", lambda *a: False)
+    monkeypatch.setattr(blk, "_bf16_full_plan", lambda *a: None)
 
     cfg = ViTConfig(img_size=32, patch_size=8, embed_dim=64, depth=3,
                     num_heads=4, num_classes=13)
