@@ -1461,18 +1461,6 @@ def fused_pruned_block_full_int8(
     return out.reshape(B, K, C), ns.reshape(B, K)
 
 
-def _fc_chunk(C: int, hidden: int, itemsize: int, resident: int) -> int:
-    """Largest fc1/fc2 hidden chunk whose double-buffered streamed blocks
-    fit what the VMEM weight budget leaves after ``resident`` bytes."""
-    budget = max(_VMEM_BUDGET // 2 - resident, 2 * 128 * C * itemsize * 2)
-    hc = hidden
-    while hc > 128 and 4 * C * hc * itemsize > budget:
-        hc //= 2
-    while hidden % hc:
-        hc //= 2
-    return max(hc, 128)
-
-
 def _pruned_block_full_kernel(
     x_ref, ln1s_ref, ln1b_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
     ls1_ref, ln2s_ref, ln2b_ref, w1_ref, b1_ref, w2_ref, b2_ref, ls2_ref,

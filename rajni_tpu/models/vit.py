@@ -492,9 +492,9 @@ def vit_forward(
                     if _bf16_full_plan(
                         n, keep + 1, config.embed_dim, hidden, itemsize
                     ):
-                        # Whole bf16 block in one kernel (fc chunks
-                        # streamed): no [B, K, C] HBM round trip between
-                        # the attention and MLP halves.
+                        # Whole bf16 block in one kernel (weights fully
+                        # VMEM-resident): no [B, K, C] HBM round trip
+                        # between the attention and MLP halves.
                         x, scores = fused_pruned_block_full(
                             x,
                             block,

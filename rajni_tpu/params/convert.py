@@ -64,26 +64,26 @@ def _norm(sd: Mapping[str, Any], prefix: str) -> dict:
     }
 
 
-def _cubic_weights(n_in: int, n_out: int, a: float = -0.75) -> np.ndarray:
-    """Dense 1-D bicubic interpolation matrix ``W [n_out, n_in]`` matching
+def _cubic_weights(n_in: int, n_out: int) -> np.ndarray:
+    """Dense 1-D interpolation matrix ``W [n_out, n_in]`` matching
     ``torch.nn.functional.interpolate(mode="bicubic", align_corners=False,
     antialias=True)`` — the resampler timm's ``resample_abs_pos_embed``
     applies to pretrained pos-embeds on a resolution change (timm defaults
-    ``antialias=True``; torch only applies it when DOWNSCALING, so the
-    upscale branch below is the plain 4-tap kernel either way).
+    ``antialias=True``, and torch's antialiased path changes the result in
+    BOTH directions, not just downscale — verified empirically).
 
-    torch's two bicubic paths use DIFFERENT Keys coefficients: the plain
-    4-tap kernel has ``a = -0.75`` with replicate-clamped borders and
-    unnormalized taps, while the antialiased path is PIL-compatible —
-    ``a = -0.5``, kernel support scaled by the downscale ratio, PIL-style
-    spans, per-output weight normalization (verified against
-    ``F.interpolate`` to 4e-8). Both are built explicitly rather than via
-    jax.image, which implements neither exactly.
+    torch's antialiased bicubic is PIL-compatible: Keys kernel with
+    ``a = -0.5`` (NOT the plain 4-tap path's ``-0.75``), support scaled by
+    ``max(n_in/n_out, 1)``, PIL-style spans, per-output weight
+    normalization. Verified against ``F.interpolate`` to ~1e-6 for
+    upscale, downscale, and identity. Built explicitly rather than via
+    jax.image, which implements neither torch path exactly.
     """
+    a = -0.5
 
-    def kernel(t: np.ndarray, a: float) -> np.ndarray:
+    def kernel(t: np.ndarray) -> np.ndarray:
         at = np.abs(t)
-        w = np.where(
+        return np.where(
             at <= 1.0,
             (a + 2.0) * at**3 - (a + 3.0) * at**2 + 1.0,
             np.where(
@@ -92,32 +92,20 @@ def _cubic_weights(n_in: int, n_out: int, a: float = -0.75) -> np.ndarray:
                 0.0,
             ),
         )
-        return w
 
     W = np.zeros((n_out, n_in), np.float64)
     scale = n_in / n_out
-    if scale > 1.0:
-        # ---- downscale: torch's antialiased path (PIL-compatible) ----
-        support = 2.0 * scale
-        for i in range(n_out):
-            center = (i + 0.5) * scale
-            xmin = max(0, int(center - support + 0.5))
-            xmax = min(n_in, int(center + support + 0.5))
-            w = kernel(
-                (np.arange(xmin, xmax) + 0.5 - center) / scale, a=-0.5
-            )
-            total = w.sum()
-            if total != 0.0:
-                w = w / total
-            W[i, xmin:xmax] = w
-        return W
-    # ---- upscale / identity: plain 4-tap bicubic ----
+    fs = max(scale, 1.0)  # antialias widens the kernel only on downscale
+    support = 2.0 * fs
     for i in range(n_out):
-        x = (i + 0.5) * scale - 0.5
-        x0 = int(np.floor(x))
-        for k in range(-1, 3):
-            idx = min(max(x0 + k, 0), n_in - 1)  # replicate border
-            W[i, idx] += kernel(np.asarray(x - (x0 + k)), a=a)
+        center = (i + 0.5) * scale
+        xmin = max(0, int(center - support + 0.5))
+        xmax = min(n_in, int(center + support + 0.5))
+        w = kernel((np.arange(xmin, xmax) + 0.5 - center) / fs)
+        total = w.sum()
+        if total != 0.0:
+            w = w / total
+        W[i, xmin:xmax] = w
     return W
 
 

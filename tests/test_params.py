@@ -226,7 +226,7 @@ def test_resample_pos_embed_matches_torch_bicubic():
 
     grid = torch.from_numpy(pe[:, 1:].reshape(1, 7, 7, C).transpose(0, 3, 1, 2))
     want = F.interpolate(grid, size=(12, 12), mode="bicubic",
-                         align_corners=False)
+                         align_corners=False, antialias=True)
     want = want.permute(0, 2, 3, 1).reshape(1, 144, C).numpy()
 
     np.testing.assert_array_equal(got[:, :1], pe[:, :1])  # CLS untouched
