@@ -117,6 +117,32 @@ def resolve_kernels(kernels: str = "auto", batch: int = 256) -> str:
     return resolve_impl(kernels, batch)
 
 
+def make_preprocess_stage(preprocess, config, dtype=jnp.bfloat16):
+    """In-graph preprocessing stage for a ``--preprocess`` mode (or None).
+
+    The stage runs *inside* the jitted forward, so XLA fuses the normalize
+    into the patch-embed load; under ``--data_parallel`` it runs sharded
+    over the ``data`` axis (the math is per-image — reference equivalence:
+    the per-image torchvision transforms at run.py:62-70 impose no
+    batch-level coupling either)."""
+    if preprocess == "device":
+        from .data.device import normalize_images
+
+        return lambda images: normalize_images(images, dtype)
+    if preprocess == "device-full":
+        from .data.device import preprocess_on_device
+
+        def stage(images):
+            canvas, sizes = images
+            return preprocess_on_device(
+                canvas, sizes, crop=config.img_size,
+                resize=int(config.img_size * 256 / 224), dtype=dtype,
+            )
+
+        return stage
+    return None
+
+
 def make_model_fn(params, config, schedule, data_parallel=False,
                   kernels="auto", preprocess="host", dtype=jnp.bfloat16):
     """Jitted logits fn closed over params; optionally batch-sharded.
@@ -124,34 +150,23 @@ def make_model_fn(params, config, schedule, data_parallel=False,
     ``kernels="auto"`` is passed through and resolved per-batch at trace
     time (:func:`rajni_tpu.models.vit.resolve_impl`). ``preprocess``
     prepends the on-device stage matching the loader's output mode
-    (:mod:`rajni_tpu.data.device`): the stage runs *inside* the jitted
-    forward, so XLA fuses the normalize into the patch-embed load."""
+    (:func:`make_preprocess_stage`); it composes with ``--data_parallel``
+    on both kernel backends."""
     impl = kernels
-
-    def forward(p, images, config, schedule, impl):
-        if preprocess == "device":
-            from .data.device import normalize_images
-
-            images = normalize_images(images, dtype)
-        elif preprocess == "device-full":
-            from .data.device import preprocess_on_device
-
-            canvas, sizes = images
-            images = preprocess_on_device(
-                canvas, sizes, crop=config.img_size,
-                resize=int(config.img_size * 256 / 224), dtype=dtype,
-            )
-        return vit_forward(p, images, config, schedule, impl)
+    stage = make_preprocess_stage(preprocess, config, dtype)
 
     if data_parallel:
-        if preprocess != "host":
-            raise ValueError(
-                "--preprocess device modes are single-chip for now; "
-                "combine with --data_parallel in a follow-up"
-            )
         from .parallel.mesh import data_parallel_forward
 
-        return data_parallel_forward(params, config, schedule, impl=impl)
+        return data_parallel_forward(
+            params, config, schedule, impl=impl, stage=stage
+        )
+
+    def forward(p, images, config, schedule, impl):
+        if stage is not None:
+            images = stage(images)
+        return vit_forward(p, images, config, schedule, impl)
+
     fwd = jax.jit(forward, static_argnums=(2, 3, 4))
     return functools.partial(
         fwd, params, config=config, schedule=schedule, impl=impl
