@@ -73,17 +73,30 @@ def main() -> None:
                                 iters=iters)
     log(f"pruned: {pruned:.1f} img/s")
 
-    print(
-        json.dumps(
-            {
-                "metric": f"{model} images/sec/chip with schedule.json "
-                f"(batch {batch}, {jnp.dtype(dtype).name})",
-                "value": round(pruned, 1),
-                "unit": "img/s",
-                "vs_baseline": round(pruned / base, 4),
-            }
-        )
-    )
+    record = {
+        "metric": f"{model} images/sec/chip with schedule.json "
+        f"(batch {batch}, {jnp.dtype(dtype).name})",
+        "value": round(pruned, 1),
+        "unit": "img/s",
+        "vs_baseline": round(pruned / base, 4),
+    }
+
+    if impl != "xla":
+        # Self-contained north-star ratio (VERDICT r2 weak #4): vs_baseline
+        # above is pruned vs the SAME implementation's unpruned base; the
+        # "≥2×" target is against the plain-XLA-ops unpruned forward — the
+        # faithful stand-in for "stock timm on this chip". Measure it in the
+        # same run so the recorded artifact carries both ratios.
+        log("compiling + measuring XLA-ops unpruned base (north-star "
+            "denominator)...")
+        xla_base = measure_throughput(fwd, params, images, config, None,
+                                      "xla", iters=iters)
+        log(f"xla base: {xla_base:.1f} img/s")
+        record["base_img_per_s"] = round(base, 1)
+        record["xla_base_img_per_s"] = round(xla_base, 1)
+        record["vs_xla_base"] = round(pruned / xla_base, 4)
+
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

@@ -60,8 +60,9 @@ def main(argv=None):
         print(f"(demo) exported random-weight artifact -> {args.artifact}")
 
     serve = load_exported(args.artifact)
-    # the artifact is batch- and resolution-pinned: read both off its spec
-    spec_batch, img_size = serve.input_spec.shape[0], serve.input_spec.shape[1]
+    # the artifact is resolution-pinned; batch is pinned unless it was
+    # exported with --batch dynamic (then any request size runs unpadded)
+    img_size = serve.input_spec.shape[1]
     in_dtype = serve.input_spec.dtype
 
     crops = []
@@ -73,14 +74,17 @@ def main(argv=None):
     if not crops:
         print("no images given; exiting")
         return
-    if len(crops) > spec_batch:
-        raise SystemExit(
-            f"artifact was exported with batch {spec_batch}; got "
-            f"{len(crops)} images — re-export with a larger --batch"
-        )
     n = len(crops)
-    while len(crops) < spec_batch:  # pad to the baked batch, slice below
-        crops.append(np.zeros_like(crops[0]))
+    if not serve.dynamic_batch:
+        spec_batch = serve.input_spec.shape[0]
+        if len(crops) > spec_batch:
+            raise SystemExit(
+                f"artifact was exported with batch {spec_batch}; got "
+                f"{len(crops)} images — re-export with a larger --batch "
+                "or with --batch dynamic"
+            )
+        while len(crops) < spec_batch:  # pad to the baked batch, slice below
+            crops.append(np.zeros_like(crops[0]))
     batch_u8 = jnp.asarray(np.stack(crops))
     # normalize on-device, fused ahead of the exported computation
     logits = np.asarray(serve(normalize_images(batch_u8, in_dtype)))[:n]

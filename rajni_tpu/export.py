@@ -35,7 +35,7 @@ def export_model(
     params,
     config: ViTConfig,
     schedule: Schedule | None = None,
-    batch: int = 256,
+    batch: int | str = 256,
     dtype: jnp.dtype = jnp.bfloat16,
     impl: str = "auto",
     platform: str = "tpu",
@@ -49,15 +49,36 @@ def export_model(
     elsewhere), and ``impl="auto"`` resolves against it — NOT against the
     export host's default backend, so a CPU CI host can produce a valid
     TPU artifact.
+
+    ``batch="dynamic"`` exports a batch-POLYMORPHIC artifact
+    (``jax.export.symbolic_shape``): one file serves any request size with
+    no padding (VERDICT r2 next-round #7). Token/feature dims stay static —
+    the pruning arithmetic never depends on batch — so shape polymorphism
+    costs nothing in program structure; the serving runtime compiles each
+    distinct concrete batch on first use (from the lowered module, no
+    Python). Pallas kernels need static grids, so dynamic batch is
+    XLA-path only: ``impl="auto"`` resolves to xla and ``impl="pallas"``
+    raises — export a fixed-batch pallas artifact for the peak-throughput
+    fixed-shape tier and a dynamic xla artifact for the long tail.
     """
     schedule = normalize_schedule(schedule, config.depth)
+    dynamic = batch == "dynamic"
+    if not dynamic and not isinstance(batch, int):
+        raise ValueError(f"batch must be an int or 'dynamic', got {batch!r}")
+    if dynamic and impl == "pallas":
+        raise ValueError(
+            "batch='dynamic' requires impl='xla': Pallas kernel grids are "
+            "static per batch; export a fixed-batch artifact for the pallas "
+            "serving tier"
+        )
 
     if impl == "auto":
         from .models.vit import _PALLAS_MIN_BATCH
 
         impl = (
             "pallas"
-            if platform == "tpu" and batch >= _PALLAS_MIN_BATCH
+            if platform == "tpu" and not dynamic
+            and batch >= _PALLAS_MIN_BATCH
             else "xla"
         )
     if impl == "pallas" and platform != "tpu":
@@ -85,9 +106,13 @@ def export_model(
             vit_forward, params, config=config, schedule=schedule, impl=impl
         )
     )
-    spec = jax.ShapeDtypeStruct(
-        (batch, config.img_size, config.img_size, 3), dtype
-    )
+    if dynamic:
+        shape = _jexport.symbolic_shape(
+            f"b, {config.img_size}, {config.img_size}, 3"
+        )
+    else:
+        shape = (batch, config.img_size, config.img_size, 3)
+    spec = jax.ShapeDtypeStruct(shape, dtype)
     exported = _jexport.export(fn, platforms=[platform])(spec)
     with open(path, "wb") as f:
         f.write(exported.serialize())
@@ -99,7 +124,9 @@ def load_exported(path: str):
     Returns a callable ``images -> logits`` running the pre-lowered program
     (no Python model code, no retracing; jit-wrapped so repeat calls hit the
     executable cache). The callable's ``input_spec`` attribute carries the
-    baked input aval — the artifact accepts exactly that
+    baked input aval; ``dynamic_batch`` is True for batch-polymorphic
+    artifacts (``export_model(batch="dynamic")``), which accept any leading
+    batch size directly — fixed-batch artifacts accept exactly their baked
     ``(batch, H, W, 3)`` shape, so callers with fewer images pad up to it
     and slice the logits (see ``examples/serve.py``).
     """
@@ -111,6 +138,9 @@ def load_exported(path: str):
         return jitted(images)
 
     serve.input_spec = exported.in_avals[0]
+    serve.dynamic_batch = not isinstance(
+        exported.in_avals[0].shape[0], int
+    )
     return serve
 
 
@@ -128,7 +158,9 @@ def main(argv=None) -> None:
     p.add_argument("output", help="output artifact path (.rajni)")
     p.add_argument("--model", default="vit_base_patch16_224")
     p.add_argument("--schedule", default=None, help="pruning schedule JSON")
-    p.add_argument("--batch", type=int, default=256)
+    p.add_argument("--batch", default="256",
+                   help="fixed batch size, or 'dynamic' for a "
+                        "batch-polymorphic artifact (xla kernels only)")
     p.add_argument("--dtype", default="bfloat16",
                    choices=["bfloat16", "float32"])
     p.add_argument("--quantize", action="store_true",
@@ -150,7 +182,8 @@ def main(argv=None) -> None:
     schedule = (
         load_schedule(args.schedule, config.depth) if args.schedule else None
     )
-    export_model(args.output, params, config, schedule, args.batch, dtype,
+    batch = args.batch if args.batch == "dynamic" else int(args.batch)
+    export_model(args.output, params, config, schedule, batch, dtype,
                  args.kernels, args.platform)
     import os
 

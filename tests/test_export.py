@@ -79,6 +79,78 @@ def test_export_auto_resolves_against_target_platform(tmp_path):
     assert serve(jnp.zeros((16, 16, 16, 3), jnp.float32)).shape == (16, 6)
 
 
+def test_export_dynamic_batch(tmp_path, rng):
+    """batch='dynamic' (VERDICT r2 #7): ONE artifact serves any request
+    size — multiple concrete batches through the same file, each matching
+    the live forward, no padding."""
+    params = init_params(jax.random.key(6), CFG, jnp.float32)
+    path = str(tmp_path / "dyn.rajni")
+    export_model(path, params, CFG, SCHED, batch="dynamic",
+                 dtype=jnp.float32, platform="cpu")
+
+    serve = load_exported(path)
+    assert serve.dynamic_batch
+    sched = normalize_schedule(SCHED, CFG.depth)
+    for b in (1, 3, 7):
+        x = jnp.asarray(rng.standard_normal((b, 16, 16, 3)), jnp.float32)
+        got = np.asarray(serve(x))
+        want = np.asarray(vit_forward(params, x, CFG, sched))
+        assert got.shape == (b, 6)
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_export_dynamic_batch_rejects_pallas(tmp_path):
+    """Pallas kernel grids are static per batch; dynamic+pallas must fail
+    loudly, and impl='auto' must resolve dynamic exports to xla."""
+    import pytest
+
+    params = init_params(jax.random.key(7), CFG, jnp.float32)
+    with pytest.raises(ValueError, match="dynamic"):
+        export_model(str(tmp_path / "x.rajni"), params, CFG, None,
+                     batch="dynamic", dtype=jnp.float32, impl="pallas")
+    # auto + tpu target + dynamic → xla (would raise otherwise off-TPU)
+    export_model(str(tmp_path / "auto.rajni"), params, CFG, None,
+                 batch="dynamic", dtype=jnp.float32, impl="auto",
+                 platform="cpu")
+    assert load_exported(str(tmp_path / "auto.rajni")).dynamic_batch
+
+
+def test_export_fixed_batch_not_dynamic(tmp_path):
+    params = init_params(jax.random.key(8), CFG, jnp.float32)
+    path = str(tmp_path / "fixed.rajni")
+    export_model(path, params, CFG, None, batch=2, dtype=jnp.float32,
+                 platform="cpu")
+    assert not load_exported(path).dynamic_batch
+
+
+def test_export_cli_dynamic(tmp_path, capsys):
+    """--batch dynamic via the CLI produces a polymorphic artifact."""
+    import json
+
+    from rajni_tpu.export import main
+    from rajni_tpu.params.io import save_params
+
+    params = init_params(jax.random.key(9), CFG, jnp.float32)
+    ckpt = str(tmp_path / "p.msgpack")
+    save_params(ckpt, params)
+    out = str(tmp_path / "dyn_cli.rajni")
+    sched = tmp_path / "s.json"
+    sched.write_text(json.dumps({"1": {"keep_ratio": 0.5}}))
+
+    from rajni_tpu.models.vit import VARIANTS
+
+    VARIANTS["_export_toy"] = CFG
+    try:
+        main([ckpt, out, "--model", "_export_toy", "--schedule", str(sched),
+              "--batch", "dynamic", "--dtype", "float32",
+              "--platform", "cpu"])
+    finally:
+        del VARIANTS["_export_toy"]
+    serve = load_exported(out)
+    assert serve.dynamic_batch
+    assert serve(jnp.zeros((5, 16, 16, 3), jnp.float32)).shape == (5, 6)
+
+
 def test_export_cli(tmp_path, rng, capsys):
     """checkpoint → artifact → serve, via the CLI end to end."""
     import json
