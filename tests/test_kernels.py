@@ -496,3 +496,46 @@ def test_full_block_int8_odd_batch_downgrades_packing(rng):
         jnp.concatenate([x, x[:1]], axis=0), bp, H, scale)  # B=4 -> G=2
     np.testing.assert_allclose(np.asarray(got), np.asarray(packed[:3]),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_sdpa_hmajor_matches_perhead(rng, monkeypatch):
+    """RAJNI_SDPA=hmajor (head-major scratch + batched dot_general SDPA)
+    must be numerically interchangeable with the per-head loop on both the
+    stock and pruned attention-half kernels (VERDICT r2 weak #2 A/B
+    instrument)."""
+    from rajni_tpu.kernels import block as blk
+
+    B, N, C, H = 2, 57, 32, 4
+    keep = 23
+    x = jnp.asarray(rng.standard_normal((B, N, C)), jnp.float32)
+    ln = {"scale": jnp.asarray(rng.standard_normal(C), jnp.float32),
+          "bias": jnp.asarray(rng.standard_normal(C), jnp.float32)}
+    attn = {
+        "qkv": {"kernel": jnp.asarray(rng.standard_normal((C, 3 * C)) * 0.1,
+                                      jnp.float32),
+                "bias": jnp.asarray(rng.standard_normal(3 * C) * 0.1,
+                                    jnp.float32)},
+        "proj": {"kernel": jnp.asarray(rng.standard_normal((C, C)) * 0.1,
+                                       jnp.float32),
+                 "bias": jnp.asarray(rng.standard_normal(C) * 0.1,
+                                     jnp.float32)},
+    }
+    scale = 8**-0.5
+
+    want_stock = blk.fused_attn_block.__wrapped__(
+        x, ln, attn, None, H, scale)
+    want_pr, want_ns = blk.fused_pruned_attn_block.__wrapped__(
+        x, ln, attn, None, None, H, keep, scale)
+
+    monkeypatch.setenv("RAJNI_SDPA", "hmajor")
+    got_stock = blk.fused_attn_block.__wrapped__(
+        x, ln, attn, None, H, scale)
+    got_pr, got_ns = blk.fused_pruned_attn_block.__wrapped__(
+        x, ln, attn, None, None, H, keep, scale)
+
+    np.testing.assert_allclose(np.asarray(got_stock),
+                               np.asarray(want_stock), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_pr), np.asarray(want_pr),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_ns), np.asarray(want_ns),
+                               rtol=1e-6, atol=1e-7)
