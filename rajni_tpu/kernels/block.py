@@ -135,6 +135,14 @@ def _mha(qkv, num_heads: int, scale: float, out_dtype):
     C = three_c // 3
     D = C // num_heads
     mode = _sdpa_mode()
+    if mode == "phased" and num_heads * N * N * 6 > 4 * 1024 * 1024:
+        # phase-splitting keeps every head's [N, N] logits (f32) and
+        # softmax (bf16) live at once — ~H·N²·6 bytes of kernel stack. At
+        # N=577/H=12 that is ~24 MB and Mosaic OOMs the 16 MB VMEM scoped
+        # allocation (observed on the stock N=577 kernel); long sequences
+        # fall back to the interleaved per-head loop, whose live set is one
+        # head's arrays.
+        mode = "perhead"
     if mode == "phased":
         # phase-split: all qk matmuls back-to-back, then all softmaxes,
         # then all av matmuls — removes the per-head MXU→VPU→MXU
