@@ -1609,7 +1609,10 @@ def _pruned_full_int8_plan(
 ) -> tuple[int, int] | None:
     """(images-per-program G, hidden chunk hc) for the pruned whole-block
     int8 kernel, or None. Prefers G=2 (multi-image tiling, see
-    :func:`_block_full_int8_kernel`) with a chunked hidden activation."""
+    :func:`_block_full_int8_kernel`) with a chunked hidden activation;
+    small-C pruned plans try G=4 first (mirrors :func:`_bf16_g_candidates`:
+    measured DeiT-S int8 12705 (G=2) → 13097 (G=4) img/s, 2026-08-17).
+    ``RAJNI_INT8_G`` forces a G (experiment knob)."""
     weights = 4 * C * C + 2 * C * hidden + (5 * C + hidden) * 4
 
     def fits(g: int, hc: int) -> bool:
@@ -1623,7 +1626,19 @@ def _pruned_full_int8_plan(
         mlp_live = g * K * hc * 4 + g * K * C * (4 + 4 + 1)
         return io + weights + max(attn_live, mlp_live) <= _VMEM_BUDGET
 
-    for g, hc in ((2, hidden // 2), (1, hidden), (1, hidden // 2)):
+    import os
+
+    force = os.environ.get("RAJNI_INT8_G")
+    if force:
+        g = int(force)
+        for hc in (hidden, hidden // 2, hidden // 4):
+            if hc >= 128 and fits(g, hc):
+                return g, hc
+        return None
+    candidates = [(2, hidden // 2), (1, hidden), (1, hidden // 2)]
+    if K < N and C <= 512:
+        candidates.insert(0, (4, hidden // 2))
+    for g, hc in candidates:
         if hc >= 128 and fits(g, hc):
             return g, hc
     return None

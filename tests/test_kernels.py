@@ -450,7 +450,9 @@ def test_full_pruned_block_int8_multi_image_packing(rng):
 
     B, N, C, H, hidden, keep = 4, 33, 128, 4, 512, 19
     plan = blk._pruned_full_int8_plan(N, keep + 1, C, hidden, 4)
-    assert plan is not None and plan[0] == 2, plan
+    # pruned small-C plans prefer G=4 since r3 (measured DeiT-S int8 win);
+    # per-image independence below holds for any packing factor
+    assert plan is not None and plan[0] == 4, plan
     bp = _tiny_block_params(rng, C, hidden, quantized=True)
     x = jnp.asarray(rng.standard_normal((B, N, C)), jnp.float32)
     scale = 32**-0.5
