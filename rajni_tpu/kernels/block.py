@@ -661,9 +661,22 @@ def fused_ln_qkv(
     Returns ``(qkv [B, N, 3C], scores [B, N] fp32)``; ``scores`` is zeros
     when ``with_scores=False`` (an ``update=false`` block reusing previous
     scores, reference attention.py:25-28).
+
+    The projection width follows ``wqkv`` — a tensor-parallel shard may
+    pass ``[C, 3*C_local]`` (head-aligned local packing) and gets
+    ``[B, N, 3*C_local]`` back; in-kernel scoring needs every head, so
+    ``with_scores=True`` requires the full width (TP callers score from
+    cross-shard partials instead — :func:`rajni_tpu.ops.importance.
+    importance_partials`).
     """
     B, N, C = x.shape
     wqkv = qkv_params["kernel"]
+    out_w = wqkv.shape[-1]
+    if with_scores and out_w != 3 * C:
+        raise ValueError(
+            "with_scores=True needs the full [C, 3C] projection; a "
+            f"head-sharded [{C}, {out_w}] shard cannot score locally"
+        )
 
     qkv, scores8 = pl.pallas_call(
         functools.partial(
@@ -671,7 +684,7 @@ def fused_ln_qkv(
             with_scores=with_scores,
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((B, N, 3 * C), x.dtype),
+            jax.ShapeDtypeStruct((B, N, out_w), x.dtype),
             jax.ShapeDtypeStruct((B, 8, N), jnp.float32),
         ),
         grid=(B,),
@@ -680,13 +693,13 @@ def fused_ln_qkv(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, C), lambda b: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, C), lambda b: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((C, 3 * C), lambda b: (0, 0),
+            pl.BlockSpec((C, out_w), lambda b: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 3 * C), lambda b: (0, 0),
+            pl.BlockSpec((1, out_w), lambda b: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, N, 3 * C), lambda b: (b, 0, 0),
+            pl.BlockSpec((1, N, out_w), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 8, N), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -700,7 +713,7 @@ def fused_ln_qkv(
         ln_params["scale"].reshape(1, C),
         ln_params["bias"].reshape(1, C),
         wqkv,
-        qkv_params["bias"].reshape(1, 3 * C),
+        qkv_params["bias"].reshape(1, out_w),
     )
     return qkv, scores8[:, 0, :]
 
@@ -985,7 +998,11 @@ def fused_gather_sdpa_proj_residual(
     """Pruned attention tail: ``gather_sel(x) + ls1 * proj(mhsa(gather_sel(qkv)))``.
 
     Args:
-      qkv: ``[B, N, 3C]`` full-sequence packed QKV (from :func:`fused_ln_qkv`).
+      qkv: ``[B, N, 3C]`` full-sequence packed QKV (from :func:`fused_ln_qkv`);
+        a tensor-parallel caller passes its head shard ``[B, N, 3*C_local]``
+        with ``num_heads`` = local heads and a ``[C_local, C]`` proj shard
+        (row-parallel) — the output is then this shard's PARTIAL proj sum
+        plus the gathered residual.
       sel: ``[B, K, N]`` one-hot selection rows
         (:func:`rajni_tpu.ops.pruning.select_tokens_dense`).
       x: ``[B, N, C]`` pre-norm residual stream.
@@ -993,13 +1010,14 @@ def fused_gather_sdpa_proj_residual(
       ``[B, K, C]`` compacted post-attention residual state.
     """
     B, N, three_c = qkv.shape
-    C = three_c // 3
+    C_loc = three_c // 3
+    C = x.shape[-1]
     K = sel.shape[1]
     wproj = proj_params["kernel"]
     if ls is None:
         ls = jnp.ones((C,), x.dtype)
 
-    if _gather_fits_fast(N, K, C, jnp.dtype(x.dtype).itemsize):
+    if _gather_fits_fast(N, K, max(C_loc, C), jnp.dtype(x.dtype).itemsize):
         return pl.pallas_call(
             functools.partial(
                 _gather_attn_kernel, num_heads=num_heads, scale=scale
@@ -1013,7 +1031,7 @@ def fused_gather_sdpa_proj_residual(
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, N, C), lambda b: (b, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((C, C), lambda b: (0, 0),
+                pl.BlockSpec((C_loc, C), lambda b: (0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, C), lambda b: (0, 0),
                              memory_space=pltpu.VMEM),
@@ -1054,7 +1072,7 @@ def fused_gather_sdpa_proj_residual(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, N, C), lambda b, kc: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((C, C), lambda b, kc: (0, 0),
+            pl.BlockSpec((C_loc, C), lambda b, kc: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, C), lambda b, kc: (0, 0),
                          memory_space=pltpu.VMEM),

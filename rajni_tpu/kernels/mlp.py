@@ -61,7 +61,7 @@ def _hidden_chunk(C: int, hidden: int, itemsize: int) -> int:
 
 def _ln_mlp_kernel_fast(
     x_ref, ln_scale_ref, ln_bias_ref, w1_ref, b1_ref, w2_ref, b2_ref,
-    ls_ref, out_ref, y_ref, acc_ref, *, eps: float,
+    ls_ref, out_ref, y_ref, acc_ref, *, eps: float, add_residual: bool,
 ):
     """Single-chunk variant (weights fully resident): straight-line, no
     scratch round trips. Used whenever fc1+fc2 fit the VMEM weight budget."""
@@ -82,12 +82,14 @@ def _ln_mlp_kernel_fast(
     out = (out + b2_ref[:].astype(jnp.float32)) * ls_ref[:].astype(
         jnp.float32
     )
-    out_ref[:] = (x32 + out).astype(out_ref.dtype)
+    if add_residual:
+        out = x32 + out
+    out_ref[:] = out.astype(out_ref.dtype)
 
 
 def _ln_mlp_kernel(
     x_ref, ln_scale_ref, ln_bias_ref, w1_ref, b1_ref, w2_ref, b2_ref,
-    ls_ref, out_ref, y_ref, acc_ref, *, eps: float,
+    ls_ref, out_ref, y_ref, acc_ref, *, eps: float, add_residual: bool,
 ):
     k = pl.program_id(1)
     nk = pl.num_programs(1)
@@ -118,17 +120,19 @@ def _ln_mlp_kernel(
     def _():
         out = acc_ref[:] + b2_ref[:].astype(jnp.float32)
         out = out * ls_ref[:].astype(jnp.float32)  # layer-scale (or ones)
-        # Residual add with the pre-norm input.
-        out_ref[:] = (x_ref[:].astype(jnp.float32) + out).astype(out_ref.dtype)
+        if add_residual:  # residual add with the pre-norm input
+            out = x_ref[:].astype(jnp.float32) + out
+        out_ref[:] = out.astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("eps",))
+@functools.partial(jax.jit, static_argnames=("eps", "add_residual"))
 def fused_ln_mlp_residual(
     x: jax.Array,
     ln_params,
     mlp_params,
     ls: jax.Array | None = None,
     eps: float = 1e-6,
+    add_residual: bool = True,
 ) -> jax.Array:
     """``x + ls * mlp(layer_norm(x))`` with the hidden activation VMEM-resident.
 
@@ -140,6 +144,10 @@ def fused_ln_mlp_residual(
       mlp_params: ``{"fc1": {kernel [C,Hd], bias}, "fc2": {kernel [Hd,C], bias}}``.
       ls: optional ``[C]`` layer-scale vector (reference model.py:48).
       eps: LayerNorm epsilon.
+      add_residual: skip the in-kernel ``x +`` when False — used by the
+        tensor-parallel composition, where each shard's fc2 output is a
+        PARTIAL sum that must be psum'd across the model axis before the
+        (single) residual add.
     """
     B, N, C = x.shape
     w1 = mlp_params["fc1"]["kernel"]
@@ -160,7 +168,7 @@ def fused_ln_mlp_residual(
     )
     kernel = _ln_mlp_kernel_fast if hc == hidden else _ln_mlp_kernel
     out = pl.pallas_call(
-        functools.partial(kernel, eps=eps),
+        functools.partial(kernel, eps=eps, add_residual=add_residual),
         out_shape=jax.ShapeDtypeStruct((rows, C), x.dtype),
         grid=grid,
         in_specs=[

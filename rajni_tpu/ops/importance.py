@@ -89,3 +89,76 @@ def compute_importance(
     z = jax.nn.sigmoid((v_norm - mu) / std)
 
     return a_cls * z
+
+
+# ---------------------------------------------------------------------------
+# Tensor-parallel decomposition: per-head-shard partials + completion.
+#
+# Under Megatron TP the packed QKV is head-sharded: each chip holds
+# ``[B, N, 3*C_local]`` covering ``H_local = H / tp`` whole heads (the
+# head-aligned layout of parallel.mesh.repack_qkv_heads guarantees shard
+# boundaries never split a head). The scorer's two cross-head reductions —
+# the head-MEAN of the CLS softmax rows and the head-MEAN value vector —
+# are the only coupling, and both are plain sums: each chip computes its
+# local-head partial sums, one psum over the ``model`` axis completes them,
+# and the remaining statistics (centering, norm, z-score, sigmoid) are
+# identical replicated math. Everything else in the scorer is per-head.
+# ---------------------------------------------------------------------------
+
+
+def importance_partials(
+    qkv_local: jax.Array,
+    num_heads_local: int,
+    *,
+    compute_dtype: jnp.dtype = jnp.float32,
+) -> tuple[jax.Array, jax.Array]:
+    """Local-head partial sums of the scorer's cross-head reductions.
+
+    Args:
+      qkv_local: ``[B, N, 3*C_local]`` — this shard's packed QKV (whole
+        heads only).
+      num_heads_local: heads held by this shard.
+
+    Returns ``(a_cls_sum [B, N], v_sum [B, N, D])`` — the UN-normalized
+    sums over local heads of the CLS softmax rows (importance.py:18-21
+    before the head mean) and the value vectors (importance.py:24 before
+    the head mean). Complete with :func:`importance_from_partials` after a
+    cross-shard ``psum``.
+    """
+    B, N = qkv_local.shape[:2]
+    three_c = math.prod(qkv_local.shape[2:])
+    C = three_c // 3
+    D = C // num_heads_local
+    qkv = qkv_local.reshape(B, N, 3, num_heads_local, D)
+
+    q_cls = qkv[:, 0, 0].astype(compute_dtype)  # [B, H_l, D]
+    k = qkv[:, :, 1]
+    logits = jnp.einsum(
+        "bhd,bnhd->bhn", q_cls, k, preferred_element_type=compute_dtype
+    ) / math.sqrt(D)
+    # softmax over N is per-head-local: no cross-shard coupling
+    a_sum = jax.nn.softmax(logits, axis=-1).sum(axis=1)  # [B, N]
+    v_sum = jnp.sum(qkv[:, :, 2].astype(compute_dtype), axis=2)  # [B, N, D]
+    return a_sum, v_sum
+
+
+def importance_from_partials(
+    a_cls_sum: jax.Array,
+    v_sum: jax.Array,
+    num_heads_total: int,
+    eps: float = 1e-6,
+) -> jax.Array:
+    """Finish the score from (psum-completed) cross-head partial sums.
+
+    Numerically the head means become ``sum / H`` instead of a fused mean
+    reduce — associativity-level (1 ulp) difference from
+    :func:`compute_importance`, far below the selector's score gaps.
+    """
+    a_cls = a_cls_sum * (1.0 / num_heads_total)
+    V = v_sum * (1.0 / num_heads_total)
+    V = V - V.mean(axis=1, keepdims=True)
+    v_norm = jnp.linalg.norm(V, axis=-1)
+    mu = v_norm.mean(axis=1, keepdims=True)
+    std = jnp.std(v_norm, axis=1, keepdims=True, ddof=1) + eps
+    z = jax.nn.sigmoid((v_norm - mu) / std)
+    return a_cls * z

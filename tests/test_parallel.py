@@ -130,11 +130,45 @@ def test_dp_pallas_shard_map_matches_single_device(setup):
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
 
 
-def test_tp_with_pallas_rejected(setup):
+@pytest.mark.parametrize("data,model", [(4, 2), (2, 4)])
+def test_tp_pallas_matches_single_device(setup, data, model):
+    """Tensor parallelism on the KERNEL backend (r3: closes r2's 'TP
+    excludes the production kernel path'): the manual Megatron composition
+    over per-chip Pallas kernels — head-sharded LN+QKV, psum'd scorer
+    partials, replicated selection, row-parallel proj/fc2 with a single
+    post-psum residual — matches the single-device pallas forward."""
+    params, x = setup
+    want = np.asarray(vit_forward(params, x, TINY, SCHED, "xla"))
+    mesh = make_mesh(data=data, model=model)
+    apply = sharded_forward(params, TINY, SCHED, mesh, impl="pallas")
+    got = np.asarray(apply(x))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_tp_pallas_stock_and_update_false(setup):
+    """TP-pallas across the schedule state machine: stock blocks (score
+    invalidation), update=False reuse, pruned chains."""
+    params, x = setup
+    sched = normalize_schedule(
+        {0: {"keep_ratio": 0.8}, 1: {"keep_ratio": 0.7, "update": False}},
+        TINY.depth,
+    )
+    want = np.asarray(vit_forward(params, x, TINY, sched, "xla"))
+    mesh = make_mesh(data=2, model=4)
+    apply = sharded_forward(params, TINY, sched, mesh, impl="pallas")
+    got = np.asarray(apply(x))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_tp_pallas_rejects_int8(setup):
+    from rajni_tpu.quant import quantize_params
+
     params, _ = setup
     mesh = make_mesh(data=4, model=2)
-    with pytest.raises(ValueError, match="tensor parallelism"):
-        sharded_forward(params, TINY, SCHED, mesh, impl="pallas")
+    with pytest.raises(ValueError, match="int8"):
+        sharded_forward(
+            quantize_params(params), TINY, SCHED, mesh, impl="pallas"
+        )
 
 
 def test_dp_with_quantized_params(setup):
