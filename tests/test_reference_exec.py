@@ -149,6 +149,19 @@ class TimmShapedViT(nn.Module):
         self.norm = oracle.norm
         self.head = oracle.head
 
+    def forward(self, x):
+        # stock timm VisionTransformer forward (token-pooled classifier):
+        # the reference CLI's --compare_base calls the base model directly
+        # (run.py:99-105)
+        x = self.patch_embed(x)
+        cls = self.cls_token.expand(x.shape[0], -1, -1)
+        x = torch.cat([cls, x], dim=1)
+        x = self.pos_drop(x + self.pos_embed[:, : x.size(1)])
+        for blk in self.blocks:
+            x = blk(x)
+        x = self.norm(x)
+        return self.head(x[:, 0])
+
 
 @pytest.fixture(scope="module")
 def oracle():
