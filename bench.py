@@ -14,7 +14,8 @@ artifact); batch 256 (reference run.py:23 default); bf16 inference dtype;
 best-of-3 loops (shared-chip variance ±5-10%).
 
 Env overrides: RAJNI_BENCH_BATCH, RAJNI_BENCH_ITERS, RAJNI_BENCH_MODEL,
-RAJNI_BENCH_DTYPE, RAJNI_BENCH_KERNELS (xla|pallas), RAJNI_BENCH_QUANT=1
+RAJNI_BENCH_DTYPE, RAJNI_BENCH_KERNELS (xla|pallas), RAJNI_BENCH_QUANT=1,
+RAJNI_BENCH_CALIBRATE=1 (static-scale PTQ int8, with QUANT=1)
 (int8 MLP + attention-projection weights with dynamic activation
 quantization — opt-in, changes numerics; see rajni_tpu/quant.py).
 """
@@ -46,31 +47,44 @@ def main() -> None:
     ]
     impl = os.environ.get("RAJNI_BENCH_KERNELS", "pallas")
     quant = os.environ.get("RAJNI_BENCH_QUANT", "0") == "1"
+    calibrate = os.environ.get("RAJNI_BENCH_CALIBRATE", "0") == "1"
 
     log(f"devices: {jax.devices()}")
     config = get_config(model)
     schedule = normalize_schedule(REFERENCE_SCHEDULE, config.depth)
     params = init_params(jax.random.key(0), config, dtype)
-    if quant:
-        from rajni_tpu.quant import quantize_params
-
-        params = quantize_params(params)
-        log("int8-quantized weights (RAJNI_BENCH_QUANT=1)")
     images = jax.device_put(
         jax.random.normal(
             jax.random.key(1), (batch, config.img_size, config.img_size, 3), dtype
         )
     )
-    fwd = jax.jit(vit_forward, static_argnums=(2, 3, 4))
+    base_scales = pruned_scales = None
+    if quant:
+        from rajni_tpu.quant import quantize_params
+
+        if calibrate:
+            # Static-scale PTQ (RAJNI_BENCH_CALIBRATE=1, with QUANT=1):
+            # per-schedule scales, calibrated pre-quantization on the bench
+            # batch itself (random data — the scales match the measured run).
+            from rajni_tpu.quant import calibrate_act_scales
+
+            base_scales = calibrate_act_scales(params, images, config, None)
+            pruned_scales = calibrate_act_scales(params, images, config,
+                                                 schedule)
+            log("calibrated static int8 activation scales "
+                "(RAJNI_BENCH_CALIBRATE=1)")
+        params = quantize_params(params)
+        log("int8-quantized weights (RAJNI_BENCH_QUANT=1)")
+    fwd = jax.jit(vit_forward, static_argnums=(2, 3, 4, 5))
 
     log(f"compiling + measuring base (identity schedule, {impl})...")
     base = measure_throughput(fwd, params, images, config, None, impl,
-                              iters=iters)
+                              base_scales, iters=iters)
     log(f"base: {base:.1f} img/s")
 
     log(f"compiling + measuring pruned (schedule.json, {impl})...")
     pruned = measure_throughput(fwd, params, images, config, schedule, impl,
-                                iters=iters)
+                                pruned_scales, iters=iters)
     log(f"pruned: {pruned:.1f} img/s")
 
     record = {

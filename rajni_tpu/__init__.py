@@ -22,6 +22,12 @@ from .models.vit import (
 from .ops.attention import attention, pruned_attention
 from .ops.importance import compute_importance
 from .ops.pruning import gather_tokens, keep_count, select_tokens
+from .quant import (
+    ActScales,
+    calibrate_act_scales,
+    dequantize_weight,
+    quantize_params,
+)
 from .utils.flops import flops_per_image, mfu
 from .utils.schedule import (
     PruneSpec,
@@ -34,11 +40,15 @@ from .utils.schedule import (
 __version__ = "0.1.0"
 
 __all__ = [
+    "ActScales",
     "RAJNIViT",
     "VARIANTS",
     "ViTConfig",
     "PruneSpec",
     "attention",
+    "calibrate_act_scales",
+    "dequantize_weight",
+    "quantize_params",
     "check_fixture",
     "compute_importance",
     "evaluate_model",

@@ -44,6 +44,7 @@ from jax.experimental.pallas import tpu as pltpu
 from .math import gelu_fast
 from .math import quantize_cols as _quantize_cols
 from .math import quantize_rows as _quantize_rows
+from .math import quantize_static as _quantize_static
 from .math import use_interpret as _use_interpret
 
 
@@ -1197,8 +1198,23 @@ def fused_gather_sdpa_proj_residual_int8(
 # --------------------------------------------------------------------------
 
 
-def _int8_matmul(y32, wq_ref, ws_ref):
-    """``f32 [R, C] @ int8-weight -> f32 [R, out]`` via the int8 MXU."""
+def _int8_matmul(y32, wq_ref, ws_ref, *, static=False, inv=None):
+    """``f32 [R, C] @ int8-weight -> f32 [R, out]`` via the int8 MXU.
+
+    ``static=False`` quantizes the activations dynamically per row
+    (:func:`rajni_tpu.kernels.math.quantize_rows`). ``static=True`` is the
+    calibrated mode (:func:`rajni_tpu.quant.calibrate_act_scales`): ``y32``
+    arrives pre-scaled by ``1/a`` — either through a folded upstream affine
+    (``inv=None``) or via the compile-time constant ``inv`` — and ``ws_ref``
+    already carries the ``a`` dequant factor folded into the weight scales,
+    so the absmax reduction and the ``[R, 1]`` scale vanish entirely."""
+    if static:
+        y_q = _quantize_static(y32, inv)
+        acc = jax.lax.dot_general(
+            y_q, wq_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32)
+        return acc * ws_ref[:]
     y_q, a_scale = _quantize_rows(y32)
     acc = jax.lax.dot_general(
         y_q, wq_ref[:], (((1,), (0,)), ((), ())),
@@ -1531,10 +1547,24 @@ def _pruned_block_full_int8_kernel(
     x_ref, ln1s_ref, ln1b_ref, wqkv_ref, sqkv_ref, bqkv_ref,
     wproj_ref, sproj_ref, bproj_ref, ls1_ref,
     ln2s_ref, ln2b_ref, w1_ref, s1_ref, b1_ref, w2_ref, s2_ref, b2_ref,
-    ls2_ref, pscores_ref, out_ref, ns_ref,
+    ls2_ref, pscores_ref, sinv_ref, out_ref, ns_ref,
     *, num_heads: int, scale: float, eps: float, with_scores: bool,
-    int8_sdpa: bool, seq: int, hc: int,
+    int8_sdpa: bool, seq: int, hc: int, static_act: bool = False,
 ):
+    # static_act enables the CALIBRATED static-scale quantization mode
+    # (rajni_tpu.quant.calibrate_act_scales): the wrapper pre-folds
+    # 1/a_qkv and 1/a_fc1 into the LayerNorm scale/bias operands and all
+    # four `a` dequant factors into the weight-scale vectors, so the
+    # LN-fed sites quantize with a bare round/clip and the SDPA/GELU sites
+    # with one scalar multiply — no per-row absmax reductions. The two
+    # remaining inverse scales (1/a_proj, 1/a_fc2) arrive in the SMEM
+    # operand ``sinv_ref`` rather than as compile-time constants so every
+    # block shares ONE compiled kernel per shape (per-block constants
+    # measured −3.7% on the stock path: 12 distinct Mosaic programs thrash
+    # instruction memory where one used to be reused).
+    static = static_act
+    inv_proj = sinv_ref[0] if static else None
+    inv_fc2 = sinv_ref[1] if static else None
     dtype = x_ref.dtype
     rows = x_ref.shape[1]          # G * seq packed images
     G = rows // seq
@@ -1546,9 +1576,9 @@ def _pruned_block_full_int8_kernel(
     # per image (token mixing never crosses images).
     x32 = x_ref[0].astype(jnp.float32)
     y = _layer_norm_f32(x32, ln1s_ref, ln1b_ref, eps)
-    qkv = _int8_matmul(y, wqkv_ref, sqkv_ref) + bqkv_ref[:].astype(
-        jnp.float32
-    )
+    qkv = _int8_matmul(y, wqkv_ref, sqkv_ref, static=static) + bqkv_ref[
+        :
+    ].astype(jnp.float32)
     qkv = qkv.astype(dtype).astype(jnp.float32)  # bf16 storage rounding
 
     attns, xgs = [], []
@@ -1575,15 +1605,21 @@ def _pruned_block_full_int8_kernel(
     attn = attns[0] if G == 1 else jnp.concatenate(attns, axis=0)
     x_g32 = xgs[0] if G == 1 else jnp.concatenate(xgs, axis=0)
 
-    out = _int8_matmul(attn, wproj_ref, sproj_ref)
+    out = _int8_matmul(attn, wproj_ref, sproj_ref, static=static,
+                       inv=inv_proj)
     out = out + bproj_ref[:].astype(jnp.float32)
     x_mid = (
         x_g32 + out * ls1_ref[:].astype(jnp.float32)
     ).astype(dtype).astype(jnp.float32)  # [G·K, C], half-boundary rounding
 
     # ---- MLP half (reference model.py:59), VMEM-resident, hc-chunked ----
+    # In static mode ln2s/ln2b carry the 1/a_fc1 fold (y2 is pre-scaled)
+    # and s1/s2 carry the a_fc1/a_fc2 dequant folds.
     y2 = _layer_norm_f32(x_mid, ln2s_ref, ln2b_ref, eps)
-    y2_q, a1 = _quantize_rows(y2)
+    if static:
+        y2_q, a1 = _quantize_static(y2), 1.0
+    else:
+        y2_q, a1 = _quantize_rows(y2)
     hidden = w1_ref.shape[1]
     acc = None
     for j in range(0, hidden, hc):
@@ -1592,14 +1628,19 @@ def _pruned_block_full_int8_kernel(
             preferred_element_type=jnp.int32,
         ).astype(jnp.float32)
         h = gelu_fast(
-            h * a1 * s1_ref[:, j:j + hc]
+            (h if static else h * a1) * s1_ref[:, j:j + hc]
             + b1_ref[:, j:j + hc].astype(jnp.float32)
         )
-        h_q, a2 = _quantize_rows(h)
+        if static:
+            h_q, a2 = _quantize_static(h, inv_fc2), 1.0
+        else:
+            h_q, a2 = _quantize_rows(h)
         part = jax.lax.dot_general(
             h_q, w2_ref[j:j + hc, :], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32,
-        ).astype(jnp.float32) * a2
+        ).astype(jnp.float32)
+        if not static:
+            part = part * a2
         acc = part if acc is None else acc + part
     out2 = acc * s2_ref[:] + b2_ref[:].astype(jnp.float32)
     out_ref[0] = (
@@ -1664,7 +1705,7 @@ def _pruned_full_int8_plan(
 
 @functools.partial(
     jax.jit, static_argnames=("num_heads", "keep", "scale", "eps",
-                              "with_scores", "int8_sdpa")
+                              "with_scores", "int8_sdpa", "act_scales")
 )
 def fused_pruned_block_full_int8(
     x: jax.Array,
@@ -1676,6 +1717,7 @@ def fused_pruned_block_full_int8(
     eps: float = 1e-6,
     with_scores: bool = True,
     int8_sdpa: bool = False,
+    act_scales: tuple[float, float, float, float] | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """ENTIRE pruned ViT block in one kernel (int8 weights), packing
     :func:`_pruned_full_int8_plan` images per program:
@@ -1691,6 +1733,14 @@ def fused_pruned_block_full_int8(
 
     ``block_params`` is one entry of ``params["blocks"]`` with quantized
     kernels. Returns ``(x_out [B, K, C], next_scores [B, K])``.
+
+    ``act_scales`` — ``(a_qkv, a_proj, a_fc1, a_fc2)`` calibrated static
+    activation scales (:func:`rajni_tpu.quant.calibrate_act_scales`) —
+    switches the kernel to static-scale quantization: the ``1/a`` factors
+    fold into the LayerNorm affines / one constant multiply and the ``a``
+    dequant factors into the weight-scale operands, removing every per-row
+    absmax pass. Static (compile-time) by design: scales change only on
+    recalibration.
     """
     B, N, C = x.shape
     K = keep + 1
@@ -1701,6 +1751,26 @@ def fused_pruned_block_full_int8(
     w1 = mlp_p["fc1"]["kernel"]
     w2 = mlp_p["fc2"]["kernel"]
     hidden = w1["int8"].shape[1]
+    ln1s = block_params["norm1"]["scale"].reshape(1, C)
+    ln1b = block_params["norm1"]["bias"].reshape(1, C)
+    ln2s = block_params["norm2"]["scale"].reshape(1, C)
+    ln2b = block_params["norm2"]["bias"].reshape(1, C)
+    sqkv = wqkv["scale"].reshape(1, 3 * C)
+    sproj = wproj["scale"].reshape(1, C)
+    s1 = w1["scale"].reshape(1, hidden)
+    s2 = w2["scale"].reshape(1, C)
+    sinv = jnp.ones((2,), jnp.float32)
+    if act_scales is not None:
+        aq, ap, a1, a2 = (float(s) for s in act_scales)
+        ln1s = ln1s.astype(jnp.float32) * (1.0 / aq)
+        ln1b = ln1b.astype(jnp.float32) * (1.0 / aq)
+        ln2s = ln2s.astype(jnp.float32) * (1.0 / a1)
+        ln2b = ln2b.astype(jnp.float32) * (1.0 / a1)
+        sqkv = sqkv * aq
+        sproj = sproj * ap
+        s1 = s1 * a1
+        s2 = s2 * a2
+        sinv = jnp.asarray([1.0 / ap, 1.0 / a2], jnp.float32)
     ls1 = block_params.get("ls1")
     ls2 = block_params.get("ls2")
     if ls1 is None:
@@ -1729,6 +1799,7 @@ def fused_pruned_block_full_int8(
             _pruned_block_full_int8_kernel, num_heads=num_heads,
             scale=scale, eps=eps, with_scores=with_scores,
             int8_sdpa=int8_sdpa, seq=N, hc=hc,
+            static_act=act_scales is not None,
         ),
         out_shape=(
             jax.ShapeDtypeStruct((B // G, out_rows, C), x.dtype),
@@ -1748,6 +1819,7 @@ def fused_pruned_block_full_int8(
             vec(C),                                    # ls2
             pl.BlockSpec((1, rows, 1), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),     # static inv scales
         ],
         out_specs=(
             pl.BlockSpec((1, out_rows, C), lambda b: (b, 0, 0),
@@ -1761,25 +1833,26 @@ def fused_pruned_block_full_int8(
         interpret=_use_interpret(),
     )(
         x.reshape(B // G, rows, C),
-        block_params["norm1"]["scale"].reshape(1, C),
-        block_params["norm1"]["bias"].reshape(1, C),
+        ln1s,
+        ln1b,
         wqkv["int8"],
-        wqkv["scale"].reshape(1, 3 * C),
+        sqkv,
         attn_p["qkv"]["bias"].reshape(1, 3 * C),
         wproj["int8"],
-        wproj["scale"].reshape(1, C),
+        sproj,
         attn_p["proj"]["bias"].reshape(1, C),
         ls1.reshape(1, C),
-        block_params["norm2"]["scale"].reshape(1, C),
-        block_params["norm2"]["bias"].reshape(1, C),
+        ln2s,
+        ln2b,
         w1["int8"],
-        w1["scale"].reshape(1, hidden),
+        s1,
         mlp_p["fc1"]["bias"].reshape(1, hidden),
         w2["int8"],
-        w2["scale"].reshape(1, C),
+        s2,
         mlp_p["fc2"]["bias"].reshape(1, C),
         ls2.reshape(1, C),
         prev_scores.reshape(B // G, rows, 1),
+        sinv,
     )
     return out.reshape(B, K, C), ns.reshape(B, K)
 
@@ -2130,9 +2203,9 @@ def _block_full_int8_kernel(
     x_ref, ln1s_ref, ln1b_ref, wqkv_ref, sqkv_ref, bqkv_ref,
     wproj_ref, sproj_ref, bproj_ref, ls1_ref,
     ln2s_ref, ln2b_ref, w1_ref, s1_ref, b1_ref, w2_ref, s2_ref, b2_ref,
-    ls2_ref, out_ref,
+    ls2_ref, sinv_ref, out_ref,
     *, num_heads: int, scale: float, eps: float, int8_sdpa: bool,
-    seq: int, hc: int,
+    seq: int, hc: int, static_act: bool = False,
 ):
     """Whole STOCK block, one kernel, int8 weights (no pruning): the
     [B, N, C] residual stream makes one HBM read and one write per block
@@ -2148,28 +2221,39 @@ def _block_full_int8_kernel(
     (grouped quantization — at least as accurate as the whole-row scale,
     exact-equal when hc == hidden). Measured (v5e, batch-256 ViT-B,
     dispatch-floor-corrected): G=2/hc=hidden/2 is −14% per stock block vs
-    G=1; G=4 regresses (VMEM pressure)."""
+    G=1; G=4 regresses (VMEM pressure).
+
+    ``static_act`` + the SMEM ``sinv_ref`` operand enable calibrated
+    static-scale activation quantization exactly as in
+    :func:`_pruned_block_full_int8_kernel`."""
+    static = static_act
+    inv_proj = sinv_ref[0] if static else None
+    inv_fc2 = sinv_ref[1] if static else None
     dtype = x_ref.dtype
     rows = x_ref.shape[1]  # G * seq
     x32 = x_ref[0].astype(jnp.float32)
     y = _layer_norm_f32(x32, ln1s_ref, ln1b_ref, eps)
-    qkv = _int8_matmul(y, wqkv_ref, sqkv_ref) + bqkv_ref[:].astype(
-        jnp.float32
-    )
+    qkv = _int8_matmul(y, wqkv_ref, sqkv_ref, static=static) + bqkv_ref[
+        :
+    ].astype(jnp.float32)
     attns = [
         _mha_mixed(qkv[g:g + seq, :], num_heads, scale, jnp.float32,
                    dtype, int8_sdpa)
         for g in range(0, rows, seq)
     ]
     attn = attns[0] if len(attns) == 1 else jnp.concatenate(attns, axis=0)
-    out = _int8_matmul(attn, wproj_ref, sproj_ref)
+    out = _int8_matmul(attn, wproj_ref, sproj_ref, static=static,
+                       inv=inv_proj)
     out = out + bproj_ref[:].astype(jnp.float32)
     x_mid = (
         x32 + out * ls1_ref[:].astype(jnp.float32)
     ).astype(dtype).astype(jnp.float32)  # bf16 half-boundary rounding
 
     y2 = _layer_norm_f32(x_mid, ln2s_ref, ln2b_ref, eps)
-    y2_q, a1 = _quantize_rows(y2)
+    if static:
+        y2_q, a1 = _quantize_static(y2), 1.0
+    else:
+        y2_q, a1 = _quantize_rows(y2)
     hidden = w1_ref.shape[1]
     acc = None
     for j in range(0, hidden, hc):
@@ -2178,14 +2262,19 @@ def _block_full_int8_kernel(
             preferred_element_type=jnp.int32,
         ).astype(jnp.float32)
         h = gelu_fast(
-            h * a1 * s1_ref[:, j:j + hc]
+            (h if static else h * a1) * s1_ref[:, j:j + hc]
             + b1_ref[:, j:j + hc].astype(jnp.float32)
         )
-        h_q, a2 = _quantize_rows(h)
+        if static:
+            h_q, a2 = _quantize_static(h, inv_fc2), 1.0
+        else:
+            h_q, a2 = _quantize_rows(h)
         part = jax.lax.dot_general(
             h_q, w2_ref[j:j + hc, :], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32,
-        ).astype(jnp.float32) * a2
+        ).astype(jnp.float32)
+        if not static:
+            part = part * a2
         acc = part if acc is None else acc + part
     out2 = acc * s2_ref[:] + b2_ref[:].astype(jnp.float32)
     out_ref[0] = (
@@ -2219,7 +2308,8 @@ def _block_full_int8_fits(N: int, C: int, hidden: int, itemsize: int) -> bool:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("num_heads", "scale", "eps", "int8_sdpa")
+    jax.jit, static_argnames=("num_heads", "scale", "eps", "int8_sdpa",
+                              "act_scales")
 )
 def fused_block_full_int8(
     x: jax.Array,
@@ -2228,11 +2318,14 @@ def fused_block_full_int8(
     scale: float,
     eps: float = 1e-6,
     int8_sdpa: bool = False,
+    act_scales: tuple[float, float, float, float] | None = None,
 ) -> jax.Array:
     """Stock-block counterpart of :func:`fused_pruned_block_full_int8`:
     ``x + ls1·proj(mhsa(LN1(x)))`` then ``+ ls2·mlp(LN2(·))`` in one int8
     kernel, packing multiple images per program when VMEM allows (see
-    :func:`_block_full_int8_kernel`'s multi-image tiling note)."""
+    :func:`_block_full_int8_kernel`'s multi-image tiling note).
+    ``act_scales`` selects calibrated static-scale quantization exactly as
+    in :func:`fused_pruned_block_full_int8`."""
     B, N, C = x.shape
     attn_p = block_params["attn"]
     mlp_p = block_params["mlp"]
@@ -2241,6 +2334,26 @@ def fused_block_full_int8(
     w1 = mlp_p["fc1"]["kernel"]
     w2 = mlp_p["fc2"]["kernel"]
     hidden = w1["int8"].shape[1]
+    ln1s = block_params["norm1"]["scale"].reshape(1, C)
+    ln1b = block_params["norm1"]["bias"].reshape(1, C)
+    ln2s = block_params["norm2"]["scale"].reshape(1, C)
+    ln2b = block_params["norm2"]["bias"].reshape(1, C)
+    sqkv = wqkv["scale"].reshape(1, 3 * C)
+    sproj = wproj["scale"].reshape(1, C)
+    s1 = w1["scale"].reshape(1, hidden)
+    s2 = w2["scale"].reshape(1, C)
+    sinv = jnp.ones((2,), jnp.float32)
+    if act_scales is not None:
+        aq, ap, a1, a2 = (float(s) for s in act_scales)
+        ln1s = ln1s.astype(jnp.float32) * (1.0 / aq)
+        ln1b = ln1b.astype(jnp.float32) * (1.0 / aq)
+        ln2s = ln2s.astype(jnp.float32) * (1.0 / a1)
+        ln2b = ln2b.astype(jnp.float32) * (1.0 / a1)
+        sqkv = sqkv * aq
+        sproj = sproj * ap
+        s1 = s1 * a1
+        s2 = s2 * a2
+        sinv = jnp.asarray([1.0 / ap, 1.0 / a2], jnp.float32)
     ls1 = block_params.get("ls1")
     ls2 = block_params.get("ls2")
     if ls1 is None:
@@ -2265,6 +2378,7 @@ def fused_block_full_int8(
         functools.partial(
             _block_full_int8_kernel, num_heads=num_heads, scale=scale,
             eps=eps, int8_sdpa=int8_sdpa, seq=N, hc=hc,
+            static_act=act_scales is not None,
         ),
         out_shape=jax.ShapeDtypeStruct((B // G, rows, C), x.dtype),
         grid=(B // G,),
@@ -2279,6 +2393,7 @@ def fused_block_full_int8(
             mat((C, hidden)), vec(hidden), vec(hidden),
             mat((hidden, C)), vec(C), vec(C),
             vec(C),
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # static inv scales
         ],
         out_specs=pl.BlockSpec(
             (1, rows, C), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
@@ -2289,24 +2404,25 @@ def fused_block_full_int8(
         interpret=_use_interpret(),
     )(
         x.reshape(B // G, rows, C),
-        block_params["norm1"]["scale"].reshape(1, C),
-        block_params["norm1"]["bias"].reshape(1, C),
+        ln1s,
+        ln1b,
         wqkv["int8"],
-        wqkv["scale"].reshape(1, 3 * C),
+        sqkv,
         attn_p["qkv"]["bias"].reshape(1, 3 * C),
         wproj["int8"],
-        wproj["scale"].reshape(1, C),
+        sproj,
         attn_p["proj"]["bias"].reshape(1, C),
         ls1.reshape(1, C),
-        block_params["norm2"]["scale"].reshape(1, C),
-        block_params["norm2"]["bias"].reshape(1, C),
+        ln2s,
+        ln2b,
         w1["int8"],
-        w1["scale"].reshape(1, hidden),
+        s1,
         mlp_p["fc1"]["bias"].reshape(1, hidden),
         w2["int8"],
-        w2["scale"].reshape(1, C),
+        s2,
         mlp_p["fc2"]["bias"].reshape(1, C),
         ls2.reshape(1, C),
+        sinv,
     )
     return out.reshape(B, N, C)
 

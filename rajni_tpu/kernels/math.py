@@ -38,6 +38,24 @@ def quantize_rows(y32):
     return q, absmax * (1.0 / 127.0)
 
 
+def quantize_static(y32, inv: float | None = None):
+    """Symmetric int8 quantization with a CALIBRATED static scale
+    (:func:`rajni_tpu.quant.calibrate_act_scales`): ``int8 [R, C]`` with
+    ``y ≈ int8 * a`` for the compile-time constant ``a = 1 / inv``.
+
+    ``inv=None`` means the ``1/a`` multiply was already folded into an
+    upstream affine (the LayerNorm scale/bias of the LN→matmul sites) so
+    only the round/clip/cast remains — the per-row absmax reduction, the
+    reciprocal, and the broadcast multiply of :func:`quantize_rows` all
+    disappear. The matching dequant constant is folded into the weight
+    scale vector by the kernel wrapper, so no ``[R, 1]`` scale ever
+    materializes. Rows that exceed the calibrated absmax saturate at ±127
+    (standard PTQ clipping)."""
+    if inv is not None:
+        y32 = y32 * inv
+    return jnp.clip(jnp.round(y32), -127, 127).astype(jnp.int8)
+
+
 def quantize_cols(y32):
     """Symmetric per-column int8 activation quantization:
     ``(int8 [R, C], scale f32 [1, C])`` with ``y ≈ int8 * scale``.

@@ -394,13 +394,23 @@ def vit_forward(
     config: ViTConfig,
     schedule: Schedule | None = None,
     impl: str = "xla",
+    act_scales=None,
     _tap=None,
 ) -> jax.Array:
     """Pruned ViT forward: ``[B, H, W, 3] -> [B, num_classes]`` logits.
 
-    ``config``, ``schedule``, and ``impl`` must be static when jitted::
+    ``config``, ``schedule``, ``impl`` (and ``act_scales`` when used) must
+    be static when jitted::
 
-        fn = jax.jit(vit_forward, static_argnums=(2, 3, 4))
+        fn = jax.jit(vit_forward, static_argnums=(2, 3, 4, 5))
+
+    ``act_scales`` (:class:`rajni_tpu.quant.ActScales`, with int8-quantized
+    params only) switches the int8 whole-block kernels and the classifier
+    head from dynamic per-row activation quantization to the calibrated
+    static scales — the per-row absmax passes disappear from the kernels.
+    Int8 routes without static support (the split/mega fallbacks of very
+    large models) keep dynamic quantization, which is always at least as
+    accurate.
 
     ``impl`` selects the compute backend: ``"xla"`` (lax reference),
     ``"pallas"`` (fused VMEM-resident kernels, :mod:`rajni_tpu.kernels`), or
@@ -472,6 +482,10 @@ def vit_forward(
                             config.attn_scale,
                             config.layer_norm_eps,
                             with_scores,
+                            act_scales=(
+                                None if act_scales is None
+                                else act_scales.block(blk_i)
+                            ),
                         )
                         if _tap is not None:
                             _tap(blk_i, x)
@@ -640,6 +654,10 @@ def vit_forward(
                     x = fused_block_full_int8(
                         x, block, config.num_heads, config.attn_scale,
                         config.layer_norm_eps,
+                        act_scales=(
+                            None if act_scales is None
+                            else act_scales.block(blk_i)
+                        ),
                     )
                     scores = None  # invalidate (model.py:63)
                     if _tap is not None:
@@ -693,11 +711,18 @@ def vit_forward(
 
     if is_quantized(head["kernel"]):
         # Int8 classifier head (full-int8 mode): per-row dynamic activation
-        # quantization + int8 dot, dequantized by row·column scales. Plain
-        # XLA — a [B, C] @ [C, classes] matmul needs no Pallas kernel.
-        from ..kernels.math import quantize_rows
+        # quantization + int8 dot, dequantized by row·column scales — or,
+        # with calibrated act_scales, a static-scale quantize (constant
+        # multiply, no absmax reduce). Plain XLA — a [B, C] @ [C, classes]
+        # matmul needs no Pallas kernel.
+        from ..kernels.math import quantize_rows, quantize_static
 
-        y_q, a_scale = quantize_rows(cls_out.astype(jnp.float32))
+        cls32 = cls_out.astype(jnp.float32)
+        if act_scales is not None:
+            a_scale = act_scales.head
+            y_q = quantize_static(cls32, 1.0 / a_scale)
+        else:
+            y_q, a_scale = quantize_rows(cls32)
         acc = jax.lax.dot_general(
             y_q, head["kernel"]["int8"], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32,

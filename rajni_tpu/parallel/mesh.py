@@ -236,6 +236,7 @@ def sharded_forward(
     mesh: Mesh,
     impl: str = "xla",
     stage=None,
+    act_scales=None,
 ):
     """Jitted ``images -> logits`` with DP batch + TP params over ``mesh``.
 
@@ -253,7 +254,10 @@ def sharded_forward(
     def forward(p, images):
         if stage is not None:
             images = stage(images)
-        return vit_forward(p, images, config, schedule, impl)
+        # act_scales (calibrated static int8 activation scales) is a
+        # closure constant — static at trace time, per-chip math only, so
+        # it composes with DP shard_map and jit-with-shardings unchanged.
+        return vit_forward(p, images, config, schedule, impl, act_scales)
 
     if impl != "xla":
         # Pallas kernels are single-chip programs: XLA's SPMD partitioner
@@ -492,11 +496,13 @@ def data_parallel_forward(
     mesh: Mesh | None = None,
     impl: str = "xla",
     stage=None,
+    act_scales=None,
 ):
     """Convenience: shard over all local devices (1-D data mesh by default)."""
     if mesh is None:
         mesh = make_mesh()
-    return sharded_forward(params, config, schedule, mesh, impl, stage=stage)
+    return sharded_forward(params, config, schedule, mesh, impl, stage=stage,
+                           act_scales=act_scales)
 
 
 def eval_step_fn(config: ViTConfig, schedule: Schedule | None, mesh: Mesh):

@@ -9,7 +9,15 @@ standard dynamic-quantization recipe:
     (``scale[j] = absmax(W[:, j]) / 127``), quantized once offline.
   * **Activations**: symmetric per-row (per-token) int8, computed on the fly
     inside the kernel from the tile it already holds — no calibration data
-    needed, no HBM cost.
+    needed, no HBM cost. Alternatively, :func:`calibrate_act_scales`
+    produces CALIBRATED static per-tensor scales (standard PTQ): the
+    ``1/a`` quantize factors fold into the LayerNorm affines and the ``a``
+    dequant factors into the weight-scale vectors at trace time, so the
+    per-row absmax passes vanish from the kernels. Measured (v5e-1,
+    batch-256 ViT-B schedule.json, BENCH_SUITE.json): static 6422 img/s
+    pruned vs 6275 dynamic (+2.3%, 93% of the bf16 roofline) but 5425 vs
+    5642 stock (−3.8%) — prefer static for pruned serving, dynamic for
+    stock.
   * Accumulation in int32 on the MXU, dequantized as
     ``acc · a_scale[i] · w_scale[j]`` before bias/activation.
 
@@ -27,6 +35,7 @@ surface beyond parity.
 
 from __future__ import annotations
 
+import dataclasses
 from typing import Any
 
 import jax
@@ -105,3 +114,156 @@ def quantize_params(
         hd["kernel"] = quantize_weight(hd["kernel"])
         out["head"] = hd
     return out
+
+
+# --------------------------------------------------------------------------
+# Calibrated static activation scales (PTQ calibration)
+# --------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class ActScales:
+    """Calibrated static int8 activation scales for the forward's quantize
+    sites — nested tuples of plain Python floats so the whole object is
+    hashable and travels as a *static* jit argument (the kernels fold the
+    scales into their LayerNorm/weight-scale operands at trace time; a
+    recalibration therefore recompiles, which is the intended deployment
+    model — scales change once per checkpoint, not per batch).
+
+    ``blocks[i] = (a_qkv, a_proj, a_fc1, a_fc2)`` — the per-block scales of
+    the four activation-quantize sites (post-LN1 QKV input, SDPA output,
+    post-LN2 fc1 input, post-GELU fc2 input); ``head`` is the classifier
+    input (post-final-norm CLS row). Each ``a`` is ``absmax·margin/127``
+    with ``y ≈ int8·a``.
+    """
+
+    blocks: tuple[tuple[float, float, float, float], ...]
+    head: float
+
+    def block(self, i: int) -> tuple[float, float, float, float]:
+        return self.blocks[i]
+
+
+def _calibration_forward(params, images, config, schedule):
+    """XLA-semantics forward that also returns the per-site activation
+    absmax values the int8 kernels quantize over.
+
+    Mirrors ``vit_forward``'s lax branch (models/vit.py — reference
+    model.py:30-69 / attention.py:17-60 semantics) but exposes the two
+    intra-attention activations (post-LN1 ``y``, pre-projection SDPA
+    output) that no public hook reaches. Returns
+    ``(block_amax [depth × 4], head_amax, logits)`` — the logits let
+    tests pin this re-derivation against ``vit_forward`` itself, so the
+    calibration path cannot drift from the real forward.
+    """
+    from .models.vit import _layer_scale, layer_norm, patch_embed
+    from .ops.attention import _qkv_projection, _sdpa
+    from .ops.importance import compute_importance
+    from .ops.pruning import gather_tokens, keep_count, select_tokens
+    from .utils.schedule import normalize_schedule
+
+    schedule = normalize_schedule(schedule, config.depth)
+    eps = config.layer_norm_eps
+    B = images.shape[0]
+    dtype = params["cls_token"].dtype
+    x = patch_embed(images.astype(dtype), params["patch_embed"], config)
+    cls = jnp.broadcast_to(params["cls_token"], (B, 1, config.embed_dim))
+    x = jnp.concatenate([cls, x], axis=1)
+    x = x + params["pos_embed"][:, : x.shape[1]]
+
+    amax = lambda v: jnp.max(jnp.abs(v.astype(jnp.float32)))  # noqa: E731
+    scores = None
+    block_amax = []
+    for spec, block in zip(schedule, params["blocks"]):
+        y = layer_norm(x, block["norm1"], eps)
+        a_qkv = amax(y)
+        qkv = _qkv_projection(y, block["attn"])
+        if spec is not None:
+            keep = keep_count(spec.keep_ratio, x.shape[1])
+            if spec.update or scores is None:
+                scores = compute_importance(qkv, config.num_heads)
+            keep_idx = select_tokens(scores, keep)
+            qkv = gather_tokens(qkv, keep_idx)
+            # Residual compaction BEFORE the residual add (model.py:55-56).
+            x = gather_tokens(x, keep_idx)
+            scores = jnp.take_along_axis(scores, keep_idx, axis=1)
+        else:
+            scores = None
+        attn = _sdpa(qkv, config.num_heads, config.attn_scale)
+        a_proj = amax(attn)
+        proj = block["attn"]["proj"]
+        out = attn @ proj["kernel"] + proj["bias"]
+        x = x + _layer_scale(out, block, "ls1")
+
+        y2 = layer_norm(x, block["norm2"], eps)
+        a_fc1 = amax(y2)
+        mlp_p = block["mlp"]
+        h = y2 @ mlp_p["fc1"]["kernel"] + mlp_p["fc1"]["bias"]
+        h = jax.nn.gelu(h, approximate=False)
+        a_fc2 = amax(h)
+        out2 = h @ mlp_p["fc2"]["kernel"] + mlp_p["fc2"]["bias"]
+        x = x + _layer_scale(out2, block, "ls2")
+        block_amax.append((a_qkv, a_proj, a_fc1, a_fc2))
+
+    cls_out = layer_norm(x[:, 0:1], params["norm"], eps)[:, 0]
+    head_amax = amax(cls_out)
+    logits = cls_out @ params["head"]["kernel"] + params["head"]["bias"]
+    return block_amax, head_amax, logits
+
+
+def calibrate_act_scales(
+    params: Params,
+    batches,
+    config,
+    schedule=None,
+    margin: float = 1.0,
+) -> ActScales:
+    """Run calibration batches through the (unquantized) forward and return
+    the static int8 activation scales for :func:`rajni_tpu.models.vit.
+    vit_forward`'s ``act_scales`` argument.
+
+    The dynamic per-row quantization needs no calibration but pays absmax
+    reductions plus per-row scale multiplies inside every int8 kernel
+    invocation; this is the standard PTQ alternative — measure activation
+    ranges offline on representative data, then quantize with compile-time
+    constants. Out-of-range rows at inference saturate at ±127, so choose
+    ``batches`` representative of deployment data (and/or raise
+    ``margin``). Accuracy-affecting: validate top-1 on your task exactly as
+    with dynamic int8 (see :func:`quantize_params`).
+
+    Args:
+      params: UNQUANTIZED parameter pytree (calibrate first, then
+        :func:`quantize_params`).
+      batches: one ``[B, H, W, 3]`` array or an iterable of them.
+      config/schedule: as for ``vit_forward`` — calibrate with the
+        schedule you will serve with (token mixes differ).
+      margin: multiplier on the observed absmax (headroom for data drift).
+    """
+    if is_quantized(params["blocks"][0]["mlp"]["fc1"]["kernel"]):
+        raise ValueError(
+            "calibrate on unquantized params (before quantize_params)"
+        )
+    if hasattr(batches, "ndim"):
+        batches = [batches]
+    run = jax.jit(
+        lambda p, im: _calibration_forward(p, im, config, schedule)[:2]
+    )
+    block_amax = None
+    head_amax = None
+    for images in batches:
+        b_amax, h_amax, = run(params, images)
+        if block_amax is None:
+            block_amax, head_amax = b_amax, h_amax
+        else:
+            block_amax = [
+                tuple(jnp.maximum(a, b) for a, b in zip(row, prev))
+                for row, prev in zip(b_amax, block_amax)
+            ]
+            head_amax = jnp.maximum(h_amax, head_amax)
+    scale = lambda m: float(  # noqa: E731
+        jnp.maximum(m, 1e-8) * (margin / 127.0)
+    )
+    return ActScales(
+        blocks=tuple(tuple(scale(m) for m in row) for row in block_amax),
+        head=scale(head_amax),
+    )

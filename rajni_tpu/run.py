@@ -84,6 +84,12 @@ def get_args(argv=None):
                         help="Int8-quantize MLP + attention-projection "
                              "weights (dynamic per-token activation scales; "
                              "changes numerics — see rajni_tpu.quant)")
+    parser.add_argument("--calibrate", type=int, default=0, metavar="N",
+                        help="With --quantize: calibrate static int8 "
+                             "activation scales on the first N loader "
+                             "batches (PTQ; removes the per-row dynamic "
+                             "quantize passes from the int8 kernels — see "
+                             "rajni_tpu.quant.calibrate_act_scales)")
     parser.add_argument("--preprocess", type=str, default="host",
                         choices=["host", "device", "device-full"],
                         help="Where eval preprocessing runs (rajni_tpu.data."
@@ -144,14 +150,16 @@ def make_preprocess_stage(preprocess, config, dtype=jnp.bfloat16):
 
 
 def make_model_fn(params, config, schedule, data_parallel=False,
-                  kernels="auto", preprocess="host", dtype=jnp.bfloat16):
+                  kernels="auto", preprocess="host", dtype=jnp.bfloat16,
+                  act_scales=None):
     """Jitted logits fn closed over params; optionally batch-sharded.
 
     ``kernels="auto"`` is passed through and resolved per-batch at trace
     time (:func:`rajni_tpu.models.vit.resolve_impl`). ``preprocess``
     prepends the on-device stage matching the loader's output mode
     (:func:`make_preprocess_stage`); it composes with ``--data_parallel``
-    on both kernel backends."""
+    on both kernel backends. ``act_scales`` (``--calibrate``) selects the
+    calibrated static-scale int8 path (static jit arg)."""
     impl = kernels
     stage = make_preprocess_stage(preprocess, config, dtype)
 
@@ -159,17 +167,19 @@ def make_model_fn(params, config, schedule, data_parallel=False,
         from .parallel.mesh import data_parallel_forward
 
         return data_parallel_forward(
-            params, config, schedule, impl=impl, stage=stage
+            params, config, schedule, impl=impl, stage=stage,
+            act_scales=act_scales,
         )
 
-    def forward(p, images, config, schedule, impl):
+    def forward(p, images, config, schedule, impl, act_scales):
         if stage is not None:
             images = stage(images)
-        return vit_forward(p, images, config, schedule, impl)
+        return vit_forward(p, images, config, schedule, impl, act_scales)
 
-    fwd = jax.jit(forward, static_argnums=(2, 3, 4))
+    fwd = jax.jit(forward, static_argnums=(2, 3, 4, 5))
     return functools.partial(
-        fwd, params, config=config, schedule=schedule, impl=impl
+        fwd, params, config=config, schedule=schedule, impl=impl,
+        act_scales=act_scales,
     )
 
 
@@ -240,18 +250,51 @@ def main(argv=None):
         print("WARNING: no --checkpoint given; using randomly initialized "
               "params (throughput valid, accuracy meaningless)")
 
+    if args.calibrate and not args.quantize:
+        raise ValueError("--calibrate requires --quantize")
+
+    # Calibration batches must be captured BEFORE quantize_params — the
+    # calibration forward runs on the unquantized weights — and pushed
+    # through the same preprocess stage the eval path will use, so the
+    # scales see exactly the deployment activations. Scales depend on the
+    # schedule (token mixes differ), so each model below calibrates with
+    # its own schedule from the shared batch list.
+    calib_batches = None
+    if args.quantize and args.calibrate:
+        stage = make_preprocess_stage(args.preprocess, config, dtype)
+        calib_batches = []
+        for i, (imgs, _labels) in enumerate(loader):
+            if i >= args.calibrate:
+                break
+            imgs = jax.device_put(jnp.asarray(imgs), device)
+            calib_batches.append(imgs if stage is None else stage(imgs))
+        print(f"Captured {len(calib_batches)} calibration batches")
+
+    raw_params = params
     if args.quantize:
         from .quant import quantize_params
 
         params = quantize_params(params)
         print("Quantized MLP + attention-projection weights to int8")
 
+    def calibrated_scales(sched):
+        if not calib_batches:
+            return None
+        from .quant import calibrate_act_scales
+
+        scales = calibrate_act_scales(raw_params, calib_batches, config,
+                                      sched)
+        print("Calibrated static int8 activation scales "
+              f"({'pruned' if sched else 'base'} forward)")
+        return scales
+
     # ---- Base model (optional comparison, reference run.py:97-110) ----
     base_acc = base_tput = None
     if args.compare_base:
         print("\nEvaluating BASE model")
         base_fn = make_model_fn(params, config, None, args.data_parallel,
-                                kernels, args.preprocess, dtype)
+                                kernels, args.preprocess, dtype,
+                                act_scales=calibrated_scales(None))
         base_acc, base_tput = evaluate_model(
             base_fn, loader, device=device,
             warmup=args.warmup, max_batches=args.max_batches,
@@ -272,7 +315,8 @@ def main(argv=None):
 
     print("\nEvaluating RAJNI model")
     rajni_fn = make_model_fn(params, config, schedule, args.data_parallel,
-                             kernels, args.preprocess, dtype)
+                             kernels, args.preprocess, dtype,
+                             act_scales=calibrated_scales(schedule))
     import contextlib
 
     if args.profile:

@@ -51,26 +51,31 @@ analytic_flops_per_image = flops_per_image  # back-compat alias
 
 
 def measure(model, schedule, batch, iters, impl, device=None, warmup=3,
-            quantize=False):
+            quantize=False, calibrate=False):
     cfg = get_config(model)
     sched = normalize_schedule(schedule, cfg.depth) if schedule else None
     params = init_params(jax.random.key(0), cfg, jnp.bfloat16)
-    if quantize:
-        from rajni_tpu.quant import quantize_params
-
-        params = quantize_params(params)
     imgs = jax.random.normal(
         jax.random.key(1), (batch, cfg.img_size, cfg.img_size, 3),
         jnp.bfloat16,
     )
+    act_scales = None
+    if quantize:
+        from rajni_tpu.quant import calibrate_act_scales, quantize_params
+
+        if calibrate:
+            # static-scale PTQ mode: calibrate on one batch (random data —
+            # scales come from the actual activations of this run)
+            act_scales = calibrate_act_scales(params, imgs, cfg, sched)
+        params = quantize_params(params)
     if device is not None:
         # committed inputs pin execution to the device (jit's `device=`
         # kwarg is deprecated in jax 0.9)
         params = jax.device_put(params, device)
         imgs = jax.device_put(imgs, device)
-    fwd = jax.jit(vit_forward, static_argnums=(2, 3, 4))
+    fwd = jax.jit(vit_forward, static_argnums=(2, 3, 4, 5))
     img_s = measure_throughput(fwd, params, imgs, cfg, sched, impl,
-                               iters=iters, warmup=warmup)
+                               act_scales, iters=iters, warmup=warmup)
     tokens = model_stats(cfg, sched)["token_counts"] if sched else None
     return img_s, tokens
 
@@ -137,6 +142,23 @@ def main():
             # share a denominator
             "mfu_vs_bf16_peak": round(mfu(cfg, tokens, pruned), 4),
             "impl": f"{impl}+int8",
+        })
+
+        # Calibrated static-scale int8 (rajni_tpu.quant.calibrate_act_scales):
+        # same model/schedule as the row above, activations quantized with
+        # compile-time scales instead of per-row dynamic absmax.
+        pruned, _ = measure("vit_base_patch16_224", REFERENCE_SCHEDULE,
+                            256, args.iters, impl, quantize=True,
+                            calibrate=True)
+        base, _ = measure("vit_base_patch16_224", None, 256, args.iters,
+                          impl, quantize=True, calibrate=True)
+        results.append({
+            "config": "vit_b16_schedulejson_int8_static",
+            "img_per_s": round(pruned, 1),
+            "base_img_per_s": round(base, 1),
+            "speedup": round(pruned / base, 4),
+            "mfu_vs_bf16_peak": round(mfu(cfg, tokens, pruned), 4),
+            "impl": f"{impl}+int8-static",
         })
 
         # DeiT-S int8 (VERDICT r2 weak #5: the docs quoted a one-off

@@ -133,3 +133,27 @@ def test_main_quantize_end_to_end(tmp_path):
         "--warmup", "0", "--dtype", "float32", "--quantize",
     ])
     assert "rajni" in result
+
+
+def test_main_quantize_calibrate_end_to_end(tmp_path, capsys):
+    """CLI --quantize --calibrate N runs the calibrated static-scale int8
+    path end-to-end (rajni_tpu.quant.calibrate_act_scales), including the
+    base comparison (each model calibrates with its own schedule)."""
+    sched = tmp_path / "s.json"
+    sched.write_text(json.dumps({"3": {"keep_ratio": 0.9}}))
+    result = main([
+        "--synthetic", "2", "--batch_size", "4", "--max_batches", "1",
+        "--model", "vit_tiny_patch16_224", "--schedule", str(sched),
+        "--warmup", "0", "--dtype", "float32", "--quantize",
+        "--calibrate", "1", "--compare_base",
+    ])
+    out = capsys.readouterr().out
+    assert "Captured 1 calibration batches" in out
+    assert "Calibrated static int8 activation scales (base forward)" in out
+    assert "Calibrated static int8 activation scales (pruned forward)" in out
+    assert "rajni" in result and "base" in result
+
+
+def test_main_calibrate_requires_quantize():
+    with pytest.raises(ValueError, match="--calibrate requires --quantize"):
+        main(["--synthetic", "1", "--calibrate", "2", "--schedule", "x"])

@@ -244,3 +244,108 @@ def test_wrapper_with_quantized_params(rng):
     out = model(x)
     assert out.shape == (2, CFG.num_classes)
     assert np.isfinite(np.asarray(out)).all()
+
+
+# --------------------------------------------------------------------------
+# Calibrated static activation scales (rajni_tpu.quant.calibrate_act_scales)
+# --------------------------------------------------------------------------
+
+
+def test_calibration_forward_matches_vit_forward(rng):
+    """The calibration forward is a re-derivation of the XLA path; its
+    logits must match vit_forward exactly (guards calibration drift)."""
+    from rajni_tpu.quant import _calibration_forward
+
+    params = init_params(jax.random.key(0), CFG, jnp.float32)
+    sched = normalize_schedule({1: {"keep_ratio": 0.6}}, CFG.depth)
+    x = jnp.asarray(rng.standard_normal((2, 32, 32, 3)), jnp.float32)
+    amax, head_amax, logits = _calibration_forward(params, x, CFG, sched)
+    ref = vit_forward(params, x, CFG, sched, "xla")
+    np.testing.assert_allclose(
+        np.asarray(logits), np.asarray(ref), rtol=1e-5, atol=1e-5
+    )
+    assert len(amax) == CFG.depth
+    assert all(len(row) == 4 for row in amax)
+    assert all(float(m) > 0 for row in amax for m in row)
+    assert float(head_amax) > 0
+
+
+def test_calibrate_act_scales_api(rng):
+    from rajni_tpu.quant import ActScales, calibrate_act_scales
+
+    params = init_params(jax.random.key(0), CFG, jnp.float32)
+    x1 = jnp.asarray(rng.standard_normal((2, 32, 32, 3)), jnp.float32)
+    x2 = jnp.asarray(rng.standard_normal((2, 32, 32, 3)) * 3, jnp.float32)
+    s1 = calibrate_act_scales(params, x1, CFG)
+    assert isinstance(s1, ActScales)
+    assert len(s1.blocks) == CFG.depth
+    hash(s1)  # static-jit-arg requirement
+    # multi-batch calibration takes the elementwise max of the ranges
+    s12 = calibrate_act_scales(params, [x1, x2], CFG)
+    for row, row1 in zip(s12.blocks, s1.blocks):
+        assert all(a >= b for a, b in zip(row, row1))
+    # margin multiplies every scale
+    s_m = calibrate_act_scales(params, x1, CFG, margin=2.0)
+    np.testing.assert_allclose(
+        np.asarray(s_m.blocks), 2 * np.asarray(s1.blocks), rtol=1e-6
+    )
+    assert s_m.head == pytest.approx(2 * s1.head, rel=1e-6)
+    # calibration requires unquantized params
+    with pytest.raises(ValueError, match="unquantized"):
+        calibrate_act_scales(quantize_params(params), x1, CFG)
+
+
+def test_static_int8_pruned_forward_close(rng):
+    """Static-scale int8 (whole-block pruned kernels + head) tracks both
+    the fp32 reference and the dynamic int8 path on calibration data."""
+    from rajni_tpu.quant import calibrate_act_scales
+
+    params = init_params(jax.random.key(0), CFG, jnp.float32)
+    sched = normalize_schedule({1: {"keep_ratio": 0.6}}, CFG.depth)
+    x = jnp.asarray(rng.standard_normal((2, 32, 32, 3)), jnp.float32)
+    scales = calibrate_act_scales(params, x, CFG, sched)
+    q = quantize_params(params)
+
+    ref = np.asarray(vit_forward(params, x, CFG, sched, "xla"))
+    dyn = np.asarray(vit_forward(q, x, CFG, sched, "pallas"))
+    stat = np.asarray(
+        jax.jit(vit_forward, static_argnums=(2, 3, 4, 5))(
+            q, x, CFG, sched, "pallas", scales
+        )
+    )
+    assert np.isfinite(stat).all()
+    denom = np.abs(ref).max()
+    assert np.abs(stat - ref).max() / denom < 0.2
+    assert np.abs(stat - dyn).max() / denom < 0.15
+
+
+def test_static_int8_stock_forward_close(rng):
+    """No schedule: the stock whole-block int8 kernel's static path."""
+    from rajni_tpu.quant import calibrate_act_scales
+
+    params = init_params(jax.random.key(0), CFG, jnp.float32)
+    x = jnp.asarray(rng.standard_normal((2, 32, 32, 3)), jnp.float32)
+    scales = calibrate_act_scales(params, x, CFG)
+    q = quantize_params(params)
+
+    ref = np.asarray(vit_forward(params, x, CFG, None, "xla"))
+    stat = np.asarray(vit_forward(q, x, CFG, None, "pallas", scales))
+    assert np.isfinite(stat).all()
+    assert np.abs(stat - ref).max() / np.abs(ref).max() < 0.2
+
+
+def test_static_int8_out_of_range_saturates(rng):
+    """Inputs beyond the calibrated range must saturate (clip at ±127),
+    never overflow or go non-finite."""
+    from rajni_tpu.quant import calibrate_act_scales
+
+    params = init_params(jax.random.key(0), CFG, jnp.float32)
+    x_small = jnp.asarray(
+        rng.standard_normal((2, 32, 32, 3)) * 0.05, jnp.float32
+    )
+    scales = calibrate_act_scales(params, x_small, CFG)
+    q = quantize_params(params)
+    x_big = jnp.asarray(rng.standard_normal((2, 32, 32, 3)) * 20,
+                        jnp.float32)
+    out = np.asarray(vit_forward(q, x_big, CFG, None, "pallas", scales))
+    assert np.isfinite(out).all()
