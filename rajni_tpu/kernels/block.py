@@ -1143,9 +1143,13 @@ def fused_gather_sdpa_proj_residual_int8(
     projection on the int8 MXU. ``proj_params["kernel"]`` is a
     :func:`rajni_tpu.quant.quantize_weight` record. Falls back to the
     dequantized bf16 chunked kernel when the fast VMEM estimate fails
-    (caller's responsibility — see ``vit_forward``)."""
+    (caller's responsibility — see ``vit_forward``). Like the bf16
+    version, a tensor-parallel caller passes a ``[B, N, 3*C_local]`` head
+    shard with ``num_heads`` = local heads and a ``[C_local, C]``
+    row-parallel proj record — the output is this shard's PARTIAL sum."""
     B, N, three_c = qkv.shape
-    C = three_c // 3
+    C_loc = three_c // 3
+    C = x.shape[-1]
     K = sel.shape[1]
     wproj = proj_params["kernel"]
     if ls is None:
@@ -1165,7 +1169,7 @@ def fused_gather_sdpa_proj_residual_int8(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, N, C), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((C, C), lambda b: (0, 0),
+            pl.BlockSpec((C_loc, C), lambda b: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, C), lambda b: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -1338,9 +1342,18 @@ def fused_ln_qkv_int8(
 ) -> tuple[jax.Array, jax.Array]:
     """Int8-projection variant of :func:`fused_ln_qkv` (importance scoring
     operates on the dequantized QKV, preserving the reference semantics up
-    to weight-quantization error)."""
+    to weight-quantization error). Like the bf16 version, the projection
+    width follows the weight record — a tensor-parallel shard may pass
+    ``[C, 3*C_local]`` (``with_scores=False`` only; TP scores from
+    cross-shard partials)."""
     B, N, C = x.shape
     wqkv = qkv_params["kernel"]
+    out_w = wqkv["int8"].shape[-1]
+    if with_scores and out_w != 3 * C:
+        raise ValueError(
+            "with_scores=True needs the full [C, 3C] projection; a "
+            f"head-sharded [{C}, {out_w}] shard cannot score locally"
+        )
 
     qkv, scores8 = pl.pallas_call(
         functools.partial(
@@ -1348,7 +1361,7 @@ def fused_ln_qkv_int8(
             with_scores=with_scores,
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((B, N, 3 * C), x.dtype),
+            jax.ShapeDtypeStruct((B, N, out_w), x.dtype),
             jax.ShapeDtypeStruct((B, 8, N), jnp.float32),
         ),
         grid=(B,),
@@ -1357,15 +1370,15 @@ def fused_ln_qkv_int8(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, C), lambda b: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, C), lambda b: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((C, 3 * C), lambda b: (0, 0),
+            pl.BlockSpec((C, out_w), lambda b: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 3 * C), lambda b: (0, 0),
+            pl.BlockSpec((1, out_w), lambda b: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 3 * C), lambda b: (0, 0),
+            pl.BlockSpec((1, out_w), lambda b: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, N, 3 * C), lambda b: (b, 0, 0),
+            pl.BlockSpec((1, N, out_w), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 8, N), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -1379,8 +1392,8 @@ def fused_ln_qkv_int8(
         ln_params["scale"].reshape(1, C),
         ln_params["bias"].reshape(1, C),
         wqkv["int8"],
-        wqkv["scale"].reshape(1, 3 * C),
-        qkv_params["bias"].reshape(1, 3 * C),
+        wqkv["scale"].reshape(1, out_w),
+        qkv_params["bias"].reshape(1, out_w),
     )
     return qkv, scores8[:, 0, :]
 

@@ -223,6 +223,7 @@ def fused_ln_mlp_residual(
 def _ln_mlp_int8_kernel(
     x_ref, ln_scale_ref, ln_bias_ref, w1_ref, s1_ref, b1_ref,
     w2_ref, s2_ref, b2_ref, ls_ref, out_ref, *, eps: float,
+    add_residual: bool = True,
 ):
     x32 = x_ref[:].astype(jnp.float32)
     mean = jnp.mean(x32, axis=-1, keepdims=True)
@@ -249,16 +250,19 @@ def _ln_mlp_int8_kernel(
     ).astype(jnp.float32)
     out = out * h_scale * s2_ref[:] + b2_ref[:].astype(jnp.float32)
     out = out * ls_ref[:].astype(jnp.float32)
-    out_ref[:] = (x32 + out).astype(out_ref.dtype)
+    if add_residual:
+        out = x32 + out
+    out_ref[:] = out.astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("eps",))
+@functools.partial(jax.jit, static_argnames=("eps", "add_residual"))
 def fused_ln_mlp_residual_int8(
     x: jax.Array,
     ln_params,
     mlp_params,
     ls: jax.Array | None = None,
     eps: float = 1e-6,
+    add_residual: bool = True,
 ) -> jax.Array:
     """Int8 variant of :func:`fused_ln_mlp_residual`.
 
@@ -266,6 +270,8 @@ def fused_ln_mlp_residual_int8(
     (``kernel = {"int8": [C,Hd], "scale": [1,Hd]}``); activations are
     dynamically quantized per token row inside the kernel. Int8 weights
     halve the resident weight footprint, so even ViT-H fits unchunked.
+    ``add_residual=False`` returns the ls-scaled MLP output without the
+    ``x +`` — the tensor-parallel path psums partials first.
     """
     B, N, C = x.shape
     w1 = mlp_params["fc1"]["kernel"]
@@ -285,7 +291,8 @@ def fused_ln_mlp_residual_int8(
         s, lambda r: (0, 0), memory_space=pltpu.VMEM
     )
     out = pl.pallas_call(
-        functools.partial(_ln_mlp_int8_kernel, eps=eps),
+        functools.partial(_ln_mlp_int8_kernel, eps=eps,
+                          add_residual=add_residual),
         out_shape=jax.ShapeDtypeStruct((rows, C), x.dtype),
         grid=grid,
         in_specs=[

@@ -269,6 +269,12 @@ def sharded_forward(
         # (:func:`tp_pallas_forward` — r2's "TP excludes the kernel path"
         # limitation, closed r3).
         if mesh.shape["model"] > 1:
+            if act_scales is not None:
+                raise ValueError(
+                    "calibrated act_scales are not plumbed through the "
+                    "kernel-backend TP path; use dynamic int8 scales "
+                    "(act_scales=None) or impl='xla' with model>1"
+                )
             return tp_pallas_forward(
                 params, config, schedule, mesh, stage=stage
             )
@@ -345,14 +351,28 @@ def tp_pallas_forward(
       * MLP kernel with ``add_residual=False`` and zero fc2 bias, psum'd
         the same way.
 
-    Int8 records are rejected (int8 TP stays future work — the int8
-    kernels' in-kernel activation scales are per-shard and would need
-    cross-chip max reductions). Returns a callable like
-    :func:`sharded_forward`'s.
+    Int8 quantization records route through the per-op int8 kernels
+    (:func:`fused_ln_qkv_int8`, :func:`fused_gather_sdpa_proj_residual_int8`,
+    :func:`fused_ln_mlp_residual_int8`) with GROUPED activation scales: the
+    column-parallel sites (QKV, fc1) quantize the replicated full-C rows —
+    identical on every shard — while the row-parallel sites (proj, fc2)
+    quantize each shard's local slice with its own per-row scale before the
+    int8 dot, and the psum adds the *dequantized* f32 partials. Per-shard
+    groups are a finer quantization grid than the single-chip whole-row
+    scale, so TP int8 is at least as accurate but not bit-identical to
+    single-chip int8 (tolerance-tested in tests/test_parallel.py).
+    Calibrated static act_scales are not plumbed here (dynamic scales only).
+    Returns a callable like :func:`sharded_forward`'s.
     """
     from ..kernels.attention import fused_sdpa
-    from ..kernels.block import fused_gather_sdpa_proj_residual, fused_ln_qkv
-    from ..kernels.mlp import fused_ln_mlp_residual
+    from ..kernels.block import (
+        fused_gather_sdpa_proj_residual,
+        fused_gather_sdpa_proj_residual_int8,
+        fused_ln_qkv,
+        fused_ln_qkv_int8,
+    )
+    from ..kernels.math import quantize_rows
+    from ..kernels.mlp import fused_ln_mlp_residual, fused_ln_mlp_residual_int8
     from ..models.vit import layer_norm, patch_embed
     from ..ops.importance import (
         importance_from_partials,
@@ -371,13 +391,6 @@ def tp_pallas_forward(
     if config.mlp_hidden % tp:
         raise ValueError(
             f"model axis {tp} must divide mlp_hidden={config.mlp_hidden}"
-        )
-    if any(
-        is_quantized(b["attn"]["qkv"]["kernel"]) for b in params["blocks"]
-    ) or is_quantized(params["head"]["kernel"]):
-        raise ValueError(
-            "int8 params + tensor parallelism need impl='xla' (the int8 "
-            "kernels' activation scales are per-shard)"
         )
     params = repack_qkv_heads(params)
     pspecs = param_pspecs(params)
@@ -398,24 +411,53 @@ def tp_pallas_forward(
         scores = None
         for spec, block in zip(schedule, p["blocks"]):
             qkv_loc = block["attn"]["qkv"]
-            qkv_flat = {
-                "kernel": qkv_loc["kernel"].reshape(C, -1),
-                "bias": qkv_loc["bias"].reshape(-1),
-            }
-            wproj = block["attn"]["proj"]["kernel"]   # [C_local, C]
+            q_kern = qkv_loc["kernel"]
+            quantized = is_quantized(q_kern)
+            wproj = block["attn"]["proj"]["kernel"]   # [C_local, C] (record)
             bproj = block["attn"]["proj"]["bias"]     # [C] replicated
             ls1 = block.get("ls1")
             ls2 = block.get("ls2")
             b1term = bproj if ls1 is None else bproj * ls1
-            qkv_l, _ = fused_ln_qkv(
-                x, block["norm1"], qkv_flat, H_l, eps, False
-            )
+            if quantized:
+                qkv_flat = {
+                    "kernel": {
+                        "int8": q_kern["int8"].reshape(C, -1),
+                        "scale": q_kern["scale"].reshape(-1),
+                    },
+                    "bias": qkv_loc["bias"].reshape(-1),
+                }
+                qkv_l, _ = fused_ln_qkv_int8(
+                    x, block["norm1"], qkv_flat, H_l, eps, False
+                )
+            else:
+                qkv_flat = {
+                    "kernel": q_kern.reshape(C, -1),
+                    "bias": qkv_loc["bias"].reshape(-1),
+                }
+                qkv_l, _ = fused_ln_qkv(
+                    x, block["norm1"], qkv_flat, H_l, eps, False
+                )
             if spec is None:
                 attn_l = fused_sdpa(qkv_l, H_l, config.attn_scale)
-                part = jnp.einsum(
-                    "bnc,cd->bnd", attn_l, wproj,
-                    preferred_element_type=jnp.float32,
-                )
+                if quantized:
+                    # Row-parallel proj on the int8 MXU: per-row scales over
+                    # this shard's local C slice (grouped quantization —
+                    # the psum adds dequantized f32 partials).
+                    a32 = attn_l.astype(jnp.float32).reshape(
+                        -1, attn_l.shape[-1]
+                    )
+                    a_q, a_s = quantize_rows(a32)
+                    acc = jax.lax.dot_general(
+                        a_q, wproj["int8"], (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.int32,
+                    ).astype(jnp.float32)
+                    part = (acc * a_s * wproj["scale"].reshape(1, -1)
+                            ).reshape(attn_l.shape[0], attn_l.shape[1], C)
+                else:
+                    part = jnp.einsum(
+                        "bnc,cd->bnd", attn_l, wproj,
+                        preferred_element_type=jnp.float32,
+                    )
                 out = jax.lax.psum(part, "model")
                 if ls1 is not None:
                     out = out * ls1
@@ -433,7 +475,11 @@ def tp_pallas_forward(
                     )
                 idx, sel = select_tokens_dense(scores, keep, x.dtype)
                 x_g = gather_tokens(x, idx)
-                part = fused_gather_sdpa_proj_residual(
+                gather_fn = (
+                    fused_gather_sdpa_proj_residual_int8 if quantized
+                    else fused_gather_sdpa_proj_residual
+                )
+                part = gather_fn(
                     qkv_l, sel, jnp.zeros_like(x),
                     {"kernel": wproj, "bias": jnp.zeros_like(bproj)},
                     ls1, H_l, config.attn_scale,
@@ -454,15 +500,30 @@ def tp_pallas_forward(
                     "bias": jnp.zeros_like(b2),
                 },
             }
-            part = fused_ln_mlp_residual(
+            mlp_fn = (
+                fused_ln_mlp_residual_int8
+                if is_quantized(mlp_l["fc1"]["kernel"])
+                else fused_ln_mlp_residual
+            )
+            part = mlp_fn(
                 x, block["norm2"], mlp_zerob, ls2, eps, add_residual=False
             )
             out = jax.lax.psum(part.astype(jnp.float32), "model")
             x = (x.astype(jnp.float32) + out + b2term).astype(dtype)
 
         x = layer_norm(x, p["norm"], eps)
+        hk = p["head"]["kernel"]
+        if is_quantized(hk):
+            cls_q, a_s = quantize_rows(x[:, 0].astype(jnp.float32))
+            acc = jax.lax.dot_general(
+                cls_q, hk["int8"], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32)
+            return acc * a_s * hk["scale"].reshape(1, -1) + p["head"][
+                "bias"
+            ].astype(jnp.float32)
         return (
-            x[:, 0] @ p["head"]["kernel"] + p["head"]["bias"]
+            x[:, 0] @ hk + p["head"]["bias"]
         ).astype(jnp.float32)
 
     mapped = jax.jit(

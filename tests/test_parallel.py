@@ -160,15 +160,54 @@ def test_tp_pallas_stock_and_update_false(setup):
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
 
 
-def test_tp_pallas_rejects_int8(setup):
+@pytest.mark.parametrize("data,model", [(4, 2), (2, 4)])
+@pytest.mark.parametrize("sched", [SCHED, None], ids=["pruned", "stock"])
+def test_tp_pallas_int8(setup, data, model, sched):
+    """Int8 + TP on the kernel backend (the r2 ValueError is gone): the
+    row-parallel sites (proj/fc2) quantize each shard's local slice with
+    its own per-row scale — grouped quantization, a finer grid than the
+    single-chip whole-row scale — so parity with single-chip int8 is
+    tolerance-level, not bit-level; both stay close to the fp32 oracle."""
     from rajni_tpu.quant import quantize_params
 
-    params, _ = setup
-    mesh = make_mesh(data=4, model=2)
-    with pytest.raises(ValueError, match="int8"):
-        sharded_forward(
-            quantize_params(params), TINY, SCHED, mesh, impl="pallas"
+    params, x = setup
+    qparams = quantize_params(params)
+    ref32 = np.asarray(vit_forward(params, x, TINY, sched, "xla"))
+    single = np.asarray(vit_forward(qparams, x, TINY, sched, "pallas"))
+    mesh = make_mesh(data=data, model=model)
+    apply = sharded_forward(qparams, TINY, sched, mesh, impl="pallas")
+    got = np.asarray(apply(x))
+    assert got.shape == ref32.shape
+    assert np.isfinite(got).all()
+    denom = np.abs(ref32).max()
+    assert np.abs(got - single).max() / denom < 0.1
+    assert np.abs(got - ref32).max() / denom < 0.2
+
+
+def test_dp_with_static_act_scales(setup):
+    """DP + calibrated static int8 scales: the scales are per-chip trace
+    constants, so the sharded forward must equal the single-device one."""
+    from rajni_tpu.quant import calibrate_act_scales, quantize_params
+
+    params, x = setup
+    scales = calibrate_act_scales(params, x, TINY, SCHED)
+    qparams = quantize_params(params)
+    want = np.asarray(
+        jax.jit(vit_forward, static_argnums=(2, 3, 4, 5))(
+            qparams, x, TINY, SCHED, "pallas", scales
         )
+    )
+    mesh = make_mesh(data=8, model=1)
+    apply = sharded_forward(qparams, TINY, SCHED, mesh, impl="pallas",
+                            act_scales=scales)
+    got = np.asarray(apply(x))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+    # TP + static scales is an explicit error, not a silent dynamic
+    # fallback
+    tp_mesh = make_mesh(data=4, model=2)
+    with pytest.raises(ValueError, match="act_scales"):
+        sharded_forward(qparams, TINY, SCHED, tp_mesh, impl="pallas",
+                        act_scales=scales)
 
 
 def test_dp_with_quantized_params(setup):
