@@ -1102,11 +1102,15 @@ def fused_gather_sdpa_proj_residual(
 
 def _gather_attn_int8_kernel(
     qkv_ref, sel_ref, x_ref, wproj_ref, sproj_ref, bproj_ref, ls_ref,
-    out_ref, *, num_heads: int, scale: float, int8_sdpa: bool,
+    sinv_ref, out_ref, *, num_heads: int, scale: float, int8_sdpa: bool,
+    static_act: bool = False,
 ):
     """Int8 variant of :func:`_gather_attn_kernel`: SDPA and the output
     projection both run on the int8 MXU (the gather matmuls stay bf16 —
-    one-hot rows quantize trivially but gain nothing)."""
+    one-hot rows quantize trivially but gain nothing). ``static_act`` +
+    the SMEM ``sinv_ref`` (``1/a_proj``) select calibrated static-scale
+    quantization of the SDPA output (``a_proj`` folded into ``sproj`` by
+    the wrapper); SMEM so every block shares one compiled program."""
     sel = sel_ref[0]  # [K, N] one-hot rows
     qkv_g32 = jax.lax.dot_general(
         sel, qkv_ref[0], (((1,), (0,)), ((), ())),
@@ -1119,14 +1123,16 @@ def _gather_attn_int8_kernel(
 
     attn = _mha_mixed(qkv_g32, num_heads, scale, jnp.float32,
                       out_ref.dtype, int8_sdpa)
-    out = _int8_matmul(attn, wproj_ref, sproj_ref)
+    out = _int8_matmul(attn, wproj_ref, sproj_ref, static=static_act,
+                       inv=sinv_ref[0] if static_act else None)
     out = out + bproj_ref[:].astype(jnp.float32)
     out = out * ls_ref[:].astype(jnp.float32)
     out_ref[0] = (x_g32 + out).astype(out_ref.dtype)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("num_heads", "scale", "int8_sdpa")
+    jax.jit, static_argnames=("num_heads", "scale", "int8_sdpa",
+                              "act_scale")
 )
 def fused_gather_sdpa_proj_residual_int8(
     qkv: jax.Array,
@@ -1137,6 +1143,7 @@ def fused_gather_sdpa_proj_residual_int8(
     num_heads: int,
     scale: float,
     int8_sdpa: bool = False,
+    act_scale: float | None = None,
 ) -> jax.Array:
     """Int8 pruned attention tail (two-kernel fallback path): like
     :func:`fused_gather_sdpa_proj_residual` but with the SDPA and output
@@ -1146,7 +1153,9 @@ def fused_gather_sdpa_proj_residual_int8(
     (caller's responsibility — see ``vit_forward``). Like the bf16
     version, a tensor-parallel caller passes a ``[B, N, 3*C_local]`` head
     shard with ``num_heads`` = local heads and a ``[C_local, C]``
-    row-parallel proj record — the output is this shard's PARTIAL sum."""
+    row-parallel proj record — the output is this shard's PARTIAL sum.
+    ``act_scale`` is the calibrated static ``a_proj``
+    (:func:`rajni_tpu.quant.calibrate_act_scales`)."""
     B, N, three_c = qkv.shape
     C_loc = three_c // 3
     C = x.shape[-1]
@@ -1154,11 +1163,17 @@ def fused_gather_sdpa_proj_residual_int8(
     wproj = proj_params["kernel"]
     if ls is None:
         ls = jnp.ones((C,), x.dtype)
+    sproj = wproj["scale"].reshape(1, C)
+    sinv = jnp.ones((1,), jnp.float32)
+    if act_scale is not None:
+        a = float(act_scale)
+        sproj = sproj * a
+        sinv = jnp.asarray([1.0 / a], jnp.float32)
 
     return pl.pallas_call(
         functools.partial(
             _gather_attn_int8_kernel, num_heads=num_heads, scale=scale,
-            int8_sdpa=int8_sdpa,
+            int8_sdpa=int8_sdpa, static_act=act_scale is not None,
         ),
         out_shape=jax.ShapeDtypeStruct((B, K, C), x.dtype),
         grid=(B,),
@@ -1177,6 +1192,7 @@ def fused_gather_sdpa_proj_residual_int8(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, C), lambda b: (0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # static inv scale
         ],
         out_specs=pl.BlockSpec(
             (1, K, C), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
@@ -1190,9 +1206,10 @@ def fused_gather_sdpa_proj_residual_int8(
         sel,
         x,
         wproj["int8"],
-        wproj["scale"].reshape(1, C),
+        sproj,
         proj_params["bias"].reshape(1, C),
         ls.reshape(1, C),
+        sinv,
     )
 
 
@@ -1312,12 +1329,16 @@ def _ln_qkv_int8_kernel(
     x_ref, lns_ref, lnb_ref, wqkv_ref, sqkv_ref, bqkv_ref,
     qkv_ref, scores_ref,
     *, num_heads: int, eps: float, with_scores: bool,
+    static_act: bool = False,
 ):
+    # static_act: calibrated static-scale mode — the wrapper folded 1/a_qkv
+    # into the LN affine and a_qkv into sqkv, so quantization is a bare
+    # round/clip (no per-row absmax). See fused_pruned_block_full_int8.
     x32 = x_ref[0].astype(jnp.float32)
     y = _layer_norm_f32(x32, lns_ref, lnb_ref, eps)
-    qkv = _int8_matmul(y, wqkv_ref, sqkv_ref) + bqkv_ref[:].astype(
-        jnp.float32
-    )
+    qkv = _int8_matmul(y, wqkv_ref, sqkv_ref, static=static_act) + bqkv_ref[
+        :
+    ].astype(jnp.float32)
     qkv = qkv.astype(qkv_ref.dtype)
     qkv_ref[0] = qkv
     if with_scores:
@@ -1330,7 +1351,8 @@ def _ln_qkv_int8_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("num_heads", "eps", "with_scores")
+    jax.jit, static_argnames=("num_heads", "eps", "with_scores",
+                              "act_scale")
 )
 def fused_ln_qkv_int8(
     x: jax.Array,
@@ -1339,13 +1361,17 @@ def fused_ln_qkv_int8(
     num_heads: int,
     eps: float = 1e-6,
     with_scores: bool = True,
+    act_scale: float | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Int8-projection variant of :func:`fused_ln_qkv` (importance scoring
     operates on the dequantized QKV, preserving the reference semantics up
     to weight-quantization error). Like the bf16 version, the projection
     width follows the weight record — a tensor-parallel shard may pass
     ``[C, 3*C_local]`` (``with_scores=False`` only; TP scores from
-    cross-shard partials)."""
+    cross-shard partials). ``act_scale`` — the calibrated static ``a_qkv``
+    (:func:`rajni_tpu.quant.calibrate_act_scales`) — folds ``1/a`` into
+    the LN affine and ``a`` into the weight scales, removing the per-row
+    absmax pass."""
     B, N, C = x.shape
     wqkv = qkv_params["kernel"]
     out_w = wqkv["int8"].shape[-1]
@@ -1354,11 +1380,19 @@ def fused_ln_qkv_int8(
             "with_scores=True needs the full [C, 3C] projection; a "
             f"head-sharded [{C}, {out_w}] shard cannot score locally"
         )
+    lns = ln_params["scale"].reshape(1, C)
+    lnb = ln_params["bias"].reshape(1, C)
+    sqkv = wqkv["scale"].reshape(1, out_w)
+    if act_scale is not None:
+        a = float(act_scale)
+        lns = lns.astype(jnp.float32) * (1.0 / a)
+        lnb = lnb.astype(jnp.float32) * (1.0 / a)
+        sqkv = sqkv * a
 
     qkv, scores8 = pl.pallas_call(
         functools.partial(
             _ln_qkv_int8_kernel, num_heads=num_heads, eps=eps,
-            with_scores=with_scores,
+            with_scores=with_scores, static_act=act_scale is not None,
         ),
         out_shape=(
             jax.ShapeDtypeStruct((B, N, out_w), x.dtype),
@@ -1389,10 +1423,10 @@ def fused_ln_qkv_int8(
         interpret=_use_interpret(),
     )(
         x,
-        ln_params["scale"].reshape(1, C),
-        ln_params["bias"].reshape(1, C),
+        lns,
+        lnb,
         wqkv["int8"],
-        wqkv["scale"].reshape(1, out_w),
+        sqkv,
         qkv_params["bias"].reshape(1, out_w),
     )
     return qkv, scores8[:, 0, :]

@@ -39,6 +39,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .math import gelu_fast
 from .math import quantize_rows as _quantize_rows
+from .math import quantize_static as _quantize_static
 from .math import use_interpret as _use_interpret
 
 _ROWS = 256  # row-tile: 256×768 bf16 = 0.4 MB, MXU-aligned
@@ -222,9 +223,12 @@ def fused_ln_mlp_residual(
 
 def _ln_mlp_int8_kernel(
     x_ref, ln_scale_ref, ln_bias_ref, w1_ref, s1_ref, b1_ref,
-    w2_ref, s2_ref, b2_ref, ls_ref, out_ref, *, eps: float,
-    add_residual: bool = True,
+    w2_ref, s2_ref, b2_ref, ls_ref, sinv_ref, out_ref, *, eps: float,
+    add_residual: bool = True, static_act: bool = False,
 ):
+    # static_act: calibrated static-scale mode — the wrapper folded 1/a_fc1
+    # into the LN affine and a_fc1/a_fc2 into s1/s2; the SMEM sinv_ref
+    # carries 1/a_fc2 so one compiled program serves every block.
     x32 = x_ref[:].astype(jnp.float32)
     mean = jnp.mean(x32, axis=-1, keepdims=True)
     var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
@@ -235,27 +239,39 @@ def _ln_mlp_int8_kernel(
 
     # fc1 on the int8 MXU: int8[R,C] @ int8[C,Hd] -> int32, dequantized by
     # (per-row activation scale) x (per-column weight scale).
-    y_q, a_scale = _quantize_rows(y)
+    if static_act:
+        y_q, a_scale = _quantize_static(y), 1.0
+    else:
+        y_q, a_scale = _quantize_rows(y)
     h = jax.lax.dot_general(
         y_q, w1_ref[:], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32,
     ).astype(jnp.float32)
-    h = h * a_scale * s1_ref[:] + b1_ref[:].astype(jnp.float32)
+    h = (h if static_act else h * a_scale) * s1_ref[:] + b1_ref[:].astype(
+        jnp.float32
+    )
     h = gelu_fast(h)
 
-    h_q, h_scale = _quantize_rows(h)
+    if static_act:
+        h_q, h_scale = _quantize_static(h, sinv_ref[0]), 1.0
+    else:
+        h_q, h_scale = _quantize_rows(h)
     out = jax.lax.dot_general(
         h_q, w2_ref[:], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32,
     ).astype(jnp.float32)
-    out = out * h_scale * s2_ref[:] + b2_ref[:].astype(jnp.float32)
+    if not static_act:
+        out = out * h_scale
+    out = out * s2_ref[:] + b2_ref[:].astype(jnp.float32)
     out = out * ls_ref[:].astype(jnp.float32)
     if add_residual:
         out = x32 + out
     out_ref[:] = out.astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("eps", "add_residual"))
+@functools.partial(
+    jax.jit, static_argnames=("eps", "add_residual", "act_scales")
+)
 def fused_ln_mlp_residual_int8(
     x: jax.Array,
     ln_params,
@@ -263,6 +279,7 @@ def fused_ln_mlp_residual_int8(
     ls: jax.Array | None = None,
     eps: float = 1e-6,
     add_residual: bool = True,
+    act_scales: tuple[float, float] | None = None,
 ) -> jax.Array:
     """Int8 variant of :func:`fused_ln_mlp_residual`.
 
@@ -272,6 +289,10 @@ def fused_ln_mlp_residual_int8(
     halve the resident weight footprint, so even ViT-H fits unchunked.
     ``add_residual=False`` returns the ls-scaled MLP output without the
     ``x +`` — the tensor-parallel path psums partials first.
+    ``act_scales`` — calibrated static ``(a_fc1, a_fc2)``
+    (:func:`rajni_tpu.quant.calibrate_act_scales`) — folds the quantize
+    factors into the LN affine / weight scales, removing both per-row
+    absmax passes.
     """
     B, N, C = x.shape
     w1 = mlp_params["fc1"]["kernel"]
@@ -279,6 +300,18 @@ def fused_ln_mlp_residual_int8(
     hidden = w1["int8"].shape[1]
     if ls is None:
         ls = jnp.ones((C,), x.dtype)
+    lns = ln_params["scale"].reshape(1, C)
+    lnb = ln_params["bias"].reshape(1, C)
+    s1 = w1["scale"].reshape(1, hidden)
+    s2 = w2["scale"].reshape(1, C)
+    sinv = jnp.ones((1,), jnp.float32)
+    if act_scales is not None:
+        a1, a2 = (float(s) for s in act_scales)
+        lns = lns.astype(jnp.float32) * (1.0 / a1)
+        lnb = lnb.astype(jnp.float32) * (1.0 / a1)
+        s1 = s1 * a1
+        s2 = s2 * a2
+        sinv = jnp.asarray([1.0 / a2], jnp.float32)
 
     rows = B * N
     flat = x.reshape(rows, C)
@@ -292,7 +325,8 @@ def fused_ln_mlp_residual_int8(
     )
     out = pl.pallas_call(
         functools.partial(_ln_mlp_int8_kernel, eps=eps,
-                          add_residual=add_residual),
+                          add_residual=add_residual,
+                          static_act=act_scales is not None),
         out_shape=jax.ShapeDtypeStruct((rows, C), x.dtype),
         grid=grid,
         in_specs=[
@@ -302,6 +336,7 @@ def fused_ln_mlp_residual_int8(
             mat((C, hidden)), vec(hidden), vec(hidden),   # w1q, s1, b1
             mat((hidden, C)), vec(C), vec(C),             # w2q, s2, b2
             vec(C),                              # layer-scale
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # static inv scale
         ],
         out_specs=pl.BlockSpec(
             (_ROWS, C), lambda r: (r, 0), memory_space=pltpu.VMEM
@@ -317,14 +352,15 @@ def fused_ln_mlp_residual_int8(
         interpret=_use_interpret(),
     )(
         flat,
-        ln_params["scale"].reshape(1, C),
-        ln_params["bias"].reshape(1, C),
+        lns,
+        lnb,
         w1["int8"],
-        w1["scale"].reshape(1, hidden),
+        s1,
         mlp_params["fc1"]["bias"].reshape(1, hidden),
         w2["int8"],
-        w2["scale"].reshape(1, C),
+        s2,
         mlp_params["fc2"]["bias"].reshape(1, C),
         ls.reshape(1, C),
+        sinv,
     )
     return out.reshape(B, N, C)

@@ -288,13 +288,15 @@ def _layer_scale(out: jax.Array, block: Params, name: str) -> jax.Array:
 
 
 def _mlp_branch(
-    x: jax.Array, block: Params, config: ViTConfig, impl: str
+    x: jax.Array, block: Params, config: ViTConfig, impl: str,
+    act_scales: tuple[float, float] | None = None,
 ) -> jax.Array:
     """``x + ls2 * mlp(norm2(x))`` (reference model.py:59), backend-dispatched.
 
     Under ``impl="pallas"`` the whole branch runs as one fused kernel
     (:func:`rajni_tpu.kernels.mlp.fused_ln_mlp_residual`) so the ``[B, N, 4C]``
-    hidden activation never reaches HBM.
+    hidden activation never reaches HBM. ``act_scales`` — the calibrated
+    static ``(a_fc1, a_fc2)`` pair — applies to the int8 pallas route only.
     """
     from ..quant import is_quantized
 
@@ -309,6 +311,7 @@ def _mlp_branch(
                 block["mlp"],
                 block.get("ls2"),
                 config.layer_norm_eps,
+                act_scales=act_scales,
             )
         from ..kernels.mlp import fused_ln_mlp_residual
 
@@ -405,12 +408,14 @@ def vit_forward(
         fn = jax.jit(vit_forward, static_argnums=(2, 3, 4, 5))
 
     ``act_scales`` (:class:`rajni_tpu.quant.ActScales`, with int8-quantized
-    params only) switches the int8 whole-block kernels and the classifier
-    head from dynamic per-row activation quantization to the calibrated
-    static scales — the per-row absmax passes disappear from the kernels.
-    Int8 routes without static support (the split/mega fallbacks of very
-    large models) keep dynamic quantization, which is always at least as
-    accurate.
+    params only) switches the int8 pallas kernels and the classifier head
+    from dynamic per-row activation quantization to the calibrated static
+    scales — the per-row absmax passes disappear from the kernels. Covered
+    routes: the whole-block kernels, the two-kernel LN+QKV / gather+SDPA+
+    proj fallback, the standalone MLP kernel, and the head; only the
+    attention-HALF mega-kernels (``fused_[pruned_]attn_block_int8``) and
+    the XLA int8 route keep dynamic quantization, which is always at least
+    as accurate.
 
     ``impl`` selects the compute backend: ``"xla"`` (lax reference),
     ``"pallas"`` (fused VMEM-resident kernels, :mod:`rajni_tpu.kernels`), or
@@ -440,6 +445,14 @@ def vit_forward(
         if spec is not None:
             n = x.shape[1]
             keep = keep_count(spec.keep_ratio, n)
+            # per-block calibrated static scales (a_qkv, a_proj, a_fc1,
+            # a_fc2) — each int8 pallas route below that supports them
+            # picks its sites from this tuple (act_scales implies
+            # quantized params by contract)
+            blk_as = (
+                None if act_scales is None else act_scales.block(blk_i)
+            )
+            mlp_as = None if blk_as is None else blk_as[2:4]
             if impl == "pallas":
                 # Fully-fused pruned path (kernels/block.py): LN+QKV with
                 # in-kernel scoring, sort-free selection, then in-kernel
@@ -482,10 +495,7 @@ def vit_forward(
                             config.attn_scale,
                             config.layer_norm_eps,
                             with_scores,
-                            act_scales=(
-                                None if act_scales is None
-                                else act_scales.block(blk_i)
-                            ),
+                            act_scales=blk_as,
                         )
                         if _tap is not None:
                             _tap(blk_i, x)
@@ -547,7 +557,9 @@ def vit_forward(
                         config.layer_norm_eps,
                         with_scores,
                     )
-                    x = _mlp_branch(x, block, config, impl)
+                    # (the attn-half int8 kernel keeps dynamic scales —
+                    # static support covers the MLP half below)
+                    x = _mlp_branch(x, block, config, impl, mlp_as)
                     if _tap is not None:
                         _tap(blk_i, x)
                     continue
@@ -570,6 +582,7 @@ def vit_forward(
                         config.num_heads,
                         config.layer_norm_eps,
                         with_scores,
+                        act_scale=None if blk_as is None else blk_as[0],
                     )
                 else:
                     qkv, new_scores = fused_ln_qkv(
@@ -604,6 +617,7 @@ def vit_forward(
                         block.get("ls1"),
                         config.num_heads,
                         config.attn_scale,
+                        act_scale=None if blk_as is None else blk_as[1],
                     )
                 else:
                     x = fused_gather_sdpa_proj_residual(
@@ -632,7 +646,7 @@ def vit_forward(
                 idx = keep_idx[..., None]
                 x = jnp.take_along_axis(x, idx, axis=1)
                 x = x + _layer_scale(out, block, "ls1")
-            x = _mlp_branch(x, block, config, impl)
+            x = _mlp_branch(x, block, config, impl, mlp_as)
         elif impl == "pallas":
             from ..kernels.block import fused_attn_block, fused_attn_block_int8
             from ..quant import is_quantized
@@ -692,7 +706,13 @@ def vit_forward(
                 config.attn_scale,
                 config.layer_norm_eps,
             )
-            x = _mlp_branch(x, block, config, impl)
+            # (the stock attn-half int8 kernel keeps dynamic scales;
+            # the MLP half honors the calibrated pair)
+            x = _mlp_branch(
+                x, block, config, impl,
+                None if act_scales is None
+                else act_scales.block(blk_i)[2:4],
+            )
             scores = None  # invalidate (model.py:63)
         else:
             x = stock_block(x, block, config, impl)

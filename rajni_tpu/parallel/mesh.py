@@ -269,14 +269,9 @@ def sharded_forward(
         # (:func:`tp_pallas_forward` — r2's "TP excludes the kernel path"
         # limitation, closed r3).
         if mesh.shape["model"] > 1:
-            if act_scales is not None:
-                raise ValueError(
-                    "calibrated act_scales are not plumbed through the "
-                    "kernel-backend TP path; use dynamic int8 scales "
-                    "(act_scales=None) or impl='xla' with model>1"
-                )
             return tp_pallas_forward(
-                params, config, schedule, mesh, stage=stage
+                params, config, schedule, mesh, stage=stage,
+                act_scales=act_scales,
             )
         mapped = jax.jit(
             jax.shard_map(
@@ -327,6 +322,7 @@ def tp_pallas_forward(
     schedule: Schedule | None,
     mesh: Mesh,
     stage=None,
+    act_scales=None,
 ):
     """DP + tensor-parallel forward on the PALLAS kernel backend.
 
@@ -361,7 +357,12 @@ def tp_pallas_forward(
     groups are a finer quantization grid than the single-chip whole-row
     scale, so TP int8 is at least as accurate but not bit-identical to
     single-chip int8 (tolerance-tested in tests/test_parallel.py).
-    Calibrated static act_scales are not plumbed here (dynamic scales only).
+    ``act_scales`` (:class:`rajni_tpu.quant.ActScales`) switches every
+    int8 site to the calibrated static scales — since static quantization
+    is an ELEMENTWISE op, each shard's int8 values equal the matching
+    slice of the single-chip quantization, so static TP matches
+    single-chip static int8 up to f32 psum rounding (much tighter than
+    the dynamic grouped-scale case).
     Returns a callable like :func:`sharded_forward`'s.
     """
     from ..kernels.attention import fused_sdpa
@@ -371,7 +372,7 @@ def tp_pallas_forward(
         fused_ln_qkv,
         fused_ln_qkv_int8,
     )
-    from ..kernels.math import quantize_rows
+    from ..kernels.math import quantize_rows, quantize_static
     from ..kernels.mlp import fused_ln_mlp_residual, fused_ln_mlp_residual_int8
     from ..models.vit import layer_norm, patch_embed
     from ..ops.importance import (
@@ -409,10 +410,13 @@ def tp_pallas_forward(
         x = x + p["pos_embed"][:, : x.shape[1]]
 
         scores = None
-        for spec, block in zip(schedule, p["blocks"]):
+        for blk_i, (spec, block) in enumerate(zip(schedule, p["blocks"])):
             qkv_loc = block["attn"]["qkv"]
             q_kern = qkv_loc["kernel"]
             quantized = is_quantized(q_kern)
+            aq = ap = a1 = a2 = None
+            if quantized and act_scales is not None:
+                aq, ap, a1, a2 = act_scales.block(blk_i)
             wproj = block["attn"]["proj"]["kernel"]   # [C_local, C] (record)
             bproj = block["attn"]["proj"]["bias"]     # [C] replicated
             ls1 = block.get("ls1")
@@ -427,7 +431,8 @@ def tp_pallas_forward(
                     "bias": qkv_loc["bias"].reshape(-1),
                 }
                 qkv_l, _ = fused_ln_qkv_int8(
-                    x, block["norm1"], qkv_flat, H_l, eps, False
+                    x, block["norm1"], qkv_flat, H_l, eps, False,
+                    act_scale=aq,
                 )
             else:
                 qkv_flat = {
@@ -442,11 +447,15 @@ def tp_pallas_forward(
                 if quantized:
                     # Row-parallel proj on the int8 MXU: per-row scales over
                     # this shard's local C slice (grouped quantization —
-                    # the psum adds dequantized f32 partials).
+                    # the psum adds dequantized f32 partials); static mode
+                    # quantizes with the calibrated constant instead.
                     a32 = attn_l.astype(jnp.float32).reshape(
                         -1, attn_l.shape[-1]
                     )
-                    a_q, a_s = quantize_rows(a32)
+                    if ap is not None:
+                        a_q, a_s = quantize_static(a32, 1.0 / ap), ap
+                    else:
+                        a_q, a_s = quantize_rows(a32)
                     acc = jax.lax.dot_general(
                         a_q, wproj["int8"], (((1,), (0,)), ((), ())),
                         preferred_element_type=jnp.int32,
@@ -475,15 +484,19 @@ def tp_pallas_forward(
                     )
                 idx, sel = select_tokens_dense(scores, keep, x.dtype)
                 x_g = gather_tokens(x, idx)
-                gather_fn = (
-                    fused_gather_sdpa_proj_residual_int8 if quantized
-                    else fused_gather_sdpa_proj_residual
-                )
-                part = gather_fn(
-                    qkv_l, sel, jnp.zeros_like(x),
-                    {"kernel": wproj, "bias": jnp.zeros_like(bproj)},
-                    ls1, H_l, config.attn_scale,
-                )
+                proj_zerob = {
+                    "kernel": wproj, "bias": jnp.zeros_like(bproj)
+                }
+                if quantized:
+                    part = fused_gather_sdpa_proj_residual_int8(
+                        qkv_l, sel, jnp.zeros_like(x), proj_zerob,
+                        ls1, H_l, config.attn_scale, act_scale=ap,
+                    )
+                else:
+                    part = fused_gather_sdpa_proj_residual(
+                        qkv_l, sel, jnp.zeros_like(x), proj_zerob,
+                        ls1, H_l, config.attn_scale,
+                    )
                 out = jax.lax.psum(part.astype(jnp.float32), "model")
                 x = (
                     x_g.astype(jnp.float32) + out + b1term
@@ -500,21 +513,29 @@ def tp_pallas_forward(
                     "bias": jnp.zeros_like(b2),
                 },
             }
-            mlp_fn = (
-                fused_ln_mlp_residual_int8
-                if is_quantized(mlp_l["fc1"]["kernel"])
-                else fused_ln_mlp_residual
-            )
-            part = mlp_fn(
-                x, block["norm2"], mlp_zerob, ls2, eps, add_residual=False
-            )
+            if is_quantized(mlp_l["fc1"]["kernel"]):
+                part = fused_ln_mlp_residual_int8(
+                    x, block["norm2"], mlp_zerob, ls2, eps,
+                    add_residual=False,
+                    act_scales=None if a1 is None else (a1, a2),
+                )
+            else:
+                part = fused_ln_mlp_residual(
+                    x, block["norm2"], mlp_zerob, ls2, eps,
+                    add_residual=False,
+                )
             out = jax.lax.psum(part.astype(jnp.float32), "model")
             x = (x.astype(jnp.float32) + out + b2term).astype(dtype)
 
         x = layer_norm(x, p["norm"], eps)
         hk = p["head"]["kernel"]
         if is_quantized(hk):
-            cls_q, a_s = quantize_rows(x[:, 0].astype(jnp.float32))
+            cls32 = x[:, 0].astype(jnp.float32)
+            if act_scales is not None:
+                a_h = act_scales.head
+                cls_q, a_s = quantize_static(cls32, 1.0 / a_h), a_h
+            else:
+                cls_q, a_s = quantize_rows(cls32)
             acc = jax.lax.dot_general(
                 cls_q, hk["int8"], (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.int32,

@@ -202,12 +202,17 @@ def test_dp_with_static_act_scales(setup):
                             act_scales=scales)
     got = np.asarray(apply(x))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
-    # TP + static scales is an explicit error, not a silent dynamic
-    # fallback
+    # TP + static scales: static quantization is elementwise, so each
+    # shard's int8 values equal the matching slice of the single-chip
+    # quantization — parity up to f32 psum rounding, far tighter than the
+    # dynamic grouped-scale case.
     tp_mesh = make_mesh(data=4, model=2)
-    with pytest.raises(ValueError, match="act_scales"):
-        sharded_forward(qparams, TINY, SCHED, tp_mesh, impl="pallas",
-                        act_scales=scales)
+    tp_apply = sharded_forward(qparams, TINY, SCHED, tp_mesh,
+                               impl="pallas", act_scales=scales)
+    got_tp = np.asarray(tp_apply(x))
+    np.testing.assert_allclose(
+        got_tp, want, rtol=1e-3, atol=1e-3 * np.abs(want).max()
+    )
 
 
 def test_dp_with_quantized_params(setup):
