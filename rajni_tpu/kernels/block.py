@@ -1246,24 +1246,31 @@ def _int8_matmul(y32, wq_ref, ws_ref, *, static=False, inv=None):
 
 def _attn_block_int8_kernel(
     x_ref, lns_ref, lnb_ref, wqkv_ref, sqkv_ref, bqkv_ref,
-    wproj_ref, sproj_ref, bproj_ref, ls_ref, out_ref,
+    wproj_ref, sproj_ref, bproj_ref, ls_ref, sinv_ref, out_ref,
     *, num_heads: int, scale: float, eps: float, int8_sdpa: bool,
+    static_act: bool = False,
 ):
+    # static_act: calibrated static scales — 1/a_qkv folded into the LN
+    # affine, a_qkv/a_proj into the weight scales, 1/a_proj via SMEM
+    # (one compiled program for all blocks).
     x32 = x_ref[0].astype(jnp.float32)
     y = _layer_norm_f32(x32, lns_ref, lnb_ref, eps)
-    qkv = _int8_matmul(y, wqkv_ref, sqkv_ref) + bqkv_ref[:].astype(
-        jnp.float32
-    )
+    qkv = _int8_matmul(y, wqkv_ref, sqkv_ref, static=static_act) + bqkv_ref[
+        :
+    ].astype(jnp.float32)
     attn = _mha_mixed(qkv, num_heads, scale, x_ref.dtype, x_ref.dtype,
                       int8_sdpa)
-    out = _int8_matmul(attn.astype(jnp.float32), wproj_ref, sproj_ref)
+    out = _int8_matmul(attn.astype(jnp.float32), wproj_ref, sproj_ref,
+                       static=static_act,
+                       inv=sinv_ref[0] if static_act else None)
     out = out + bproj_ref[:].astype(jnp.float32)
     out = out * ls_ref[:].astype(jnp.float32)
     out_ref[0] = (x32 + out).astype(out_ref.dtype)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("num_heads", "scale", "eps", "int8_sdpa")
+    jax.jit, static_argnames=("num_heads", "scale", "eps", "int8_sdpa",
+                              "act_scales")
 )
 def fused_attn_block_int8(
     x: jax.Array,
@@ -1274,14 +1281,29 @@ def fused_attn_block_int8(
     scale: float,
     eps: float = 1e-6,
     int8_sdpa: bool = False,
+    act_scales: tuple[float, float] | None = None,
 ) -> jax.Array:
     """Int8-projection variant of :func:`fused_attn_block` (SDPA stays
-    bf16/fp32; only the QKV and output projections run on the int8 MXU)."""
+    bf16/fp32; only the QKV and output projections run on the int8 MXU).
+    ``act_scales`` — calibrated static ``(a_qkv, a_proj)``
+    (:func:`rajni_tpu.quant.calibrate_act_scales`)."""
     B, N, C = x.shape
     wqkv = attn_params["qkv"]["kernel"]  # quantize_weight record
     wproj = attn_params["proj"]["kernel"]
     if ls is None:
         ls = jnp.ones((C,), x.dtype)
+    lns = ln_params["scale"].reshape(1, C)
+    lnb = ln_params["bias"].reshape(1, C)
+    sqkv = wqkv["scale"].reshape(1, 3 * C)
+    sproj = wproj["scale"].reshape(1, C)
+    sinv = jnp.ones((1,), jnp.float32)
+    if act_scales is not None:
+        aq, ap = (float(s) for s in act_scales)
+        lns = lns.astype(jnp.float32) * (1.0 / aq)
+        lnb = lnb.astype(jnp.float32) * (1.0 / aq)
+        sqkv = sqkv * aq
+        sproj = sproj * ap
+        sinv = jnp.asarray([1.0 / ap], jnp.float32)
 
     vec = lambda n: pl.BlockSpec(  # noqa: E731
         (1, n), lambda b: (0, 0), memory_space=pltpu.VMEM
@@ -1293,6 +1315,7 @@ def fused_attn_block_int8(
         functools.partial(
             _attn_block_int8_kernel, num_heads=num_heads, scale=scale,
             eps=eps, int8_sdpa=int8_sdpa,
+            static_act=act_scales is not None,
         ),
         out_shape=jax.ShapeDtypeStruct((B, N, C), x.dtype),
         grid=(B,),
@@ -1303,6 +1326,7 @@ def fused_attn_block_int8(
             mat((C, 3 * C)), vec(3 * C), vec(3 * C),  # wqkv int8, scale, bias
             mat((C, C)), vec(C), vec(C),          # wproj int8, scale, bias
             vec(C),                               # layer-scale
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # static inv scale
         ],
         out_specs=pl.BlockSpec(
             (1, N, C), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
@@ -1313,15 +1337,16 @@ def fused_attn_block_int8(
         interpret=_use_interpret(),
     )(
         x,
-        ln_params["scale"].reshape(1, C),
-        ln_params["bias"].reshape(1, C),
+        lns,
+        lnb,
         wqkv["int8"],
-        wqkv["scale"].reshape(1, 3 * C),
+        sqkv,
         attn_params["qkv"]["bias"].reshape(1, 3 * C),
         wproj["int8"],
-        wproj["scale"].reshape(1, C),
+        sproj,
         attn_params["proj"]["bias"].reshape(1, C),
         ls.reshape(1, C),
+        sinv,
     )
 
 
@@ -2476,18 +2501,22 @@ def fused_block_full_int8(
 
 def _pruned_block_int8_kernel(
     x_ref, lns_ref, lnb_ref, wqkv_ref, sqkv_ref, bqkv_ref,
-    wproj_ref, sproj_ref, bproj_ref, ls_ref, pscores_ref, out_ref, ns_ref,
+    wproj_ref, sproj_ref, bproj_ref, ls_ref, pscores_ref, sinv_ref,
+    out_ref, ns_ref,
     *, num_heads: int, scale: float, eps: float, with_scores: bool,
-    int8_sdpa: bool,
+    int8_sdpa: bool, static_act: bool = False,
 ):
+    # static_act: calibrated static scales — folds as in
+    # _attn_block_int8_kernel; the dequantized qkv (and so the importance
+    # scores) is value-identical to the dynamic path.
     dtype = x_ref.dtype
     K = out_ref.shape[1]
 
     x32 = x_ref[0].astype(jnp.float32)
     y = _layer_norm_f32(x32, lns_ref, lnb_ref, eps)
-    qkv = _int8_matmul(y, wqkv_ref, sqkv_ref) + bqkv_ref[:].astype(
-        jnp.float32
-    )
+    qkv = _int8_matmul(y, wqkv_ref, sqkv_ref, static=static_act) + bqkv_ref[
+        :
+    ].astype(jnp.float32)
     qkv = qkv.astype(dtype)  # VMEM value, never written to HBM
 
     if with_scores:
@@ -2508,7 +2537,9 @@ def _pruned_block_int8_kernel(
 
     attn = _mha_mixed(qkv_g32, num_heads, scale, dtype, dtype,
                       int8_sdpa)
-    out = _int8_matmul(attn.astype(jnp.float32), wproj_ref, sproj_ref)
+    out = _int8_matmul(attn.astype(jnp.float32), wproj_ref, sproj_ref,
+                       static=static_act,
+                       inv=sinv_ref[0] if static_act else None)
     out = out + bproj_ref[:].astype(jnp.float32)
     out = out * ls_ref[:].astype(jnp.float32)
     out_ref[0] = (x_g32 + out).astype(out_ref.dtype)
@@ -2517,7 +2548,7 @@ def _pruned_block_int8_kernel(
 
 @functools.partial(
     jax.jit, static_argnames=("num_heads", "keep", "scale", "eps",
-                              "with_scores", "int8_sdpa")
+                              "with_scores", "int8_sdpa", "act_scales")
 )
 def fused_pruned_attn_block_int8(
     x: jax.Array,
@@ -2531,10 +2562,12 @@ def fused_pruned_attn_block_int8(
     eps: float = 1e-6,
     with_scores: bool = True,
     int8_sdpa: bool = False,
+    act_scales: tuple[float, float] | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Int8-projection variant of :func:`fused_pruned_attn_block` (QKV and
     output projections on the int8 MXU; scoring, selection, SDPA in
-    fp32/bf16 on the dequantized values)."""
+    fp32/bf16 on the dequantized values). ``act_scales`` — calibrated
+    static ``(a_qkv, a_proj)``."""
     B, N, C = x.shape
     K = keep + 1
     wqkv = attn_params["qkv"]["kernel"]  # quantize_weight record
@@ -2543,11 +2576,24 @@ def fused_pruned_attn_block_int8(
         ls = jnp.ones((C,), x.dtype)
     if prev_scores is None:
         prev_scores = jnp.zeros((B, N), jnp.float32)
+    lns = ln_params["scale"].reshape(1, C)
+    lnb = ln_params["bias"].reshape(1, C)
+    sqkv = wqkv["scale"].reshape(1, 3 * C)
+    sproj = wproj["scale"].reshape(1, C)
+    sinv = jnp.ones((1,), jnp.float32)
+    if act_scales is not None:
+        aq, ap = (float(s) for s in act_scales)
+        lns = lns.astype(jnp.float32) * (1.0 / aq)
+        lnb = lnb.astype(jnp.float32) * (1.0 / aq)
+        sqkv = sqkv * aq
+        sproj = sproj * ap
+        sinv = jnp.asarray([1.0 / ap], jnp.float32)
 
     out, ns = pl.pallas_call(
         functools.partial(
             _pruned_block_int8_kernel, num_heads=num_heads, scale=scale,
             eps=eps, with_scores=with_scores, int8_sdpa=int8_sdpa,
+            static_act=act_scales is not None,
         ),
         out_shape=(
             jax.ShapeDtypeStruct((B, K, C), x.dtype),
@@ -2571,6 +2617,7 @@ def fused_pruned_attn_block_int8(
             pl.BlockSpec((1, C), lambda b: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, N, 1), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # static inv scale
         ],
         out_specs=(
             pl.BlockSpec((1, K, C), lambda b: (b, 0, 0),
@@ -2584,15 +2631,16 @@ def fused_pruned_attn_block_int8(
         interpret=_use_interpret(),
     )(
         x,
-        ln_params["scale"].reshape(1, C),
-        ln_params["bias"].reshape(1, C),
+        lns,
+        lnb,
         wqkv["int8"],
-        wqkv["scale"].reshape(1, 3 * C),
+        sqkv,
         attn_params["qkv"]["bias"].reshape(1, 3 * C),
         wproj["int8"],
-        wproj["scale"].reshape(1, C),
+        sproj,
         attn_params["proj"]["bias"].reshape(1, C),
         ls.reshape(1, C),
         prev_scores[..., None],
+        sinv,
     )
     return out, ns[..., 0]

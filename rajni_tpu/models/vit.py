@@ -410,12 +410,10 @@ def vit_forward(
     ``act_scales`` (:class:`rajni_tpu.quant.ActScales`, with int8-quantized
     params only) switches the int8 pallas kernels and the classifier head
     from dynamic per-row activation quantization to the calibrated static
-    scales — the per-row absmax passes disappear from the kernels. Covered
-    routes: the whole-block kernels, the two-kernel LN+QKV / gather+SDPA+
-    proj fallback, the standalone MLP kernel, and the head; only the
-    attention-HALF mega-kernels (``fused_[pruned_]attn_block_int8``) and
-    the XLA int8 route keep dynamic quantization, which is always at least
-    as accurate.
+    scales — the per-row absmax passes disappear from the kernels. Every
+    int8 pallas route honors them (whole-block, attention-half, two-kernel
+    fallback, standalone MLP, classifier head); only the XLA int8 route
+    keeps dynamic quantization, which is always at least as accurate.
 
     ``impl`` selects the compute backend: ``"xla"`` (lax reference),
     ``"pallas"`` (fused VMEM-resident kernels, :mod:`rajni_tpu.kernels`), or
@@ -542,23 +540,34 @@ def vit_forward(
                             fused_pruned_attn_block_int8,
                         )
 
-                        block_kernel = fused_pruned_attn_block_int8
+                        x, scores = fused_pruned_attn_block_int8(
+                            x,
+                            block["norm1"],
+                            block["attn"],
+                            block.get("ls1"),
+                            scores,
+                            config.num_heads,
+                            keep,
+                            config.attn_scale,
+                            config.layer_norm_eps,
+                            with_scores,
+                            act_scales=(
+                                None if blk_as is None else blk_as[:2]
+                            ),
+                        )
                     else:
-                        block_kernel = fused_pruned_attn_block
-                    x, scores = block_kernel(
-                        x,
-                        block["norm1"],
-                        block["attn"],
-                        block.get("ls1"),
-                        scores,
-                        config.num_heads,
-                        keep,
-                        config.attn_scale,
-                        config.layer_norm_eps,
-                        with_scores,
-                    )
-                    # (the attn-half int8 kernel keeps dynamic scales —
-                    # static support covers the MLP half below)
+                        x, scores = fused_pruned_attn_block(
+                            x,
+                            block["norm1"],
+                            block["attn"],
+                            block.get("ls1"),
+                            scores,
+                            config.num_heads,
+                            keep,
+                            config.attn_scale,
+                            config.layer_norm_eps,
+                            with_scores,
+                        )
                     x = _mlp_branch(x, block, config, impl, mlp_as)
                     if _tap is not None:
                         _tap(blk_i, x)
@@ -696,22 +705,35 @@ def vit_forward(
                     if _tap is not None:
                         _tap(blk_i, x)
                     continue
-            attn_kernel = fused_attn_block_int8 if attn_q else fused_attn_block
-            x = attn_kernel(
-                x,
-                block["norm1"],
-                block["attn"],
-                block.get("ls1"),
-                config.num_heads,
-                config.attn_scale,
-                config.layer_norm_eps,
+            stock_as = (
+                None if act_scales is None else act_scales.block(blk_i)
             )
-            # (the stock attn-half int8 kernel keeps dynamic scales;
-            # the MLP half honors the calibrated pair)
+            if attn_q:
+                x = fused_attn_block_int8(
+                    x,
+                    block["norm1"],
+                    block["attn"],
+                    block.get("ls1"),
+                    config.num_heads,
+                    config.attn_scale,
+                    config.layer_norm_eps,
+                    act_scales=(
+                        None if stock_as is None else stock_as[:2]
+                    ),
+                )
+            else:
+                x = fused_attn_block(
+                    x,
+                    block["norm1"],
+                    block["attn"],
+                    block.get("ls1"),
+                    config.num_heads,
+                    config.attn_scale,
+                    config.layer_norm_eps,
+                )
             x = _mlp_branch(
                 x, block, config, impl,
-                None if act_scales is None
-                else act_scales.block(blk_i)[2:4],
+                None if stock_as is None else stock_as[2:4],
             )
             scores = None  # invalidate (model.py:63)
         else:

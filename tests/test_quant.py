@@ -378,9 +378,35 @@ def test_static_int8_two_kernel_fallback_close(rng, monkeypatch):
     assert np.abs(stat - ref).max() / np.abs(ref).max() < 0.2
 
 
+def test_static_int8_pruned_attn_half_close(rng, monkeypatch):
+    """Force the pruned attention-HALF mega-kernel route (whole-block
+    refused, attn-half accepted): its static path folds (a_qkv, a_proj)
+    and the MLP kernel takes the calibrated pair."""
+    import rajni_tpu.kernels.block as blk
+    from rajni_tpu.quant import calibrate_act_scales
+
+    monkeypatch.setattr(blk, "_full_block_fits_int8",
+                        lambda *a, **k: False)
+
+    params = init_params(jax.random.key(0), CFG, jnp.float32)
+    sched = normalize_schedule({1: {"keep_ratio": 0.6}}, CFG.depth)
+    x = jnp.asarray(rng.standard_normal((2, 32, 32, 3)), jnp.float32)
+    scales = calibrate_act_scales(params, x, CFG, sched)
+    q = quantize_params(params)
+
+    ref = np.asarray(vit_forward(params, x, CFG, sched, "xla"))
+    stat = np.asarray(
+        jax.jit(vit_forward, static_argnums=(2, 3, 4, 5))(
+            q, x, CFG, sched, "pallas", scales
+        )
+    )
+    assert np.isfinite(stat).all()
+    assert np.abs(stat - ref).max() / np.abs(ref).max() < 0.2
+
+
 def test_static_int8_stock_fallback_close(rng, monkeypatch):
-    """Force the stock split route (attn-half kernel stays dynamic, the
-    MLP half honors the calibrated pair)."""
+    """Force the stock split route: the attn-half kernel folds
+    (a_qkv, a_proj) and the MLP half takes the calibrated pair."""
     import rajni_tpu.kernels.block as blk
     from rajni_tpu.quant import calibrate_act_scales
 
