@@ -34,6 +34,7 @@ fp32 on the VPU; storage dtype follows the activation dtype.
 from __future__ import annotations
 
 import functools
+import os
 import math
 
 import jax
@@ -1102,15 +1103,16 @@ def fused_gather_sdpa_proj_residual(
 
 def _gather_attn_int8_kernel(
     qkv_ref, sel_ref, x_ref, wproj_ref, sproj_ref, bproj_ref, ls_ref,
-    sinv_ref, out_ref, *, num_heads: int, scale: float, int8_sdpa: bool,
+    out_ref, *, num_heads: int, scale: float, int8_sdpa: bool,
     static_act: bool = False,
 ):
     """Int8 variant of :func:`_gather_attn_kernel`: SDPA and the output
     projection both run on the int8 MXU (the gather matmuls stay bf16 —
-    one-hot rows quantize trivially but gain nothing). ``static_act`` +
-    the SMEM ``sinv_ref`` (``1/a_proj``) select calibrated static-scale
-    quantization of the SDPA output (``a_proj`` folded into ``sproj`` by
-    the wrapper); SMEM so every block shares one compiled program."""
+    one-hot rows quantize trivially but gain nothing). ``static_act``:
+    calibrated static-scale quantization of the SDPA output — the
+    producing :func:`fused_ln_qkv_int8` pre-scales V by ``1/a_proj``
+    (V-column fold), so quantization here is a bare round/clip and
+    ``sproj`` carries the ``a_proj`` dequant fold."""
     sel = sel_ref[0]  # [K, N] one-hot rows
     qkv_g32 = jax.lax.dot_general(
         sel, qkv_ref[0], (((1,), (0,)), ((), ())),
@@ -1123,8 +1125,7 @@ def _gather_attn_int8_kernel(
 
     attn = _mha_mixed(qkv_g32, num_heads, scale, jnp.float32,
                       out_ref.dtype, int8_sdpa)
-    out = _int8_matmul(attn, wproj_ref, sproj_ref, static=static_act,
-                       inv=sinv_ref[0] if static_act else None)
+    out = _int8_matmul(attn, wproj_ref, sproj_ref, static=static_act)
     out = out + bproj_ref[:].astype(jnp.float32)
     out = out * ls_ref[:].astype(jnp.float32)
     out_ref[0] = (x_g32 + out).astype(out_ref.dtype)
@@ -1164,11 +1165,10 @@ def fused_gather_sdpa_proj_residual_int8(
     if ls is None:
         ls = jnp.ones((C,), x.dtype)
     sproj = wproj["scale"].reshape(1, C)
-    sinv = jnp.ones((1,), jnp.float32)
     if act_scale is not None:
-        a = float(act_scale)
-        sproj = sproj * a
-        sinv = jnp.asarray([1.0 / a], jnp.float32)
+        # a_proj dequant fold; the producing fused_ln_qkv_int8 pre-scales
+        # V by 1/a_proj (V-column fold), so no in-kernel inv multiply.
+        sproj = sproj * float(act_scale)
 
     return pl.pallas_call(
         functools.partial(
@@ -1192,7 +1192,6 @@ def fused_gather_sdpa_proj_residual_int8(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, C), lambda b: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # static inv scale
         ],
         out_specs=pl.BlockSpec(
             (1, K, C), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
@@ -1209,7 +1208,6 @@ def fused_gather_sdpa_proj_residual_int8(
         sproj,
         proj_params["bias"].reshape(1, C),
         ls.reshape(1, C),
-        sinv,
     )
 
 
@@ -1246,13 +1244,14 @@ def _int8_matmul(y32, wq_ref, ws_ref, *, static=False, inv=None):
 
 def _attn_block_int8_kernel(
     x_ref, lns_ref, lnb_ref, wqkv_ref, sqkv_ref, bqkv_ref,
-    wproj_ref, sproj_ref, bproj_ref, ls_ref, sinv_ref, out_ref,
+    wproj_ref, sproj_ref, bproj_ref, ls_ref, out_ref,
     *, num_heads: int, scale: float, eps: float, int8_sdpa: bool,
     static_act: bool = False,
 ):
     # static_act: calibrated static scales — 1/a_qkv folded into the LN
-    # affine, a_qkv/a_proj into the weight scales, 1/a_proj via SMEM
-    # (one compiled program for all blocks).
+    # affine, 1/a_proj into the V-columns of sqkv (attention is linear in
+    # V), the a dequant factors into the weight scales. Vector operands
+    # only: scalar-inv multiplies measured ~0.3k img/s per site (r3).
     x32 = x_ref[0].astype(jnp.float32)
     y = _layer_norm_f32(x32, lns_ref, lnb_ref, eps)
     qkv = _int8_matmul(y, wqkv_ref, sqkv_ref, static=static_act) + bqkv_ref[
@@ -1261,8 +1260,7 @@ def _attn_block_int8_kernel(
     attn = _mha_mixed(qkv, num_heads, scale, x_ref.dtype, x_ref.dtype,
                       int8_sdpa)
     out = _int8_matmul(attn.astype(jnp.float32), wproj_ref, sproj_ref,
-                       static=static_act,
-                       inv=sinv_ref[0] if static_act else None)
+                       static=static_act)
     out = out + bproj_ref[:].astype(jnp.float32)
     out = out * ls_ref[:].astype(jnp.float32)
     out_ref[0] = (x32 + out).astype(out_ref.dtype)
@@ -1296,14 +1294,13 @@ def fused_attn_block_int8(
     lnb = ln_params["bias"].reshape(1, C)
     sqkv = wqkv["scale"].reshape(1, 3 * C)
     sproj = wproj["scale"].reshape(1, C)
-    sinv = jnp.ones((1,), jnp.float32)
     if act_scales is not None:
         aq, ap = (float(s) for s in act_scales)
         lns = lns.astype(jnp.float32) * (1.0 / aq)
         lnb = lnb.astype(jnp.float32) * (1.0 / aq)
         sqkv = sqkv * aq
+        sqkv = sqkv.at[:, 2 * C:].mul(1.0 / ap)  # V-column fold
         sproj = sproj * ap
-        sinv = jnp.asarray([1.0 / ap], jnp.float32)
 
     vec = lambda n: pl.BlockSpec(  # noqa: E731
         (1, n), lambda b: (0, 0), memory_space=pltpu.VMEM
@@ -1326,7 +1323,6 @@ def fused_attn_block_int8(
             mat((C, 3 * C)), vec(3 * C), vec(3 * C),  # wqkv int8, scale, bias
             mat((C, C)), vec(C), vec(C),          # wproj int8, scale, bias
             vec(C),                               # layer-scale
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # static inv scale
         ],
         out_specs=pl.BlockSpec(
             (1, N, C), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
@@ -1346,7 +1342,6 @@ def fused_attn_block_int8(
         sproj,
         attn_params["proj"]["bias"].reshape(1, C),
         ls.reshape(1, C),
-        sinv,
     )
 
 
@@ -1377,7 +1372,7 @@ def _ln_qkv_int8_kernel(
 
 @functools.partial(
     jax.jit, static_argnames=("num_heads", "eps", "with_scores",
-                              "act_scale")
+                              "act_scales")
 )
 def fused_ln_qkv_int8(
     x: jax.Array,
@@ -1386,17 +1381,19 @@ def fused_ln_qkv_int8(
     num_heads: int,
     eps: float = 1e-6,
     with_scores: bool = True,
-    act_scale: float | None = None,
+    act_scales: tuple[float, float] | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Int8-projection variant of :func:`fused_ln_qkv` (importance scoring
     operates on the dequantized QKV, preserving the reference semantics up
     to weight-quantization error). Like the bf16 version, the projection
     width follows the weight record — a tensor-parallel shard may pass
     ``[C, 3*C_local]`` (``with_scores=False`` only; TP scores from
-    cross-shard partials). ``act_scale`` — the calibrated static ``a_qkv``
-    (:func:`rajni_tpu.quant.calibrate_act_scales`) — folds ``1/a`` into
-    the LN affine and ``a`` into the weight scales, removing the per-row
-    absmax pass."""
+    cross-shard partials). ``act_scales`` — the calibrated static
+    ``(a_qkv, a_proj)`` pair (:func:`rajni_tpu.quant.calibrate_act_scales`)
+    — folds ``1/a_qkv`` into the LN affine, ``a_qkv`` into the weight
+    scales, and ``1/a_proj`` into the V-columns (attention is linear in V
+    and the importance z-score is V-scale-invariant), so the downstream
+    attention consumer quantizes with a bare round/clip."""
     B, N, C = x.shape
     wqkv = qkv_params["kernel"]
     out_w = wqkv["int8"].shape[-1]
@@ -1408,16 +1405,17 @@ def fused_ln_qkv_int8(
     lns = ln_params["scale"].reshape(1, C)
     lnb = ln_params["bias"].reshape(1, C)
     sqkv = wqkv["scale"].reshape(1, out_w)
-    if act_scale is not None:
-        a = float(act_scale)
-        lns = lns.astype(jnp.float32) * (1.0 / a)
-        lnb = lnb.astype(jnp.float32) * (1.0 / a)
-        sqkv = sqkv * a
+    if act_scales is not None:
+        aq, ap = (float(s) for s in act_scales)
+        lns = lns.astype(jnp.float32) * (1.0 / aq)
+        lnb = lnb.astype(jnp.float32) * (1.0 / aq)
+        sqkv = sqkv * aq
+        sqkv = sqkv.at[:, 2 * (out_w // 3):].mul(1.0 / ap)
 
     qkv, scores8 = pl.pallas_call(
         functools.partial(
             _ln_qkv_int8_kernel, num_heads=num_heads, eps=eps,
-            with_scores=with_scores, static_act=act_scale is not None,
+            with_scores=with_scores, static_act=act_scales is not None,
         ),
         out_shape=(
             jax.ShapeDtypeStruct((B, N, out_w), x.dtype),
@@ -1624,19 +1622,18 @@ def _pruned_block_full_int8_kernel(
     int8_sdpa: bool, seq: int, hc: int, static_act: bool = False,
 ):
     # static_act enables the CALIBRATED static-scale quantization mode
-    # (rajni_tpu.quant.calibrate_act_scales): the wrapper pre-folds
-    # 1/a_qkv and 1/a_fc1 into the LayerNorm scale/bias operands and all
-    # four `a` dequant factors into the weight-scale vectors, so the
-    # LN-fed sites quantize with a bare round/clip and the SDPA/GELU sites
-    # with one scalar multiply — no per-row absmax reductions. The two
-    # remaining inverse scales (1/a_proj, 1/a_fc2) arrive in the SMEM
-    # operand ``sinv_ref`` rather than as compile-time constants so every
-    # block shares ONE compiled kernel per shape (per-block constants
-    # measured −3.7% on the stock path: 12 distinct Mosaic programs thrash
-    # instruction memory where one used to be reused).
+    # (rajni_tpu.quant.calibrate_act_scales): every 1/a quantize factor is
+    # folded into a VECTOR operand — 1/a_qkv and 1/a_fc1 into the
+    # LayerNorm scale/bias, 1/a_proj into the V-columns of sqkv (the SDPA
+    # is linear in V and the importance z-score is V-scale-invariant, so
+    # the attention output arrives pre-scaled), 1/a_fc2 into the VMEM row
+    # ``sinv_ref [1, hidden]`` — and the `a` dequant factors into the
+    # weight-scale vectors. No per-row absmax reductions AND no
+    # scalar-operand multiplies: an SMEM-scalar inv multiply measured
+    # ~0.3k img/s per site on the stock path (r3 attribution), and
+    # per-block compile-time constants measured −3.7% (12 distinct Mosaic
+    # programs thrash instruction memory where one is reused).
     static = static_act
-    inv_proj = sinv_ref[0] if static else None
-    inv_fc2 = sinv_ref[1] if static else None
     dtype = x_ref.dtype
     rows = x_ref.shape[1]          # G * seq packed images
     G = rows // seq
@@ -1677,8 +1674,8 @@ def _pruned_block_full_int8_kernel(
     attn = attns[0] if G == 1 else jnp.concatenate(attns, axis=0)
     x_g32 = xgs[0] if G == 1 else jnp.concatenate(xgs, axis=0)
 
-    out = _int8_matmul(attn, wproj_ref, sproj_ref, static=static,
-                       inv=inv_proj)
+    # static: attn is pre-scaled by 1/a_proj via the V-column fold
+    out = _int8_matmul(attn, wproj_ref, sproj_ref, static=static)
     out = out + bproj_ref[:].astype(jnp.float32)
     x_mid = (
         x_g32 + out * ls1_ref[:].astype(jnp.float32)
@@ -1704,7 +1701,7 @@ def _pruned_block_full_int8_kernel(
             + b1_ref[:, j:j + hc].astype(jnp.float32)
         )
         if static:
-            h_q, a2 = _quantize_static(h, inv_fc2), 1.0
+            h_q, a2 = _quantize_static(h * sinv_ref[:, j:j + hc]), 1.0
         else:
             h_q, a2 = _quantize_rows(h)
         part = jax.lax.dot_general(
@@ -1831,18 +1828,21 @@ def fused_pruned_block_full_int8(
     sproj = wproj["scale"].reshape(1, C)
     s1 = w1["scale"].reshape(1, hidden)
     s2 = w2["scale"].reshape(1, C)
-    sinv = jnp.ones((2,), jnp.float32)
+    sinv = jnp.ones((1, hidden), jnp.float32)
     if act_scales is not None:
         aq, ap, a1, a2 = (float(s) for s in act_scales)
         ln1s = ln1s.astype(jnp.float32) * (1.0 / aq)
         ln1b = ln1b.astype(jnp.float32) * (1.0 / aq)
         ln2s = ln2s.astype(jnp.float32) * (1.0 / a1)
         ln2b = ln2b.astype(jnp.float32) * (1.0 / a1)
+        # V-column fold: the SDPA output arrives pre-scaled by 1/a_proj
+        # (linear in V; importance z-scores are V-scale-invariant)
         sqkv = sqkv * aq
+        sqkv = sqkv.at[:, 2 * C:].mul(1.0 / ap)
         sproj = sproj * ap
         s1 = s1 * a1
         s2 = s2 * a2
-        sinv = jnp.asarray([1.0 / ap, 1.0 / a2], jnp.float32)
+        sinv = jnp.full((1, hidden), 1.0 / a2, jnp.float32)
     ls1 = block_params.get("ls1")
     ls2 = block_params.get("ls2")
     if ls1 is None:
@@ -1891,7 +1891,7 @@ def fused_pruned_block_full_int8(
             vec(C),                                    # ls2
             pl.BlockSpec((1, rows, 1), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),     # static inv scales
+            vec(hidden),                               # static 1/a_fc2 row
         ],
         out_specs=(
             pl.BlockSpec((1, out_rows, C), lambda b: (b, 0, 0),
@@ -2277,7 +2277,7 @@ def _block_full_int8_kernel(
     ln2s_ref, ln2b_ref, w1_ref, s1_ref, b1_ref, w2_ref, s2_ref, b2_ref,
     ls2_ref, sinv_ref, out_ref,
     *, num_heads: int, scale: float, eps: float, int8_sdpa: bool,
-    seq: int, hc: int, static_act: bool = False,
+    seq: int, hc: int, static_act: bool = False, diag: str = "",
 ):
     """Whole STOCK block, one kernel, int8 weights (no pruning): the
     [B, N, C] residual stream makes one HBM read and one write per block
@@ -2295,17 +2295,29 @@ def _block_full_int8_kernel(
     dispatch-floor-corrected): G=2/hc=hidden/2 is −14% per stock block vs
     G=1; G=4 regresses (VMEM pressure).
 
-    ``static_act`` + the SMEM ``sinv_ref`` operand enable calibrated
-    static-scale activation quantization exactly as in
-    :func:`_pruned_block_full_int8_kernel`."""
+    ``static_act`` enables calibrated static-scale activation quantization.
+    ALL four quantize factors are folded into vector operands — 1/a_qkv
+    and 1/a_fc1 into the LN affines, 1/a_proj into the V-columns of the
+    QKV weight scales (attention is linear in V, so the SDPA output
+    arrives pre-scaled; z-score importance is V-scale-invariant), and
+    1/a_fc2 into the VMEM row ``sinv_ref [1, hidden]`` — because a
+    MULTIPLY BY AN SMEM SCALAR COSTS ~0.3k img/s PER SITE at batch-256
+    ViT-B (measured r3: reverting the proj/fc2 scalar-inv sites to
+    dynamic quantization was +267/+305 img/s; vector-operand multiplies
+    are free). ``diag`` (RAJNI_STATIC_DIAG, comma list of
+    qkv/proj/fc1/fc2) reverts the named sites to DYNAMIC quantization
+    under the static folds — TIMING ATTRIBUTION ONLY, the proj/fc2
+    results are then off by their a-factors."""
     static = static_act
-    inv_proj = sinv_ref[0] if static else None
-    inv_fc2 = sinv_ref[1] if static else None
+    s_qkv = static and "qkv" not in diag
+    s_proj = static and "proj" not in diag
+    s_fc1 = static and "fc1" not in diag
+    s_fc2 = static and "fc2" not in diag
     dtype = x_ref.dtype
     rows = x_ref.shape[1]  # G * seq
     x32 = x_ref[0].astype(jnp.float32)
     y = _layer_norm_f32(x32, ln1s_ref, ln1b_ref, eps)
-    qkv = _int8_matmul(y, wqkv_ref, sqkv_ref, static=static) + bqkv_ref[
+    qkv = _int8_matmul(y, wqkv_ref, sqkv_ref, static=s_qkv) + bqkv_ref[
         :
     ].astype(jnp.float32)
     attns = [
@@ -2314,15 +2326,15 @@ def _block_full_int8_kernel(
         for g in range(0, rows, seq)
     ]
     attn = attns[0] if len(attns) == 1 else jnp.concatenate(attns, axis=0)
-    out = _int8_matmul(attn, wproj_ref, sproj_ref, static=static,
-                       inv=inv_proj)
+    # static: attn is pre-scaled by 1/a_proj via the V-column fold
+    out = _int8_matmul(attn, wproj_ref, sproj_ref, static=s_proj)
     out = out + bproj_ref[:].astype(jnp.float32)
     x_mid = (
         x32 + out * ls1_ref[:].astype(jnp.float32)
     ).astype(dtype).astype(jnp.float32)  # bf16 half-boundary rounding
 
     y2 = _layer_norm_f32(x_mid, ln2s_ref, ln2b_ref, eps)
-    if static:
+    if s_fc1:
         y2_q, a1 = _quantize_static(y2), 1.0
     else:
         y2_q, a1 = _quantize_rows(y2)
@@ -2334,18 +2346,18 @@ def _block_full_int8_kernel(
             preferred_element_type=jnp.int32,
         ).astype(jnp.float32)
         h = gelu_fast(
-            (h if static else h * a1) * s1_ref[:, j:j + hc]
+            (h if s_fc1 else h * a1) * s1_ref[:, j:j + hc]
             + b1_ref[:, j:j + hc].astype(jnp.float32)
         )
-        if static:
-            h_q, a2 = _quantize_static(h, inv_fc2), 1.0
+        if s_fc2:
+            h_q, a2 = _quantize_static(h * sinv_ref[:, j:j + hc]), 1.0
         else:
             h_q, a2 = _quantize_rows(h)
         part = jax.lax.dot_general(
             h_q, w2_ref[j:j + hc, :], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32,
         ).astype(jnp.float32)
-        if not static:
+        if not s_fc2:
             part = part * a2
         acc = part if acc is None else acc + part
     out2 = acc * s2_ref[:] + b2_ref[:].astype(jnp.float32)
@@ -2414,18 +2426,22 @@ def fused_block_full_int8(
     sproj = wproj["scale"].reshape(1, C)
     s1 = w1["scale"].reshape(1, hidden)
     s2 = w2["scale"].reshape(1, C)
-    sinv = jnp.ones((2,), jnp.float32)
+    sinv = jnp.ones((1, hidden), jnp.float32)
     if act_scales is not None:
         aq, ap, a1, a2 = (float(s) for s in act_scales)
         ln1s = ln1s.astype(jnp.float32) * (1.0 / aq)
         ln1b = ln1b.astype(jnp.float32) * (1.0 / aq)
         ln2s = ln2s.astype(jnp.float32) * (1.0 / a1)
         ln2b = ln2b.astype(jnp.float32) * (1.0 / a1)
+        # V-column fold: attention is linear in V, so scaling the V third
+        # of the dequant scales by 1/a_proj delivers a pre-scaled SDPA
+        # output — no in-kernel scalar multiply (see kernel docstring).
         sqkv = sqkv * aq
+        sqkv = sqkv.at[:, 2 * C:].mul(1.0 / ap)
         sproj = sproj * ap
         s1 = s1 * a1
         s2 = s2 * a2
-        sinv = jnp.asarray([1.0 / ap, 1.0 / a2], jnp.float32)
+        sinv = jnp.full((1, hidden), 1.0 / a2, jnp.float32)
     ls1 = block_params.get("ls1")
     ls2 = block_params.get("ls2")
     if ls1 is None:
@@ -2451,6 +2467,8 @@ def fused_block_full_int8(
             _block_full_int8_kernel, num_heads=num_heads, scale=scale,
             eps=eps, int8_sdpa=int8_sdpa, seq=N, hc=hc,
             static_act=act_scales is not None,
+            diag=os.environ.get("RAJNI_STATIC_DIAG", "")
+            if act_scales is not None else "",
         ),
         out_shape=jax.ShapeDtypeStruct((B // G, rows, C), x.dtype),
         grid=(B // G,),
@@ -2465,7 +2483,7 @@ def fused_block_full_int8(
             mat((C, hidden)), vec(hidden), vec(hidden),
             mat((hidden, C)), vec(C), vec(C),
             vec(C),
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # static inv scales
+            vec(hidden),                            # static 1/a_fc2 row
         ],
         out_specs=pl.BlockSpec(
             (1, rows, C), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
@@ -2501,14 +2519,14 @@ def fused_block_full_int8(
 
 def _pruned_block_int8_kernel(
     x_ref, lns_ref, lnb_ref, wqkv_ref, sqkv_ref, bqkv_ref,
-    wproj_ref, sproj_ref, bproj_ref, ls_ref, pscores_ref, sinv_ref,
+    wproj_ref, sproj_ref, bproj_ref, ls_ref, pscores_ref,
     out_ref, ns_ref,
     *, num_heads: int, scale: float, eps: float, with_scores: bool,
     int8_sdpa: bool, static_act: bool = False,
 ):
     # static_act: calibrated static scales — folds as in
-    # _attn_block_int8_kernel; the dequantized qkv (and so the importance
-    # scores) is value-identical to the dynamic path.
+    # _attn_block_int8_kernel (V-column fold for 1/a_proj; the importance
+    # z-score is V-scale-invariant, so selection is unchanged).
     dtype = x_ref.dtype
     K = out_ref.shape[1]
 
@@ -2538,8 +2556,7 @@ def _pruned_block_int8_kernel(
     attn = _mha_mixed(qkv_g32, num_heads, scale, dtype, dtype,
                       int8_sdpa)
     out = _int8_matmul(attn.astype(jnp.float32), wproj_ref, sproj_ref,
-                       static=static_act,
-                       inv=sinv_ref[0] if static_act else None)
+                       static=static_act)
     out = out + bproj_ref[:].astype(jnp.float32)
     out = out * ls_ref[:].astype(jnp.float32)
     out_ref[0] = (x_g32 + out).astype(out_ref.dtype)
@@ -2580,14 +2597,13 @@ def fused_pruned_attn_block_int8(
     lnb = ln_params["bias"].reshape(1, C)
     sqkv = wqkv["scale"].reshape(1, 3 * C)
     sproj = wproj["scale"].reshape(1, C)
-    sinv = jnp.ones((1,), jnp.float32)
     if act_scales is not None:
         aq, ap = (float(s) for s in act_scales)
         lns = lns.astype(jnp.float32) * (1.0 / aq)
         lnb = lnb.astype(jnp.float32) * (1.0 / aq)
         sqkv = sqkv * aq
+        sqkv = sqkv.at[:, 2 * C:].mul(1.0 / ap)  # V-column fold
         sproj = sproj * ap
-        sinv = jnp.asarray([1.0 / ap], jnp.float32)
 
     out, ns = pl.pallas_call(
         functools.partial(
@@ -2617,7 +2633,6 @@ def fused_pruned_attn_block_int8(
             pl.BlockSpec((1, C), lambda b: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, N, 1), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # static inv scale
         ],
         out_specs=(
             pl.BlockSpec((1, K, C), lambda b: (b, 0, 0),
@@ -2641,6 +2656,5 @@ def fused_pruned_attn_block_int8(
         attn_params["proj"]["bias"].reshape(1, C),
         ls.reshape(1, C),
         prev_scores[..., None],
-        sinv,
     )
     return out, ns[..., 0]

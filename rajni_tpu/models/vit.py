@@ -591,7 +591,7 @@ def vit_forward(
                         config.num_heads,
                         config.layer_norm_eps,
                         with_scores,
-                        act_scale=None if blk_as is None else blk_as[0],
+                        act_scales=None if blk_as is None else blk_as[:2],
                     )
                 else:
                     qkv, new_scores = fused_ln_qkv(

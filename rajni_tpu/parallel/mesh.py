@@ -432,7 +432,7 @@ def tp_pallas_forward(
                 }
                 qkv_l, _ = fused_ln_qkv_int8(
                     x, block["norm1"], qkv_flat, H_l, eps, False,
-                    act_scale=aq,
+                    act_scales=None if aq is None else (aq, ap),
                 )
             else:
                 qkv_flat = {
@@ -448,12 +448,13 @@ def tp_pallas_forward(
                     # Row-parallel proj on the int8 MXU: per-row scales over
                     # this shard's local C slice (grouped quantization —
                     # the psum adds dequantized f32 partials); static mode
-                    # quantizes with the calibrated constant instead.
+                    # quantizes with a bare round/clip — the V-column fold
+                    # in fused_ln_qkv_int8 pre-scaled attn by 1/a_proj.
                     a32 = attn_l.astype(jnp.float32).reshape(
                         -1, attn_l.shape[-1]
                     )
                     if ap is not None:
-                        a_q, a_s = quantize_static(a32, 1.0 / ap), ap
+                        a_q, a_s = quantize_static(a32), ap
                     else:
                         a_q, a_s = quantize_rows(a32)
                     acc = jax.lax.dot_general(

@@ -22,6 +22,11 @@ def test_bench_emits_one_json_line():
     env = dict(
         os.environ,
         JAX_PLATFORMS="cpu",
+        # Skip the TPU-tunnel plugin registration entirely: this is a CPU
+        # contract check and must stay hermetic — with the plugin
+        # registered, jax initializes EVERY backend's client on first
+        # jax.devices(), so a wedged tunnel would hang a pure-CPU run.
+        PALLAS_AXON_POOL_IPS="",
         RAJNI_BENCH_MODEL="vit_tiny_patch16_224",
         RAJNI_BENCH_BATCH="2",
         RAJNI_BENCH_ITERS="1",
