@@ -39,6 +39,7 @@ def export_model(
     dtype: jnp.dtype = jnp.bfloat16,
     impl: str = "auto",
     platform: str = "tpu",
+    act_scales=None,
 ) -> None:
     """AOT-lower the forward (params baked in) and serialize it to ``path``.
 
@@ -101,9 +102,13 @@ def export_model(
             "export on TPU"
         )
 
+    # act_scales (rajni_tpu.quant.ActScales, int8 params only) bakes the
+    # calibrated static-scale kernels into the artifact — the scales are
+    # trace-time constants, exactly what an AOT artifact wants.
     fn = jax.jit(
         functools.partial(
-            vit_forward, params, config=config, schedule=schedule, impl=impl
+            vit_forward, params, config=config, schedule=schedule,
+            impl=impl, act_scales=act_scales,
         )
     )
     if dynamic:
@@ -165,6 +170,11 @@ def main(argv=None) -> None:
                    choices=["bfloat16", "float32"])
     p.add_argument("--quantize", action="store_true",
                    help="int8-quantize weights before export (rajni_tpu.quant)")
+    p.add_argument("--act_scales", default=None, metavar="FILE",
+                   help="with --quantize: calibrated static activation "
+                        "scales JSON (rajni_tpu.run --save_scales / "
+                        "ActScales.save) — bakes the static-scale int8 "
+                        "kernels into the artifact")
     p.add_argument("--kernels", default="auto",
                    choices=["auto", "xla", "pallas"])
     p.add_argument("--platform", default="tpu",
@@ -175,6 +185,13 @@ def main(argv=None) -> None:
     config = get_config(args.model)
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     params = load_params(args.checkpoint, dtype=dtype)
+    act_scales = None
+    if args.act_scales:
+        if not args.quantize:
+            raise ValueError("--act_scales requires --quantize")
+        from .quant import ActScales
+
+        act_scales = ActScales.load(args.act_scales)
     if args.quantize:
         from .quant import quantize_params
 
@@ -184,7 +201,7 @@ def main(argv=None) -> None:
     )
     batch = args.batch if args.batch == "dynamic" else int(args.batch)
     export_model(args.output, params, config, schedule, batch, dtype,
-                 args.kernels, args.platform)
+                 args.kernels, args.platform, act_scales=act_scales)
     import os
 
     print(f"exported {args.model} (batch {args.batch}, "

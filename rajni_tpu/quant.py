@@ -143,6 +143,29 @@ class ActScales:
     def block(self, i: int) -> tuple[float, float, float, float]:
         return self.blocks[i]
 
+    def save(self, path: str) -> None:
+        """Serialize to JSON (calibrate once, export/serve anywhere —
+        the scales are plain floats, so the file is toolchain-free)."""
+        import json
+
+        with open(path, "w") as f:
+            json.dump(
+                {"blocks": [list(row) for row in self.blocks],
+                 "head": self.head},
+                f,
+            )
+
+    @classmethod
+    def load(cls, path: str) -> "ActScales":
+        import json
+
+        with open(path) as f:
+            d = json.load(f)
+        return cls(
+            blocks=tuple(tuple(float(v) for v in row) for row in d["blocks"]),
+            head=float(d["head"]),
+        )
+
 
 def _calibration_forward(params, images, config, schedule):
     """XLA-semantics forward that also returns the per-site activation

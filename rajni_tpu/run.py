@@ -90,6 +90,10 @@ def get_args(argv=None):
                              "batches (PTQ; removes the per-row dynamic "
                              "quantize passes from the int8 kernels — see "
                              "rajni_tpu.quant.calibrate_act_scales)")
+    parser.add_argument("--save_scales", default=None, metavar="FILE",
+                        help="With --calibrate: also write the calibrated "
+                             "scales (RAJNI-schedule forward) to a JSON "
+                             "file for rajni_tpu.export --act_scales")
     parser.add_argument("--preprocess", type=str, default="host",
                         choices=["host", "device", "device-full"],
                         help="Where eval preprocessing runs (rajni_tpu.data."
@@ -314,9 +318,15 @@ def main(argv=None):
           f"{model_stats(config, schedule)['token_counts']}")
 
     print("\nEvaluating RAJNI model")
+    rajni_scales = calibrated_scales(schedule)
+    if args.save_scales:
+        if rajni_scales is None:
+            raise ValueError("--save_scales requires --quantize --calibrate N")
+        rajni_scales.save(args.save_scales)
+        print(f"Saved calibrated scales to {args.save_scales}")
     rajni_fn = make_model_fn(params, config, schedule, args.data_parallel,
                              kernels, args.preprocess, dtype,
-                             act_scales=calibrated_scales(schedule))
+                             act_scales=rajni_scales)
     import contextlib
 
     if args.profile:

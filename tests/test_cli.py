@@ -157,3 +157,41 @@ def test_main_quantize_calibrate_end_to_end(tmp_path, capsys):
 def test_main_calibrate_requires_quantize():
     with pytest.raises(ValueError, match="--calibrate requires --quantize"):
         main(["--synthetic", "1", "--calibrate", "2", "--schedule", "x"])
+
+
+def test_calibrate_save_scales_export_pipeline(tmp_path, capsys):
+    """The full PTQ deployment pipeline: eval-CLI calibration writes the
+    scales JSON; the export CLI bakes them into a quantized artifact."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from rajni_tpu.export import load_exported
+    from rajni_tpu.export import main as export_main
+    from rajni_tpu.models.vit import get_config, init_params
+    from rajni_tpu.params.io import save_params
+
+    sched = tmp_path / "s.json"
+    sched.write_text(json.dumps({"3": {"keep_ratio": 0.9}}))
+    scales = tmp_path / "scales.json"
+    main([
+        "--synthetic", "2", "--batch_size", "4", "--max_batches", "1",
+        "--model", "vit_tiny_patch16_224", "--schedule", str(sched),
+        "--warmup", "0", "--dtype", "float32", "--quantize",
+        "--calibrate", "1", "--save_scales", str(scales),
+    ])
+    assert scales.exists()
+
+    ckpt = tmp_path / "p.msgpack"
+    cfg = get_config("vit_tiny_patch16_224")
+    save_params(str(ckpt), init_params(jax.random.key(0), cfg, jnp.float32))
+    art = tmp_path / "m.rajni"
+    export_main([
+        str(ckpt), str(art), "--model", "vit_tiny_patch16_224",
+        "--schedule", str(sched), "--batch", "2", "--dtype", "float32",
+        "--quantize", "--act_scales", str(scales),
+        "--kernels", "xla", "--platform", "cpu",
+    ])
+    out = load_exported(str(art))(jnp.zeros((2, 224, 224, 3), jnp.float32))
+    assert out.shape == (2, cfg.num_classes)
+    assert np.isfinite(np.asarray(out)).all()

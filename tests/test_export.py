@@ -175,3 +175,34 @@ def test_export_cli(tmp_path, rng, capsys):
     serve = load_exported(out)
     logits = serve(jnp.zeros((1, 224, 224, 3), jnp.float32))
     assert logits.shape == (1, 1000)
+
+
+def test_export_with_static_act_scales(tmp_path, rng):
+    """Quantized export with calibrated static scales (ActScales JSON
+    round-trip + baked static head on the xla path)."""
+    from rajni_tpu.quant import (
+        ActScales,
+        calibrate_act_scales,
+        quantize_params,
+    )
+
+    params = init_params(jax.random.key(0), CFG, jnp.float32)
+    x = jnp.asarray(rng.standard_normal((2, 16, 16, 3)), jnp.float32)
+    scales = calibrate_act_scales(params, x, CFG, SCHED)
+    spath = str(tmp_path / "scales.json")
+    scales.save(spath)
+    loaded = ActScales.load(spath)
+    assert loaded == scales  # frozen dataclass of plain floats
+
+    q = quantize_params(params)
+    path = str(tmp_path / "int8static.rajni")
+    export_model(path, q, CFG, SCHED, batch=2, dtype=jnp.float32,
+                 platform="cpu", impl="xla", act_scales=loaded)
+    serve = load_exported(path)
+    got = np.asarray(serve(x))
+    want = np.asarray(
+        jax.jit(vit_forward, static_argnums=(2, 3, 4, 5))(
+            q, x, CFG, normalize_schedule(SCHED, CFG.depth), "xla", scales
+        )
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
