@@ -59,6 +59,9 @@ def main() -> None:
         )
     )
     base_scales = pruned_scales = None
+    if calibrate and not quant:
+        log("WARNING: RAJNI_BENCH_CALIBRATE=1 without RAJNI_BENCH_QUANT=1 "
+            "is ignored (static scales are an int8 mode)")
     if quant:
         from rajni_tpu.quant import quantize_params
 
@@ -94,6 +97,10 @@ def main() -> None:
         "unit": "img/s",
         "vs_baseline": round(pruned / base, 4),
     }
+    if quant:
+        # disambiguate recorded artifacts: a static-scale run is a
+        # different numerics mode than dynamic int8 or bf16
+        record["quant"] = "int8-static" if calibrate else "int8-dynamic"
 
     if impl != "xla":
         # Self-contained north-star ratio (VERDICT r2 weak #4): vs_baseline

@@ -105,6 +105,9 @@ def export_model(
     # act_scales (rajni_tpu.quant.ActScales, int8 params only) bakes the
     # calibrated static-scale kernels into the artifact — the scales are
     # trace-time constants, exactly what an AOT artifact wants.
+    if act_scales is not None and impl == "xla":
+        print("WARNING: act_scales only apply to the pallas kernel route; "
+              "this xla-path artifact stays fully dynamic")
     fn = jax.jit(
         functools.partial(
             vit_forward, params, config=config, schedule=schedule,

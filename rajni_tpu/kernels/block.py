@@ -45,6 +45,8 @@ from jax.experimental.pallas import tpu as pltpu
 from .math import gelu_fast
 from .math import quantize_cols as _quantize_cols
 from .math import quantize_rows as _quantize_rows
+from .math import fold_static_attn as _fold_static_attn
+from .math import fold_static_mlp as _fold_static_mlp
 from .math import quantize_static as _quantize_static
 from .math import use_interpret as _use_interpret
 
@@ -1294,13 +1296,11 @@ def fused_attn_block_int8(
     lnb = ln_params["bias"].reshape(1, C)
     sqkv = wqkv["scale"].reshape(1, 3 * C)
     sproj = wproj["scale"].reshape(1, C)
+    bqkv = attn_params["qkv"]["bias"].reshape(1, 3 * C)
     if act_scales is not None:
-        aq, ap = (float(s) for s in act_scales)
-        lns = lns.astype(jnp.float32) * (1.0 / aq)
-        lnb = lnb.astype(jnp.float32) * (1.0 / aq)
-        sqkv = sqkv * aq
-        sqkv = sqkv.at[:, 2 * C:].mul(1.0 / ap)  # V-column fold
-        sproj = sproj * ap
+        lns, lnb, sqkv, sproj, bqkv = _fold_static_attn(
+            lns, lnb, sqkv, sproj, bqkv, *act_scales
+        )
 
     vec = lambda n: pl.BlockSpec(  # noqa: E731
         (1, n), lambda b: (0, 0), memory_space=pltpu.VMEM
@@ -1337,7 +1337,7 @@ def fused_attn_block_int8(
         lnb,
         wqkv["int8"],
         sqkv,
-        attn_params["qkv"]["bias"].reshape(1, 3 * C),
+        bqkv,
         wproj["int8"],
         sproj,
         attn_params["proj"]["bias"].reshape(1, C),
@@ -1405,12 +1405,12 @@ def fused_ln_qkv_int8(
     lns = ln_params["scale"].reshape(1, C)
     lnb = ln_params["bias"].reshape(1, C)
     sqkv = wqkv["scale"].reshape(1, out_w)
+    bqkv = qkv_params["bias"].reshape(1, out_w)
     if act_scales is not None:
-        aq, ap = (float(s) for s in act_scales)
-        lns = lns.astype(jnp.float32) * (1.0 / aq)
-        lnb = lnb.astype(jnp.float32) * (1.0 / aq)
-        sqkv = sqkv * aq
-        sqkv = sqkv.at[:, 2 * (out_w // 3):].mul(1.0 / ap)
+        aq, ap = act_scales
+        lns, lnb, sqkv, _, bqkv = _fold_static_attn(
+            lns, lnb, sqkv, None, bqkv, aq, ap
+        )
 
     qkv, scores8 = pl.pallas_call(
         functools.partial(
@@ -1450,7 +1450,7 @@ def fused_ln_qkv_int8(
         lnb,
         wqkv["int8"],
         sqkv,
-        qkv_params["bias"].reshape(1, out_w),
+        bqkv,
     )
     return qkv, scores8[:, 0, :]
 
@@ -1828,21 +1828,16 @@ def fused_pruned_block_full_int8(
     sproj = wproj["scale"].reshape(1, C)
     s1 = w1["scale"].reshape(1, hidden)
     s2 = w2["scale"].reshape(1, C)
+    bqkv = attn_p["qkv"]["bias"].reshape(1, 3 * C)
     sinv = jnp.ones((1, hidden), jnp.float32)
     if act_scales is not None:
-        aq, ap, a1, a2 = (float(s) for s in act_scales)
-        ln1s = ln1s.astype(jnp.float32) * (1.0 / aq)
-        ln1b = ln1b.astype(jnp.float32) * (1.0 / aq)
-        ln2s = ln2s.astype(jnp.float32) * (1.0 / a1)
-        ln2b = ln2b.astype(jnp.float32) * (1.0 / a1)
-        # V-column fold: the SDPA output arrives pre-scaled by 1/a_proj
-        # (linear in V; importance z-scores are V-scale-invariant)
-        sqkv = sqkv * aq
-        sqkv = sqkv.at[:, 2 * C:].mul(1.0 / ap)
-        sproj = sproj * ap
-        s1 = s1 * a1
-        s2 = s2 * a2
-        sinv = jnp.full((1, hidden), 1.0 / a2, jnp.float32)
+        aq, ap, a1, a2 = act_scales
+        ln1s, ln1b, sqkv, sproj, bqkv = _fold_static_attn(
+            ln1s, ln1b, sqkv, sproj, bqkv, aq, ap
+        )
+        ln2s, ln2b, s1, s2, sinv = _fold_static_mlp(
+            ln2s, ln2b, s1, s2, hidden, a1, a2
+        )
     ls1 = block_params.get("ls1")
     ls2 = block_params.get("ls2")
     if ls1 is None:
@@ -1909,7 +1904,7 @@ def fused_pruned_block_full_int8(
         ln1b,
         wqkv["int8"],
         sqkv,
-        attn_p["qkv"]["bias"].reshape(1, 3 * C),
+        bqkv,
         wproj["int8"],
         sproj,
         attn_p["proj"]["bias"].reshape(1, C),
@@ -2426,22 +2421,16 @@ def fused_block_full_int8(
     sproj = wproj["scale"].reshape(1, C)
     s1 = w1["scale"].reshape(1, hidden)
     s2 = w2["scale"].reshape(1, C)
+    bqkv = attn_p["qkv"]["bias"].reshape(1, 3 * C)
     sinv = jnp.ones((1, hidden), jnp.float32)
     if act_scales is not None:
-        aq, ap, a1, a2 = (float(s) for s in act_scales)
-        ln1s = ln1s.astype(jnp.float32) * (1.0 / aq)
-        ln1b = ln1b.astype(jnp.float32) * (1.0 / aq)
-        ln2s = ln2s.astype(jnp.float32) * (1.0 / a1)
-        ln2b = ln2b.astype(jnp.float32) * (1.0 / a1)
-        # V-column fold: attention is linear in V, so scaling the V third
-        # of the dequant scales by 1/a_proj delivers a pre-scaled SDPA
-        # output — no in-kernel scalar multiply (see kernel docstring).
-        sqkv = sqkv * aq
-        sqkv = sqkv.at[:, 2 * C:].mul(1.0 / ap)
-        sproj = sproj * ap
-        s1 = s1 * a1
-        s2 = s2 * a2
-        sinv = jnp.full((1, hidden), 1.0 / a2, jnp.float32)
+        aq, ap, a1, a2 = act_scales
+        ln1s, ln1b, sqkv, sproj, bqkv = _fold_static_attn(
+            ln1s, ln1b, sqkv, sproj, bqkv, aq, ap
+        )
+        ln2s, ln2b, s1, s2, sinv = _fold_static_mlp(
+            ln2s, ln2b, s1, s2, hidden, a1, a2
+        )
     ls1 = block_params.get("ls1")
     ls2 = block_params.get("ls2")
     if ls1 is None:
@@ -2498,7 +2487,7 @@ def fused_block_full_int8(
         ln1b,
         wqkv["int8"],
         sqkv,
-        attn_p["qkv"]["bias"].reshape(1, 3 * C),
+        bqkv,
         wproj["int8"],
         sproj,
         attn_p["proj"]["bias"].reshape(1, C),
@@ -2597,13 +2586,11 @@ def fused_pruned_attn_block_int8(
     lnb = ln_params["bias"].reshape(1, C)
     sqkv = wqkv["scale"].reshape(1, 3 * C)
     sproj = wproj["scale"].reshape(1, C)
+    bqkv = attn_params["qkv"]["bias"].reshape(1, 3 * C)
     if act_scales is not None:
-        aq, ap = (float(s) for s in act_scales)
-        lns = lns.astype(jnp.float32) * (1.0 / aq)
-        lnb = lnb.astype(jnp.float32) * (1.0 / aq)
-        sqkv = sqkv * aq
-        sqkv = sqkv.at[:, 2 * C:].mul(1.0 / ap)  # V-column fold
-        sproj = sproj * ap
+        lns, lnb, sqkv, sproj, bqkv = _fold_static_attn(
+            lns, lnb, sqkv, sproj, bqkv, *act_scales
+        )
 
     out, ns = pl.pallas_call(
         functools.partial(
@@ -2650,7 +2637,7 @@ def fused_pruned_attn_block_int8(
         lnb,
         wqkv["int8"],
         sqkv,
-        attn_params["qkv"]["bias"].reshape(1, 3 * C),
+        bqkv,
         wproj["int8"],
         sproj,
         attn_params["proj"]["bias"].reshape(1, C),

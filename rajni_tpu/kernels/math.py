@@ -56,6 +56,58 @@ def quantize_static(y32, inv: float | None = None):
     return jnp.clip(jnp.round(y32), -127, 127).astype(jnp.int8)
 
 
+def fold_static_attn(lns, lnb, sqkv, sproj, bqkv, aq, ap):
+    """Fold the calibrated static attention scales into VECTOR operands
+    (:func:`rajni_tpu.quant.calibrate_act_scales`; shared by every int8
+    attention kernel wrapper so the fold semantics cannot drift):
+
+      * ``1/a_qkv`` into the LN affine (``lns``/``lnb``) — the post-LN
+        activation arrives pre-scaled for a bare round/clip quantize;
+      * ``a_qkv`` into the QKV weight-scale row ``sqkv`` (dequant);
+      * ``1/a_proj`` into the V-COLUMNS of both ``sqkv`` AND the qkv BIAS
+        — attention is linear in V and the importance z-score is
+        V-scale-invariant, so the SDPA output arrives pre-scaled for the
+        projection quantize. The bias is added *post-dequant* in the
+        kernels, so it must carry the same V fold or the V-bias term ends
+        up off by a factor ``a_proj`` (caught by the nonzero-bias parity
+        tests);
+      * ``a_proj`` into the proj weight-scale row ``sproj``.
+
+    ``sqkv``/``bqkv`` are ``[1, 3·C_local]`` rows (TP shards pass their
+    local packing); the V third is the last ``out_w // 3`` columns.
+    Returns ``(lns, lnb, sqkv, sproj, bqkv)`` as f32.
+    """
+    aq, ap = float(aq), float(ap)
+    v0 = 2 * (sqkv.shape[-1] // 3)
+    lns = lns.astype(jnp.float32) * (1.0 / aq)
+    lnb = lnb.astype(jnp.float32) * (1.0 / aq)
+    sqkv = (sqkv * aq).at[:, v0:].mul(1.0 / ap)
+    bqkv = bqkv.astype(jnp.float32).at[:, v0:].mul(1.0 / ap)
+    if sproj is not None:  # None: the proj dequant lives in the consumer
+        sproj = sproj * ap
+    return lns, lnb, sqkv, sproj, bqkv
+
+
+def fold_static_mlp(lns, lnb, s1, s2, hidden, a1, a2):
+    """MLP counterpart of :func:`fold_static_attn`: ``1/a_fc1`` into the
+    LN affine, the dequant factors into ``s1``/``s2``, and ``1/a_fc2`` as
+    a ``[1, hidden]`` VMEM row (a vector operand — an SMEM-scalar multiply
+    measured ~0.3k img/s per site, r3). Returns
+    ``(lns, lnb, s1, s2, sinv_row)``. Biases need no fold here: fc1's bias
+    is INSIDE the gelu argument at true scale, and fc2's output is
+    dequantized before its bias is added."""
+    a1, a2 = float(a1), float(a2)
+    lns = lns.astype(jnp.float32) * (1.0 / a1)
+    lnb = lnb.astype(jnp.float32) * (1.0 / a1)
+    return (
+        lns,
+        lnb,
+        s1 * a1,
+        s2 * a2,
+        jnp.full((1, hidden), 1.0 / a2, jnp.float32),
+    )
+
+
 def quantize_cols(y32):
     """Symmetric per-column int8 activation quantization:
     ``(int8 [R, C], scale f32 [1, C])`` with ``y ≈ int8 * scale``.

@@ -39,6 +39,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .math import gelu_fast
 from .math import quantize_rows as _quantize_rows
+from .math import fold_static_mlp as _fold_static_mlp
 from .math import quantize_static as _quantize_static
 from .math import use_interpret as _use_interpret
 
@@ -308,12 +309,9 @@ def fused_ln_mlp_residual_int8(
     s2 = w2["scale"].reshape(1, C)
     sinv = jnp.ones((1, hidden), jnp.float32)
     if act_scales is not None:
-        a1, a2 = (float(s) for s in act_scales)
-        lns = lns.astype(jnp.float32) * (1.0 / a1)
-        lnb = lnb.astype(jnp.float32) * (1.0 / a1)
-        s1 = s1 * a1
-        s2 = s2 * a2
-        sinv = jnp.full((1, hidden), 1.0 / a2, jnp.float32)
+        lns, lnb, s1, s2, sinv = _fold_static_mlp(
+            lns, lnb, s1, s2, hidden, *act_scales
+        )
 
     rows = B * N
     flat = x.reshape(rows, C)

@@ -583,6 +583,14 @@ def vit_forward(
                 # select_tokens_radix is a tested alternative for far
                 # longer sequences); the residual 384 gap is the one-hot
                 # gather matmul cost at K ≈ 0.95·N.
+                # The V-column fold (1/a_proj baked into the qkv producer)
+                # is only valid when the INT8 gather tail consumes the
+                # pre-scaled V — the bf16 fallback tail below never
+                # compensates, so decide the tail ONCE up front.
+                int8_tail = quantized and _gather_fits_fast(
+                    n, keep + 1, config.embed_dim,
+                    jnp.dtype(x.dtype).itemsize,
+                )
                 if quantized:
                     qkv, new_scores = fused_ln_qkv_int8(
                         x,
@@ -591,7 +599,10 @@ def vit_forward(
                         config.num_heads,
                         config.layer_norm_eps,
                         with_scores,
-                        act_scales=None if blk_as is None else blk_as[:2],
+                        act_scales=(
+                            None if (blk_as is None or not int8_tail)
+                            else blk_as[:2]
+                        ),
                     )
                 else:
                     qkv, new_scores = fused_ln_qkv(
@@ -610,10 +621,7 @@ def vit_forward(
                 # fused_ln_qkv_select: 4230 vs 4520 img/s end-to-end).
                 keep_idx, sel = select_tokens_dense(scores, keep, x.dtype)
                 scores = jnp.take_along_axis(scores, keep_idx, axis=1)
-                if quantized and _gather_fits_fast(
-                    n, keep + 1, config.embed_dim,
-                    jnp.dtype(x.dtype).itemsize,
-                ):
+                if int8_tail:
                     from ..kernels.block import (
                         fused_gather_sdpa_proj_residual_int8,
                     )
@@ -760,7 +768,10 @@ def vit_forward(
         from ..kernels.math import quantize_rows, quantize_static
 
         cls32 = cls_out.astype(jnp.float32)
-        if act_scales is not None:
+        if act_scales is not None and impl == "pallas":
+            # static head only on the kernel route: the documented
+            # contract is that impl="xla" + act_scales stays fully
+            # dynamic (the conservative attestation baseline)
             a_scale = act_scales.head
             y_q = quantize_static(cls32, 1.0 / a_scale)
         else:

@@ -14,10 +14,10 @@ standard dynamic-quantization recipe:
     ``1/a`` quantize factors fold into the LayerNorm affines and the ``a``
     dequant factors into the weight-scale vectors at trace time, so the
     per-row absmax passes vanish from the kernels. Measured (v5e-1,
-    batch-256 ViT-B schedule.json, BENCH_SUITE.json): static 6422 img/s
-    pruned vs 6275 dynamic (+2.3%, 93% of the bf16 roofline) but 5425 vs
-    5642 stock (−3.8%) — prefer static for pruned serving, dynamic for
-    stock.
+    batch-256 ViT-B schedule.json, BENCH_SUITE.json): static 6405 img/s
+    pruned vs 6267 dynamic (+2.2%, 93% of the bf16 roofline) but 5426 vs
+    5635 stock (−3.7%) — per-architecture routing advice in
+    docs/QUANTIZATION.md (small-C models win most from static).
   * Accumulation in int32 on the MXU, dequantized as
     ``acc · a_scale[i] · w_scale[j]`` before bias/activation.
 

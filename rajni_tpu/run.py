@@ -256,6 +256,10 @@ def main(argv=None):
 
     if args.calibrate and not args.quantize:
         raise ValueError("--calibrate requires --quantize")
+    if args.save_scales and not (args.quantize and args.calibrate):
+        # validate up front: the base-model evaluation can take a long
+        # time, and failing only afterwards would throw that work away
+        raise ValueError("--save_scales requires --quantize --calibrate N")
 
     # Calibration batches must be captured BEFORE quantize_params — the
     # calibration forward runs on the unquantized weights — and pushed
@@ -319,9 +323,11 @@ def main(argv=None):
 
     print("\nEvaluating RAJNI model")
     rajni_scales = calibrated_scales(schedule)
+    if calib_batches:
+        # free the device-resident calibration batches before the long
+        # evaluation — at batch 256 / 224px they pin ~0.15 GB each
+        calib_batches.clear()
     if args.save_scales:
-        if rajni_scales is None:
-            raise ValueError("--save_scales requires --quantize --calibrate N")
         rajni_scales.save(args.save_scales)
         print(f"Saved calibrated scales to {args.save_scales}")
     rajni_fn = make_model_fn(params, config, schedule, args.data_parallel,

@@ -426,3 +426,87 @@ def test_static_int8_stock_fallback_close(rng, monkeypatch):
     )
     assert np.isfinite(stat).all()
     assert np.abs(stat - ref).max() / np.abs(ref).max() < 0.2
+
+
+def _bias_perturbed_params(rng):
+    params = init_params(jax.random.key(0), CFG, jnp.float32)
+    blocks = []
+    for b in params["blocks"]:
+        b = jax.tree_util.tree_map(lambda x: x, b)  # shallow copy pytree
+        for path in (("attn", "qkv"), ("attn", "proj"), ("mlp", "fc1"),
+                     ("mlp", "fc2")):
+            d = b
+            for k in path[:-1]:
+                d = d[k]
+            leaf = d[path[-1]]
+            leaf["bias"] = leaf["bias"] + jnp.asarray(
+                rng.standard_normal(leaf["bias"].shape) * 0.5, jnp.float32
+            )
+        blocks.append(b)
+    params = dict(params, blocks=blocks)
+    params["head"] = dict(
+        params["head"],
+        bias=params["head"]["bias"] + jnp.asarray(
+            rng.standard_normal(params["head"]["bias"].shape) * 0.5,
+            jnp.float32,
+        ),
+    )
+    return params
+
+
+@pytest.mark.parametrize("route", ["whole_block", "attn_half", "two_kernel",
+                                   "bf16_tail"])
+def test_static_int8_nonzero_bias_parity(rng, monkeypatch, route):
+    """Static-scale parity with NONZERO biases on every kernel route —
+    the V-column fold must scale the V-third of the qkv bias too, and the
+    bf16 gather tail must never receive V-folded QKV."""
+    import rajni_tpu.kernels.block as blk
+    from rajni_tpu.quant import calibrate_act_scales
+
+    if route == "attn_half":
+        monkeypatch.setattr(blk, "_full_block_fits_int8",
+                            lambda *a, **k: False)
+    elif route == "two_kernel":
+        monkeypatch.setattr(blk, "_full_block_fits_int8",
+                            lambda *a, **k: False)
+        monkeypatch.setattr(blk, "_pruned_block_fits",
+                            lambda *a, **k: False)
+    elif route == "bf16_tail":
+        monkeypatch.setattr(blk, "_full_block_fits_int8",
+                            lambda *a, **k: False)
+        monkeypatch.setattr(blk, "_pruned_block_fits",
+                            lambda *a, **k: False)
+        monkeypatch.setattr(blk, "_gather_fits_fast",
+                            lambda *a, **k: False)
+
+    params = _bias_perturbed_params(rng)
+    sched = normalize_schedule({1: {"keep_ratio": 0.6}}, CFG.depth)
+    x = jnp.asarray(rng.standard_normal((2, 32, 32, 3)), jnp.float32)
+    scales = calibrate_act_scales(params, x, CFG, sched)
+    q = quantize_params(params)
+
+    ref = np.asarray(vit_forward(params, x, CFG, sched, "xla"))
+    dyn = np.asarray(vit_forward(q, x, CFG, sched, "pallas"))
+    stat = np.asarray(
+        jax.jit(vit_forward, static_argnums=(2, 3, 4, 5))(
+            q, x, CFG, sched, "pallas", scales
+        )
+    )
+    denom = np.abs(ref).max()
+    # the static path must stay in the same error class as dynamic int8
+    assert np.abs(dyn - ref).max() / denom < 0.1
+    assert np.abs(stat - ref).max() / denom < 0.1
+    assert np.abs(stat - dyn).max() / denom < 0.1
+
+
+def test_static_int8_nonzero_bias_stock(rng):
+    """Stock (no schedule) whole-block static route with nonzero biases."""
+    from rajni_tpu.quant import calibrate_act_scales
+
+    params = _bias_perturbed_params(rng)
+    x = jnp.asarray(rng.standard_normal((2, 32, 32, 3)), jnp.float32)
+    scales = calibrate_act_scales(params, x, CFG)
+    q = quantize_params(params)
+    ref = np.asarray(vit_forward(params, x, CFG, None, "xla"))
+    stat = np.asarray(vit_forward(q, x, CFG, None, "pallas", scales))
+    assert np.abs(stat - ref).max() / np.abs(ref).max() < 0.1
