@@ -43,6 +43,10 @@ VIT_B_384_MIXED = {
     5: {"keep_ratio": 0.85}, 6: {"keep_ratio": 0.85},
     7: {"keep_ratio": 0.95},
 }
+VIT_H_PROBE = {  # large-model routing probe: keep-0.7 at 4 of 32 blocks
+    5: {"keep_ratio": 0.7}, 10: {"keep_ratio": 0.7},
+    15: {"keep_ratio": 0.7}, 20: {"keep_ratio": 0.7},
+}
 
 
 from rajni_tpu.utils.flops import flops_per_image, mfu  # noqa: E402
@@ -80,32 +84,82 @@ def measure(model, schedule, batch, iters, impl, device=None, warmup=3,
     return img_s, tokens
 
 
+# The five BASELINE.json bf16 configs: (key, model, schedule, batch).
+BF16_ROWS = [
+    ("vit_b16_readme_schedule", "vit_base_patch16_224",
+     README_SCHEDULE, 256),
+    ("deit_s_dynamic_rescoring", "deit_small_patch16_224",
+     DEIT_S_DYNAMIC, 256),
+    ("vit_l16_aggressive_b256", "vit_large_patch16_224",
+     VIT_L_AGGRESSIVE, 256),
+    ("vit_b16_384_mixed", "vit_base_patch16_384",
+     VIT_B_384_MIXED, 128),
+    # ViT-H/14: exercises the C=1280 routing (the whole-block kernel
+    # plans refuse at this width — split attention-half + MLP kernels).
+    ("vit_h14_probe", "vit_huge_patch14_224", VIT_H_PROBE, 128),
+]
+
+# Opt-in int8 rows (numerics differ from the reference bf16 semantics —
+# reported separately, never as the headline): (key, model, schedule,
+# batch, calibrate). calibrate=True is the calibrated static-scale PTQ
+# mode (rajni_tpu.quant.calibrate_act_scales) — activation scales become
+# compile-time constants instead of per-row dynamic absmax.
+#   * DeiT-S rows close VERDICT r2 weak #5 (docs quoted a one-off run the
+#     suite never recorded); at C=384 static wins BOTH pruned and stock
+#     big — the quantize passes are a large share of thin-matmul work.
+#   * ViT-L records the dynamic mode (static is a wash at C=1024's
+#     arithmetic intensity).
+#   * ViT-B/384 and ViT-H rows back the docs/QUANTIZATION.md routing
+#     table with suite artifacts (they previously cited one-off runs).
+INT8_ROWS = [
+    ("vit_b16_schedulejson_int8", "vit_base_patch16_224",
+     REFERENCE_SCHEDULE, 256, False),
+    ("vit_b16_schedulejson_int8_static", "vit_base_patch16_224",
+     REFERENCE_SCHEDULE, 256, True),
+    ("deit_s_dynamic_int8", "deit_small_patch16_224",
+     DEIT_S_DYNAMIC, 256, False),
+    ("deit_s_dynamic_int8_static", "deit_small_patch16_224",
+     DEIT_S_DYNAMIC, 256, True),
+    ("vit_l16_aggressive_int8", "vit_large_patch16_224",
+     VIT_L_AGGRESSIVE, 256, False),
+    ("vit_b16_384_int8", "vit_base_patch16_384",
+     VIT_B_384_MIXED, 128, False),
+    ("vit_b16_384_int8_static", "vit_base_patch16_384",
+     VIT_B_384_MIXED, 128, True),
+    ("vit_h14_probe_int8", "vit_huge_patch14_224",
+     VIT_H_PROBE, 128, False),
+    ("vit_h14_probe_int8_static", "vit_huge_patch14_224",
+     VIT_H_PROBE, 128, True),
+]
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--only", default=None, metavar="SUBSTR",
+                    help="run only configs whose key contains SUBSTR "
+                         "(measure a subset without re-running the suite; "
+                         "merge the printed rows into BENCH_SUITE.json)")
     args = ap.parse_args()
+
+    def wanted(key):
+        return args.only is None or args.only in key
 
     on_tpu = jax.default_backend() == "tpu"
     impl = "pallas" if on_tpu else "xla"
     results = []
 
     # 1. identity schedule, batch 1, CPU
-    cpu = jax.devices("cpu")[0]
-    img_s, _ = measure("vit_base_patch16_224", None, 1, 5, "xla", cpu)
-    results.append({"config": "vit_b16_identity_batch1_cpu",
-                    "img_per_s": round(img_s, 2)})
+    if wanted("vit_b16_identity_batch1_cpu"):
+        cpu = jax.devices("cpu")[0]
+        img_s, _ = measure("vit_base_patch16_224", None, 1, 5, "xla", cpu)
+        results.append({"config": "vit_b16_identity_batch1_cpu",
+                        "img_per_s": round(img_s, 2)})
 
-    # 2-5 on the accelerator
-    for key, model, sched, batch in [
-        ("vit_b16_readme_schedule", "vit_base_patch16_224",
-         README_SCHEDULE, 256),
-        ("deit_s_dynamic_rescoring", "deit_small_patch16_224",
-         DEIT_S_DYNAMIC, 256),
-        ("vit_l16_aggressive_b256", "vit_large_patch16_224",
-         VIT_L_AGGRESSIVE, 256),
-        ("vit_b16_384_mixed", "vit_base_patch16_384",
-         VIT_B_384_MIXED, 128),
-    ]:
+    # bf16 rows on the accelerator
+    for key, model, sched, batch in BF16_ROWS:
+        if not wanted(key):
+            continue
         pruned, tokens = measure(model, sched, batch, args.iters, impl)
         base, _ = measure(model, None, batch, args.iters, impl)
         cfg = get_config(model)
@@ -120,97 +174,26 @@ def main():
             "impl": impl,
         })
 
-    # Opt-in int8 record on the headline model (numerics differ from the
-    # reference bf16 semantics — reported separately, never as the headline).
     if on_tpu:
-        pruned, _ = measure("vit_base_patch16_224", REFERENCE_SCHEDULE,
-                            256, args.iters,
-                            impl, quantize=True)
-        base, _ = measure("vit_base_patch16_224", None, 256, args.iters,
-                          impl, quantize=True)
-        cfg = get_config("vit_base_patch16_224")
-        tokens = model_stats(
-            cfg, normalize_schedule(REFERENCE_SCHEDULE, cfg.depth)
-        )["token_counts"]
-        results.append({
-            "config": "vit_b16_schedulejson_int8",
-            "img_per_s": round(pruned, 1),
-            "base_img_per_s": round(base, 1),
-            "speedup": round(pruned / base, 4),
-            # against the bf16 peak: >1.0 is possible once int8 MXU rate
-            # (2x) dominates — quoted this way so the bf16/int8 columns
-            # share a denominator
-            "mfu_vs_bf16_peak": round(mfu(cfg, tokens, pruned), 4),
-            "impl": f"{impl}+int8",
-        })
-
-        # Calibrated static-scale int8 (rajni_tpu.quant.calibrate_act_scales):
-        # same model/schedule as the row above, activations quantized with
-        # compile-time scales instead of per-row dynamic absmax.
-        pruned, _ = measure("vit_base_patch16_224", REFERENCE_SCHEDULE,
-                            256, args.iters, impl, quantize=True,
-                            calibrate=True)
-        base, _ = measure("vit_base_patch16_224", None, 256, args.iters,
-                          impl, quantize=True, calibrate=True)
-        results.append({
-            "config": "vit_b16_schedulejson_int8_static",
-            "img_per_s": round(pruned, 1),
-            "base_img_per_s": round(base, 1),
-            "speedup": round(pruned / base, 4),
-            "mfu_vs_bf16_peak": round(mfu(cfg, tokens, pruned), 4),
-            "impl": f"{impl}+int8-static",
-        })
-
-        # DeiT-S int8 (VERDICT r2 weak #5: the docs quoted a one-off
-        # 12585/11466 run the suite never recorded — record it properly)
-        pruned, tokens = measure("deit_small_patch16_224", DEIT_S_DYNAMIC,
-                                 256, args.iters, impl, quantize=True)
-        base, _ = measure("deit_small_patch16_224", None, 256, args.iters,
-                          impl, quantize=True)
-        cfg = get_config("deit_small_patch16_224")
-        results.append({
-            "config": "deit_s_dynamic_int8",
-            "img_per_s": round(pruned, 1),
-            "base_img_per_s": round(base, 1),
-            "speedup": round(pruned / base, 4),
-            "mfu_vs_bf16_peak": round(mfu(cfg, tokens, pruned), 4),
-            "impl": f"{impl}+int8",
-        })
-
-        # DeiT-S int8 + calibrated static scales: at C=384 the per-row
-        # quantize passes are a much larger fraction of the (small) matmul
-        # work than at C=768 — static scales measured +6.5% pruned / +8.7%
-        # stock here, the opposite sign of ViT-B's stock regression.
-        pruned, tokens = measure("deit_small_patch16_224", DEIT_S_DYNAMIC,
-                                 256, args.iters, impl, quantize=True,
-                                 calibrate=True)
-        base, _ = measure("deit_small_patch16_224", None, 256, args.iters,
-                          impl, quantize=True, calibrate=True)
-        results.append({
-            "config": "deit_s_dynamic_int8_static",
-            "img_per_s": round(pruned, 1),
-            "base_img_per_s": round(base, 1),
-            "speedup": round(pruned / base, 4),
-            "mfu_vs_bf16_peak": round(mfu(cfg, tokens, pruned), 4),
-            "impl": f"{impl}+int8-static",
-        })
-
-        # ViT-L aggressive + int8: the large-model capability row (whole-
-        # block int8 kernels at C=1024 still fit VMEM; static scales are a
-        # wash at this arithmetic intensity, so record the dynamic mode).
-        pruned, tokens = measure("vit_large_patch16_224", VIT_L_AGGRESSIVE,
-                                 256, args.iters, impl, quantize=True)
-        base, _ = measure("vit_large_patch16_224", None, 256, args.iters,
-                          impl, quantize=True)
-        cfg = get_config("vit_large_patch16_224")
-        results.append({
-            "config": "vit_l16_aggressive_int8",
-            "img_per_s": round(pruned, 1),
-            "base_img_per_s": round(base, 1),
-            "speedup": round(pruned / base, 4),
-            "mfu_vs_bf16_peak": round(mfu(cfg, tokens, pruned), 4),
-            "impl": f"{impl}+int8",
-        })
+        for key, model, sched, batch, calibrate in INT8_ROWS:
+            if not wanted(key):
+                continue
+            pruned, tokens = measure(model, sched, batch, args.iters, impl,
+                                     quantize=True, calibrate=calibrate)
+            base, _ = measure(model, None, batch, args.iters, impl,
+                              quantize=True, calibrate=calibrate)
+            cfg = get_config(model)
+            results.append({
+                "config": key,
+                "img_per_s": round(pruned, 1),
+                "base_img_per_s": round(base, 1),
+                "speedup": round(pruned / base, 4),
+                # against the bf16 peak: >1.0 is possible once the int8
+                # MXU rate (2x) dominates — quoted this way so the
+                # bf16/int8 columns share a denominator
+                "mfu_vs_bf16_peak": round(mfu(cfg, tokens, pruned), 4),
+                "impl": f"{impl}+int8" + ("-static" if calibrate else ""),
+            })
 
     for r in results:
         print(json.dumps(r))
