@@ -13,8 +13,9 @@ module is the TPU-native capability equivalent and more: a 2-D
     ICI automatically.
 
 Everything goes through ``jax.jit`` with sharding annotations — no manual
-collectives, no NCCL-style process groups. Multi-host would only add
-``jax.distributed.initialize``; the sharded program is unchanged.
+collectives, no NCCL-style process groups. Multi-host (DCN) lives in
+:mod:`rajni_tpu.parallel.multihost`: ``jax.distributed.initialize`` plus
+per-process batch assembly; the sharded program itself is unchanged.
 """
 
 from __future__ import annotations

@@ -76,6 +76,20 @@ def get_args(argv=None):
                         help="Use N synthetic batches instead of --data_path")
     parser.add_argument("--data_parallel", action="store_true",
                         help="Shard batches across all local devices")
+    parser.add_argument("--distributed", action="store_true",
+                        help="Multi-HOST (DCN) data parallelism: join the "
+                             "JAX multi-controller runtime, shard the "
+                             "dataset per process, evaluate over the "
+                             "global mesh (rajni_tpu.parallel.multihost). "
+                             "Launch one identical process per host.")
+    parser.add_argument("--coordinator", type=str, default=None,
+                        metavar="HOST:PORT",
+                        help="With --distributed off a TPU pod: the "
+                             "coordinator address (pods autodetect)")
+    parser.add_argument("--num_processes", type=int, default=None,
+                        help="With --coordinator: total process count")
+    parser.add_argument("--process_id", type=int, default=None,
+                        help="With --coordinator: this process's index")
     parser.add_argument("--kernels", type=str, default="auto",
                         choices=["auto", "xla", "pallas"],
                         help="Attention/MLP backend: fused Pallas kernels "
@@ -194,6 +208,25 @@ def main(argv=None):
     for k, v in vars(args).items():
         print(f"  {k}: {v}")
 
+    if args.distributed:
+        # must run before the first jax.devices() — joining the
+        # multi-controller runtime changes what that call returns
+        from .parallel import multihost
+
+        if args.quantize and args.calibrate:
+            raise ValueError(
+                "--calibrate with --distributed is unsupported: per-host "
+                "calibration batches would bake DIFFERENT static scales "
+                "into each controller's program (undefined SPMD). "
+                "Calibrate single-host with --save_scales and bake the "
+                "scales at export time (rajni_tpu.export --act_scales)."
+            )
+        multihost.initialize(args.coordinator, args.num_processes,
+                             args.process_id)
+        print(f"Distributed: process {jax.process_index()} of "
+              f"{jax.process_count()}, {len(jax.local_devices())} local / "
+              f"{len(jax.devices())} global devices")
+
     device = None
     if args.device:
         device = jax.devices(args.device)[0]
@@ -242,6 +275,33 @@ def main(argv=None):
         )
         print(f"\nLoaded validation set: {len(dataset)} images, "
               f"{len(dataset.classes)} classes")
+
+    if args.distributed and jax.process_count() > 1:
+        # per-process dataset shard: each host loads 1/Nth of the samples
+        # and feeds 1/Nth of the global batch (the interleaved split is
+        # the standard distributed-sampler layout; accuracy counters are
+        # order-invariant, so accounting matches the single-host run)
+        pid, nproc = jax.process_index(), jax.process_count()
+        if args.batch_size % nproc:
+            raise ValueError(
+                f"--batch_size {args.batch_size} must be divisible by the "
+                f"process count {nproc} (it is the GLOBAL batch)"
+            )
+        if args.synthetic is not None:
+            loader = SyntheticLoader(
+                num_batches=args.synthetic,
+                batch_size=args.batch_size // nproc,
+                img_size=config.img_size,
+                num_classes=config.num_classes,
+                seed=args.seed + 100003 * pid,  # distinct data per host
+            )
+        else:
+            dataset.samples = dataset.samples[pid::nproc]
+            loader = DataLoader(
+                dataset, batch_size=args.batch_size // nproc,
+                num_workers=args.num_workers,
+            )
+            print(f"Process {pid}: local shard {len(dataset)} images")
 
     # ---- Params ----
     if args.checkpoint:
@@ -296,17 +356,34 @@ def main(argv=None):
               f"({'pruned' if sched else 'base'} forward)")
         return scales
 
+    def run_eval(sched, act_scales):
+        """Dispatch one evaluation: multi-host, single-host DP, or plain."""
+        if args.distributed:
+            from .parallel.multihost import (
+                evaluate_model_multihost,
+                global_mesh,
+            )
+
+            return evaluate_model_multihost(
+                params, config, sched, loader,
+                mesh=global_mesh(), impl=kernels,
+                max_batches=args.max_batches, warmup=args.warmup,
+                act_scales=act_scales,
+                stage=make_preprocess_stage(args.preprocess, config, dtype),
+            )
+        fn = make_model_fn(params, config, sched, args.data_parallel,
+                           kernels, args.preprocess, dtype,
+                           act_scales=act_scales)
+        return evaluate_model(
+            fn, loader, device=device,
+            warmup=args.warmup, max_batches=args.max_batches,
+        )
+
     # ---- Base model (optional comparison, reference run.py:97-110) ----
     base_acc = base_tput = None
     if args.compare_base:
         print("\nEvaluating BASE model")
-        base_fn = make_model_fn(params, config, None, args.data_parallel,
-                                kernels, args.preprocess, dtype,
-                                act_scales=calibrated_scales(None))
-        base_acc, base_tput = evaluate_model(
-            base_fn, loader, device=device,
-            warmup=args.warmup, max_batches=args.max_batches,
-        )
+        base_acc, base_tput = run_eval(None, calibrated_scales(None))
         print(f"Base  - Accuracy: {base_acc:.2f}%, "
               f"Throughput: {base_tput:.1f} img/s")
 
@@ -330,9 +407,6 @@ def main(argv=None):
     if args.save_scales:
         rajni_scales.save(args.save_scales)
         print(f"Saved calibrated scales to {args.save_scales}")
-    rajni_fn = make_model_fn(params, config, schedule, args.data_parallel,
-                             kernels, args.preprocess, dtype,
-                             act_scales=rajni_scales)
     import contextlib
 
     if args.profile:
@@ -341,10 +415,7 @@ def main(argv=None):
     else:
         trace_cm = contextlib.nullcontext()
     with trace_cm:
-        rajni_acc, rajni_tput = evaluate_model(
-            rajni_fn, loader, device=device,
-            warmup=args.warmup, max_batches=args.max_batches,
-        )
+        rajni_acc, rajni_tput = run_eval(schedule, rajni_scales)
     print(f"RAJNI - Accuracy: {rajni_acc:.2f}%, "
           f"Throughput: {rajni_tput:.1f} img/s")
 

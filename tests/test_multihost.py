@@ -1,0 +1,193 @@
+"""Multi-host (DCN) data parallelism: rajni_tpu.parallel.multihost.
+
+Two layers of coverage:
+
+  * in-process: the multihost API degrades gracefully on a single
+    process — ``multihost_eval_step`` / ``evaluate_model_multihost`` on
+    the conftest 8-device CPU mesh must reproduce the plain eval's
+    accounting exactly (both backends);
+  * cross-process: REAL multi-controller runs — two subprocesses, two
+    virtual CPU devices each, gloo collectives over localhost
+    (tests/multihost_worker.py) — every process must report the same
+    global accuracy, and it must match a single-process reference on the
+    union of both hosts' data. This is SURVEY.md §4's
+    multi-chip-without-a-cluster trick, extended to multi-host.
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rajni_tpu.models.vit import ViTConfig, init_params, vit_forward
+from rajni_tpu.parallel import multihost
+from rajni_tpu.parallel.mesh import make_mesh
+from rajni_tpu.utils.schedule import normalize_schedule
+
+CFG = ViTConfig(img_size=32, patch_size=8, embed_dim=64, depth=3,
+                num_heads=4, mlp_ratio=2.0, num_classes=13)
+SCHED = normalize_schedule({1: {"keep_ratio": 0.7}}, CFG.depth)
+
+
+def _params():
+    return init_params(jax.random.key(0), CFG, jnp.float32)
+
+
+@pytest.mark.parametrize("impl", ["xla", "pallas"])
+def test_multihost_eval_step_single_process(rng, impl):
+    """Counters from the (mesh-sharded) step equal host-side accounting;
+    label -1 rows count toward neither numerator nor denominator."""
+    params = _params()
+    mesh = make_mesh(jax.devices()[:8], data=8, model=1)
+    step = multihost.multihost_eval_step(CFG, SCHED, mesh, impl)
+    gparams = multihost.replicate_to_global(params, mesh)
+
+    x = rng.standard_normal((16, 32, 32, 3)).astype(np.float32)
+    labels = rng.integers(0, 13, size=(16,)).astype(np.int32)
+    labels[13:] = -1  # padding rows
+
+    gx, gy = multihost.host_to_global((x, labels), mesh)
+    c, t = step(gparams, gx, gy)
+
+    ref_logits = np.asarray(vit_forward(params, jnp.asarray(x), CFG, SCHED))
+    preds = ref_logits.argmax(axis=1)
+    want_c = int(((preds == labels) & (labels >= 0)).sum())
+    assert int(t) == 13
+    assert int(c) == want_c
+
+
+def test_evaluate_model_multihost_single_process(rng):
+    """The full eval loop (warmup, padding, timing) on one process."""
+    params = _params()
+    batches = [
+        (rng.standard_normal((8, 32, 32, 3)).astype(np.float32),
+         rng.integers(0, 13, size=(8,)).astype(np.int32))
+        for _ in range(3)
+    ]
+    # partial final batch exercises _pad_local
+    batches.append(
+        (rng.standard_normal((5, 32, 32, 3)).astype(np.float32),
+         rng.integers(0, 13, size=(5,)).astype(np.int32))
+    )
+    mesh = make_mesh(jax.devices()[:8], data=8, model=1)
+    acc, thr = multihost.evaluate_model_multihost(
+        params, CFG, SCHED, batches, mesh=mesh, warmup=1
+    )
+
+    correct = total = 0
+    for x, y in batches:
+        logits = np.asarray(vit_forward(params, jnp.asarray(x), CFG, SCHED))
+        correct += int((logits.argmax(axis=1) == y).sum())
+        total += len(y)
+    assert acc == pytest.approx(100.0 * correct / total)
+    assert thr > 0
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def _run_workers(impl: str, nproc: int = 2, timeout: int = 240):
+    port = _free_port()
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    env.update(
+        JAX_PLATFORMS="cpu",
+        PALLAS_AXON_POOL_IPS="",  # hermetic: never touch the TPU tunnel
+        WORKER_CPU_DEVICES="2",
+        PYTHONPATH=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    worker = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "multihost_worker.py")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(port), str(i), str(nproc), impl],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            text=True,
+        )
+        for i in range(nproc)
+    ]
+    outs = []
+    for p in procs:
+        out, err = p.communicate(timeout=timeout)
+        assert p.returncode == 0, f"worker failed:\n{out}\n{err}"
+        outs.append(json.loads(out.strip().splitlines()[-1]))
+    return outs
+
+
+def test_cli_distributed_two_process(tmp_path):
+    """End-to-end CLI: two `python -m rajni_tpu.run --distributed`
+    processes form one runtime, shard the synthetic data, and report the
+    same global accuracy."""
+    sched = tmp_path / "sched.json"
+    sched.write_text(json.dumps({"3": {"keep_ratio": 0.9}}))
+    port = _free_port()
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    env.update(
+        JAX_PLATFORMS="cpu",
+        XLA_FLAGS="--xla_force_host_platform_device_count=2",
+        PALLAS_AXON_POOL_IPS="",
+        PYTHONPATH=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-m", "rajni_tpu.run", "--distributed",
+             "--coordinator", f"localhost:{port}",
+             "--num_processes", "2", "--process_id", str(i),
+             "--synthetic", "3", "--batch_size", "8",
+             "--model", "vit_tiny_patch16_224", "--schedule", str(sched),
+             "--warmup", "1", "--kernels", "xla", "--dtype", "float32"],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            text=True,
+        )
+        for i in range(2)
+    ]
+    accs = []
+    for p in procs:
+        out, err = p.communicate(timeout=240)
+        assert p.returncode == 0, f"CLI worker failed:\n{out}\n{err}"
+        assert "Distributed: process" in out
+        line = [ln for ln in out.splitlines() if ln.startswith("RAJNI - ")]
+        assert line, out
+        accs.append(float(line[0].split("Accuracy: ")[1].split("%")[0]))
+    assert accs[0] == pytest.approx(accs[1])
+
+
+@pytest.mark.parametrize("impl", ["xla", "pallas"])
+def test_two_process_eval_agrees_with_reference(rng, impl):
+    """Real cross-process collectives: both controllers report identical
+    global accuracy, equal to a single-process forward over the union of
+    both hosts' local data (same seeds as the worker)."""
+    outs = _run_workers(impl)
+    assert outs[0]["devices"] == 4  # 2 processes x 2 virtual devices
+    assert outs[0]["acc"] == pytest.approx(outs[1]["acc"])
+
+    # reference: replay the worker's deterministic dataset on one process
+    params = _params()
+    data_rng = np.random.default_rng(7)
+    batches = [
+        (data_rng.standard_normal((8, 32, 32, 3)).astype(np.float32),
+         data_rng.integers(0, 13, size=(8,)).astype(np.int32))
+        for _ in range(3)
+    ]
+    batches.append(
+        (data_rng.standard_normal((6, 32, 32, 3)).astype(np.float32),
+         data_rng.integers(0, 13, size=(6,)).astype(np.int32))
+    )
+    correct = total = 0
+    for x, y in batches:
+        logits = np.asarray(vit_forward(params, jnp.asarray(x), CFG, SCHED))
+        correct += int((logits.argmax(axis=1) == y).sum())
+        total += len(y)
+    assert outs[0]["acc"] == pytest.approx(100.0 * correct / total)
