@@ -108,7 +108,35 @@ def main(argv=None):
                    help="Param dtype (fp32 default: optimizer stability)")
     p.add_argument("--log_every", type=int, default=10)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--distributed", action="store_true",
+                   help="Multi-HOST data-parallel training: join the JAX "
+                        "multi-controller runtime; each process feeds its "
+                        "shard of the global batch, gradients all-reduce "
+                        "over DCN (rajni_tpu.parallel.multihost)")
+    p.add_argument("--coordinator", type=str, default=None,
+                   metavar="HOST:PORT",
+                   help="With --distributed off a TPU pod: coordinator "
+                        "address (pods autodetect)")
+    p.add_argument("--num_processes", type=int, default=None)
+    p.add_argument("--process_id", type=int, default=None)
     args = p.parse_args(argv)
+
+    mesh = None
+    if args.distributed:
+        # before the first jax.devices() — joining the runtime changes it
+        from .parallel import multihost
+
+        multihost.initialize(args.coordinator, args.num_processes,
+                             args.process_id)
+        pid, nproc = jax.process_index(), jax.process_count()
+        if args.batch_size % max(nproc, 1):
+            raise ValueError(
+                f"--batch_size {args.batch_size} (the GLOBAL batch) must "
+                f"be divisible by the process count {nproc}"
+            )
+        print(f"Distributed: process {pid} of {nproc}, "
+              f"{len(jax.local_devices())} local / "
+              f"{len(jax.devices())} global devices")
 
     config = get_config(args.model)
     schedule = (
@@ -127,15 +155,30 @@ def main(argv=None):
     step_fn = jax.jit(make_train_step(config, schedule, tx),
                       donate_argnums=(0,))
 
+    local_batch = args.batch_size
+    if args.distributed:
+        from .parallel import multihost
+
+        mesh = multihost.global_mesh()
+        # replicate the whole train state onto the global mesh; gradients
+        # (and so the updated params) come back replicated because the
+        # loss is a mean over the data-sharded batch — XLA inserts the
+        # cross-host all-reduce
+        state = multihost.replicate_to_global(state, mesh)
+        local_batch = args.batch_size // jax.process_count()
+
     if args.synthetic or args.data_path is None:
         if args.data_path is None and not args.synthetic:
             raise ValueError("provide --data_path or --synthetic")
-        rng = np.random.default_rng(args.seed)
+        seed = args.seed + (
+            100003 * jax.process_index() if args.distributed else 0
+        )
+        rng = np.random.default_rng(seed)
         images = rng.standard_normal(
-            (args.batch_size, config.img_size, config.img_size, 3)
+            (local_batch, config.img_size, config.img_size, 3)
         ).astype(np.float32)
         labels = rng.integers(
-            0, config.num_classes, args.batch_size
+            0, config.num_classes, local_batch
         ).astype(np.int32)
 
         def batches():
@@ -146,28 +189,43 @@ def main(argv=None):
         from .data.pipeline import DataLoader, ImageFolder
 
         dataset = ImageFolder(args.data_path, img_size=config.img_size)
-        loader = DataLoader(dataset, batch_size=args.batch_size)
+        if args.distributed and jax.process_count() > 1:
+            # interleaved per-process shard (the distributed-sampler split)
+            dataset.samples = dataset.samples[
+                jax.process_index()::jax.process_count()
+            ]
+        loader = DataLoader(dataset, batch_size=local_batch)
         print(f"training on {len(dataset)} images, "
               f"{len(dataset.classes)} classes")
 
         def batches():
             while True:
                 for im, lb in loader:
-                    if im.shape[0] == args.batch_size:  # static shapes only
+                    if im.shape[0] == local_batch:  # static shapes only
                         yield im, lb.astype(np.int32)
         batch_iter = batches()
 
     for step in range(1, args.steps + 1):
         im, lb = next(batch_iter)
-        state, metrics = step_fn(state, jnp.asarray(im), jnp.asarray(lb))
+        if mesh is not None:
+            from .parallel import multihost
+
+            im, lb = multihost.host_to_global(
+                (np.asarray(im), np.asarray(lb).astype(np.int32)), mesh
+            )
+            state, metrics = step_fn(state, im, lb)
+        else:
+            state, metrics = step_fn(state, jnp.asarray(im), jnp.asarray(lb))
         if step % args.log_every == 0 or step == args.steps:
             print(f"step {step:6d}  loss {float(metrics['loss']):.4f}  "
                   f"acc {float(metrics['accuracy']):.3f}")
 
     from .params.io import save_params
 
-    save_params(args.output, state.params)
-    print(f"saved fine-tuned params -> {args.output}")
+    if not args.distributed or jax.process_index() == 0:
+        # params are fully replicated — one copy on disk is the checkpoint
+        save_params(args.output, state.params)
+        print(f"saved fine-tuned params -> {args.output}")
     return state
 
 

@@ -164,6 +164,101 @@ def test_cli_distributed_two_process(tmp_path):
     assert accs[0] == pytest.approx(accs[1])
 
 
+def test_cli_distributed_training_matches_single_process(tmp_path):
+    """Two-process `python -m rajni_tpu.train --distributed` produces the
+    same final params as a single-process run on the union of both hosts'
+    batches — i.e. the cross-host gradient all-reduce is a true global
+    mean, not two diverging local optimizations."""
+    sched_path = tmp_path / "sched.json"
+    sched_path.write_text(json.dumps({"3": {"keep_ratio": 0.9}}))
+    out = tmp_path / "ft.msgpack"
+    port = _free_port()
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    env.update(
+        JAX_PLATFORMS="cpu",
+        XLA_FLAGS="--xla_force_host_platform_device_count=2",
+        PALLAS_AXON_POOL_IPS="",
+        PYTHONPATH=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-m", "rajni_tpu.train", "--distributed",
+             "--coordinator", f"localhost:{port}",
+             "--num_processes", "2", "--process_id", str(i),
+             "--synthetic", "--model", "vit_tiny_patch16_224",
+             "--schedule", str(sched_path), "--steps", "3",
+             "--batch_size", "8", "--lr", "1e-3", "--dtype", "float32",
+             "--log_every", "1", "--output", str(out)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            text=True,
+        )
+        for i in range(2)
+    ]
+    traj = []
+    for p in procs:
+        o, e = p.communicate(timeout=240)
+        assert p.returncode == 0, f"train worker failed:\n{o}\n{e}"
+        traj.append([
+            float(ln.split("loss")[1].split()[0])
+            for ln in o.splitlines() if ln.startswith("step")
+        ])
+    assert len(traj[0]) == 3
+    # both controllers see the same replicated global loss every step
+    assert traj[0] == pytest.approx(traj[1])
+    assert out.exists()
+
+    # single-process reference: the same global batch (concat of both
+    # hosts' seed-derived slices), same init, same optimizer
+    from rajni_tpu.models.vit import get_config
+    from rajni_tpu.params.io import load_params
+    from rajni_tpu.train import create_train_state, make_train_step
+    from rajni_tpu.utils.schedule import load_schedule
+
+    cfg = get_config("vit_tiny_patch16_224")
+    sched = load_schedule(str(sched_path), cfg.depth)
+    parts = []
+    for pid in range(2):
+        r = np.random.default_rng(0 + 100003 * pid)
+        parts.append((
+            r.standard_normal((4, cfg.img_size, cfg.img_size, 3))
+            .astype(np.float32),
+            r.integers(0, cfg.num_classes, 4).astype(np.int32),
+        ))
+    gx = np.concatenate([p[0] for p in parts])
+    gy = np.concatenate([p[1] for p in parts])
+
+    params0 = init_params(jax.random.key(0), cfg, jnp.float32)
+    state, tx = create_train_state(params0, 1e-3, 0.05)
+    step = jax.jit(make_train_step(cfg, sched, tx))
+    ref_traj = []
+    for _ in range(3):
+        state, metrics = step(state, jnp.asarray(gx), jnp.asarray(gy))
+        ref_traj.append(float(metrics["loss"]))
+    # the whole LOSS TRAJECTORY must match the single-process run on the
+    # union batch: local-only (unsynced) training would diverge from the
+    # global-mean trajectory after the very first update
+    assert traj[0] == pytest.approx(ref_traj, abs=1e-3)
+
+    # Param parity is asserted leaf-wise at two scales. Leaves with real
+    # gradient signal must match tightly; a blanket bit-tolerance is NOT
+    # available because Adam normalizes away gradient magnitude — for
+    # parameters whose true gradient is ~0 (e.g. the K third of the qkv
+    # bias: shifting K by a constant is softmax-invariant) the "gradient"
+    # is pure fp noise and the update is lr-scale noise whose SIGN flips
+    # with reduction order. Bound those by the Adam noise scale lr*steps.
+    got = load_params(str(out))
+    lr_scale = 1e-3 * 3
+    for key in ("head", "patch_embed", "cls_token", "pos_embed"):
+        for w, g in zip(jax.tree_util.tree_leaves(state.params[key]),
+                        jax.tree_util.tree_leaves(got[key])):
+            np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                       atol=5e-5, rtol=1e-3)
+    for w, g in zip(jax.tree_util.tree_leaves(state.params),
+                    jax.tree_util.tree_leaves(got)):
+        assert np.abs(np.asarray(g) - np.asarray(w)).max() < lr_scale
+
+
 @pytest.mark.parametrize("impl", ["xla", "pallas"])
 def test_two_process_eval_agrees_with_reference(rng, impl):
     """Real cross-process collectives: both controllers report identical
