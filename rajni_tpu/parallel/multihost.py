@@ -73,6 +73,13 @@ def initialize(
             num_processes=num_processes,
             process_id=process_id,
         )
+    elif num_processes is not None or process_id is not None:
+        # silently autodetecting while discarding explicit (possibly
+        # conflicting) topology args would be a debugging trap
+        raise ValueError(
+            "num_processes/process_id require coordinator_address "
+            "(pass all three, or none for TPU-pod autodetection)"
+        )
     jax.distributed.initialize(**kwargs)
 
 
@@ -190,33 +197,55 @@ def multihost_eval_step(
 def _fence_local(tree) -> None:
     """Multi-host-safe fence: a cross-host-sharded array is not fully
     addressable, so :func:`rajni_tpu.utils.timing.fence`'s one-element
-    ``device_get`` would raise — pull the probe element from one of THIS
+    ``device_get`` would raise — pull a ONE-ELEMENT probe from one of THIS
     process's shards instead (completion of the local shards is what the
-    H2D-outside-the-timed-region accounting needs)."""
+    H2D-outside-the-timed-region accounting needs; materializing the whole
+    shard would drag megabytes over the tunnel per batch)."""
     tree = jax.block_until_ready(tree)
     for leaf in jax.tree_util.tree_leaves(tree):
         shards = getattr(leaf, "addressable_shards", None)
         if shards:
-            np.asarray(shards[0].data).ravel()[:1]
+            np.asarray(jax.device_get(shards[0].data.ravel()[:1]))
 
 
-def _pad_local(images, labels, divisor: int):
-    """Pad a host-local batch to a multiple of the host's data-axis share
-    (padding labels are -1 so :func:`multihost_eval_step` ignores them)."""
+def _pad_to_local(images, labels, b_loc: int):
+    """Pad a host-local batch up to the FIXED per-host batch ``b_loc``
+    (padding labels are -1 so :func:`multihost_eval_step` ignores them).
+    One shape ⇒ one compiled program: a variable-size final batch would
+    otherwise recompile INSIDE the timed region (~30 s on the tunnel —
+    the same hazard :func:`rajni_tpu.eval._pad_to` guards single-host)."""
+    from ..eval import _pad_to
+
     b = labels.shape[0]
-    pad = (-b) % divisor
-    if pad == 0:
-        return images, labels
-    pad_leaf = lambda a: np.concatenate(  # noqa: E731
-        [np.asarray(a),
-         np.zeros((pad,) + tuple(np.asarray(a).shape[1:]),
-                  np.asarray(a).dtype)], axis=0)
-    images = (tuple(pad_leaf(e) for e in images)
-              if isinstance(images, tuple) else pad_leaf(images))
-    labels = np.concatenate(
-        [np.asarray(labels), np.full((pad,), -1, np.asarray(labels).dtype)]
+    if b > b_loc:
+        raise ValueError(
+            f"batch of {b} rows exceeds the steady per-host batch {b_loc} "
+            "(the first batch must be the largest — reference protocol)"
+        )
+    return (
+        _pad_to(images, b_loc),
+        np.concatenate(
+            [np.asarray(labels),
+             np.full((b_loc - b,), -1, np.asarray(labels).dtype)]
+        ),
     )
-    return images, labels
+
+
+def steps_for(total_rows: int, global_batch: int, processes: int) -> int:
+    """The number of eval/train steps EVERY process must execute for a
+    ``total_rows``-sample dataset split interleaved over ``processes``
+    hosts at ``global_batch`` rows per step.
+
+    Every host can compute this from the (globally known) dataset length
+    BEFORE sharding — the per-host loop bound must be identical on every
+    controller or the fleet deadlocks in the first collective one host
+    skips. Derivation: the largest shard holds ``ceil(total/processes)``
+    rows, consumed ``global_batch // processes`` per step."""
+    if global_batch % processes:
+        raise ValueError(f"{global_batch=} not divisible by {processes=}")
+    local_b = global_batch // processes
+    largest_shard = -(-total_rows // processes)
+    return -(-largest_shard // local_b)
 
 
 def evaluate_model_multihost(
@@ -230,14 +259,31 @@ def evaluate_model_multihost(
     warmup: int = 2,
     act_scales=None,
     stage=None,
+    num_batches: int | None = None,
+    assume_replicated: bool = False,
 ) -> tuple[float, float]:
     """Reference-accounting eval over a multi-host mesh → ``(acc, img/s)``.
 
     ``dataloader`` yields THIS HOST's ``(images, labels)`` slices of each
-    global batch (numpy; the standard per-process sampler split — every
-    process must yield the same number of batches). Returns the GLOBAL
-    top-1 accuracy and global throughput; all processes return the same
-    values (the counters are replicated), so any process may print.
+    global batch (numpy; the standard per-process sampler split). Returns
+    the GLOBAL top-1 accuracy and global throughput; all processes return
+    the same values (the counters are replicated), so any process may
+    print.
+
+    **Every controller must execute the same number of steps** — each
+    step is a cross-host collective, and a host that stops early leaves
+    the others blocked until the DCN timeout. Pass ``num_batches``
+    (:func:`steps_for` computes it from the global dataset length) and
+    the loop runs EXACTLY that many steps on every host, fabricating
+    all-padding batches (label -1 — zero weight in the counters) once a
+    short shard is exhausted. Without ``num_batches`` the dataloaders
+    themselves must yield identical counts (true for the synthetic/equal
+    split paths). Every batch is padded to the first batch's size so the
+    whole run is ONE compiled shape.
+
+    ``assume_replicated=True`` skips the parameter broadcast (pass the
+    tree :func:`replicate_to_global` returned — saves re-pushing the
+    model through the tunnel when evaluating several schedules).
 
     Single-process (tests, one-host pods) this degrades gracefully to the
     plain DP eval over the local mesh.
@@ -246,7 +292,9 @@ def evaluate_model_multihost(
         mesh = global_mesh()
     step = multihost_eval_step(config, schedule, mesh, impl, act_scales,
                                stage)
-    gparams = replicate_to_global(params, mesh)
+    gparams = params if assume_replicated else replicate_to_global(
+        params, mesh
+    )
     # each process feeds local_devices_on_data rows per global-batch row
     # group; the local batch must split over the process's OWN slice of
     # the data axis
@@ -257,6 +305,16 @@ def evaluate_model_multihost(
             f"({jax.process_count()})"
         )
     local_div = n_data // jax.process_count()
+    b_loc = None  # steady per-host batch, fixed by the first batch seen
+    template = None  # last padded host batch (shapes for blank batches)
+
+    def prepare(x, y):
+        nonlocal b_loc, template
+        y = np.asarray(y)
+        if b_loc is None:
+            b_loc = -(-y.shape[0] // local_div) * local_div
+        template = _pad_to_local(x, y, b_loc)
+        return template
 
     it = iter(dataloader)
     if warmup > 0:
@@ -266,29 +324,48 @@ def evaluate_model_multihost(
             except StopIteration:
                 it = iter(dataloader)
                 x, y = next(it)
-            x, y = _pad_local(x, np.asarray(y), local_div)
-            g = host_to_global((x, y), mesh)
+            g = host_to_global(prepare(x, y), mesh)
             fence(step(gparams, *g))
         it = iter(dataloader)
 
     correct = 0
     total = 0
     total_time = 0.0
-    for i, (images, labels) in enumerate(it):
+    blank = None  # all-padding batch for hosts whose shard ran short
+    i = 0
+    while True:
         if max_batches is not None and i >= max_batches:
             break
-        images, labels = _pad_local(
-            images, np.asarray(labels), local_div
-        )
+        if num_batches is not None and i >= num_batches:
+            break
+        try:
+            images, labels = prepare(*next(it))
+        except StopIteration:
+            if num_batches is None:
+                break
+            # keep joining the fleet's collectives with a zero-weight batch
+            if blank is None:
+                if template is None:
+                    raise ValueError(
+                        "empty dataloader with num_batches set and no "
+                        "batch to infer shapes from"
+                    ) from None
+                blank = (
+                    jax.tree_util.tree_map(np.zeros_like, template[0]),
+                    np.full_like(template[1], -1),
+                )
+            images, labels = blank
         gimages, glabels = host_to_global((images, labels), mesh)
-        # H2D outside the timed region (reference eval.py:48)
-        _fence_local(gimages)
+        # H2D outside the timed region (reference eval.py:48) — fence the
+        # labels too; their copy must not land inside the timer
+        _fence_local((gimages, glabels))
         start = time.time()
         c, t = step(gparams, gimages, glabels)
         fence(c)
         total_time += time.time() - start
         correct += int(jax.device_get(c))
         total += int(jax.device_get(t))
+        i += 1
 
     acc = 100.0 * correct / max(total, 1)
     throughput = total / max(total_time, 1e-6)

@@ -276,6 +276,7 @@ def main(argv=None):
         print(f"\nLoaded validation set: {len(dataset)} images, "
               f"{len(dataset.classes)} classes")
 
+    dist_num_batches = None
     if args.distributed and jax.process_count() > 1:
         # per-process dataset shard: each host loads 1/Nth of the samples
         # and feeds 1/Nth of the global batch (the interleaved split is
@@ -288,6 +289,7 @@ def main(argv=None):
                 f"process count {nproc} (it is the GLOBAL batch)"
             )
         if args.synthetic is not None:
+            dist_num_batches = args.synthetic  # equal on every host
             loader = SyntheticLoader(
                 num_batches=args.synthetic,
                 batch_size=args.batch_size // nproc,
@@ -296,12 +298,23 @@ def main(argv=None):
                 seed=args.seed + 100003 * pid,  # distinct data per host
             )
         else:
+            from .parallel.multihost import steps_for
+
+            # every controller must run the same number of eval steps —
+            # steps_for derives it from the PRE-SHARD dataset length, so
+            # hosts whose interleaved shard runs short pad with
+            # zero-weight batches instead of leaving the others blocked
+            # in a collective
+            dist_num_batches = steps_for(
+                len(dataset), args.batch_size, nproc
+            )
             dataset.samples = dataset.samples[pid::nproc]
             loader = DataLoader(
                 dataset, batch_size=args.batch_size // nproc,
                 num_workers=args.num_workers,
             )
-            print(f"Process {pid}: local shard {len(dataset)} images")
+            print(f"Process {pid}: local shard {len(dataset)} images, "
+                  f"{dist_num_batches} global steps")
 
     # ---- Params ----
     if args.checkpoint:
@@ -356,20 +369,37 @@ def main(argv=None):
               f"({'pruned' if sched else 'base'} forward)")
         return scales
 
+    dist_ctx = {}
+
     def run_eval(sched, act_scales):
         """Dispatch one evaluation: multi-host, single-host DP, or plain."""
         if args.distributed:
             from .parallel.multihost import (
                 evaluate_model_multihost,
                 global_mesh,
+                replicate_to_global,
             )
 
+            if not dist_ctx:
+                # built once: --compare_base runs two evaluations, and
+                # re-replicating the full parameter tree (hundreds of MB
+                # through the tunnel) or rebuilding the mesh per eval is
+                # pure waste
+                dist_ctx["mesh"] = global_mesh()
+                dist_ctx["params"] = replicate_to_global(
+                    params, dist_ctx["mesh"]
+                )
+                dist_ctx["stage"] = make_preprocess_stage(
+                    args.preprocess, config, dtype
+                )
             return evaluate_model_multihost(
-                params, config, sched, loader,
-                mesh=global_mesh(), impl=kernels,
+                dist_ctx["params"], config, sched, loader,
+                mesh=dist_ctx["mesh"], impl=kernels,
                 max_batches=args.max_batches, warmup=args.warmup,
                 act_scales=act_scales,
-                stage=make_preprocess_stage(args.preprocess, config, dtype),
+                stage=dist_ctx["stage"],
+                num_batches=dist_num_batches,
+                assume_replicated=True,
             )
         fn = make_model_fn(params, config, sched, args.data_parallel,
                            kernels, args.preprocess, dtype,

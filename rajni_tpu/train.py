@@ -129,10 +129,13 @@ def main(argv=None):
         multihost.initialize(args.coordinator, args.num_processes,
                              args.process_id)
         pid, nproc = jax.process_index(), jax.process_count()
-        if args.batch_size % max(nproc, 1):
+        # the batch shards over EVERY device of the global data axis, so
+        # the global batch must divide by the device count (not just the
+        # process count) — host_to_global would otherwise raise at step 1
+        if args.batch_size % max(jax.device_count(), 1):
             raise ValueError(
                 f"--batch_size {args.batch_size} (the GLOBAL batch) must "
-                f"be divisible by the process count {nproc}"
+                f"be divisible by the device count {jax.device_count()}"
             )
         print(f"Distributed: process {pid} of {nproc}, "
               f"{len(jax.local_devices())} local / "
@@ -190,6 +193,18 @@ def main(argv=None):
 
         dataset = ImageFolder(args.data_path, img_size=config.img_size)
         if args.distributed and jax.process_count() > 1:
+            # Every host must be able to fill a full local batch or its
+            # batches() generator would spin forever while the other
+            # controllers block in the gradient all-reduce. Check against
+            # the SMALLEST shard using the pre-shard length, so every
+            # host raises together instead of one deadlocking the rest.
+            if len(dataset) // jax.process_count() < local_batch:
+                raise ValueError(
+                    f"dataset too small for distributed training: the "
+                    f"smallest per-host shard "
+                    f"({len(dataset) // jax.process_count()} images) "
+                    f"cannot fill a local batch of {local_batch}"
+                )
             # interleaved per-process shard (the distributed-sampler split)
             dataset.samples = dataset.samples[
                 jax.process_index()::jax.process_count()

@@ -22,6 +22,7 @@ def main() -> None:
     port, pid, nproc, impl = (
         int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3]), sys.argv[4]
     )
+    mode = sys.argv[5] if len(sys.argv) > 5 else "even"
 
     import os
 
@@ -73,9 +74,29 @@ def main() -> None:
             yield x[lo:hi], y[lo:hi]
 
     mesh = multihost.global_mesh()
+    num_batches = None
+    if mode == "ragged":
+        # the unequal-shard case: 17 rows interleaved over 2 hosts gives
+        # shards of 9 and 8 → host 0 yields 3 local batches of ≤4, host 1
+        # only 2; steps_for makes BOTH run 3 steps (host 1 fabricates a
+        # zero-weight batch for the last collective)
+        n, global_b = 17, 4 * nproc
+        rng2 = np.random.default_rng(21)  # fresh seed: easy test replay
+        gx = rng2.standard_normal((n, 32, 32, 3)).astype(np.float32)
+        gy = rng2.integers(0, 13, size=(n,)).astype(np.int32)
+        shard_x, shard_y = gx[pid::nproc], gy[pid::nproc]
+        local_b = global_b // nproc
+
+        def local_slices():  # noqa: F811 — deliberate mode override
+            for lo in range(0, len(shard_y), local_b):
+                yield shard_x[lo:lo + local_b], shard_y[lo:lo + local_b]
+
+        num_batches = multihost.steps_for(n, global_b, nproc)
+        assert num_batches == 3, num_batches
+
     acc, thr = multihost.evaluate_model_multihost(
         params, cfg, sched, list(local_slices()), mesh=mesh, impl=impl,
-        warmup=1,
+        warmup=1, num_batches=num_batches,
     )
     print(json.dumps({"pid": pid, "acc": acc, "thr": round(thr, 3),
                       "devices": len(jax.devices())}), flush=True)

@@ -97,7 +97,20 @@ def _free_port() -> int:
     return port
 
 
-def _run_workers(impl: str, nproc: int = 2, timeout: int = 240):
+def test_steps_for():
+    from rajni_tpu.parallel.multihost import steps_for
+
+    # 17 rows over 2 hosts: shards 9/8, local batch 4 → 3 steps everywhere
+    assert steps_for(17, 8, 2) == 3
+    assert steps_for(16, 8, 2) == 2
+    assert steps_for(33, 32, 2) == 2   # shards 17/16: the 33rd row costs
+    assert steps_for(1, 8, 2) == 1     # a second step on BOTH hosts
+    with pytest.raises(ValueError):
+        steps_for(10, 7, 2)
+
+
+def _run_workers(impl: str, nproc: int = 2, timeout: int = 240,
+                 mode: str = "even"):
     port = _free_port()
     env = dict(os.environ)
     env.pop("XLA_FLAGS", None)
@@ -111,7 +124,8 @@ def _run_workers(impl: str, nproc: int = 2, timeout: int = 240):
                           "multihost_worker.py")
     procs = [
         subprocess.Popen(
-            [sys.executable, worker, str(port), str(i), str(nproc), impl],
+            [sys.executable, worker, str(port), str(i), str(nproc), impl,
+             mode],
             env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
             text=True,
         )
@@ -123,6 +137,23 @@ def _run_workers(impl: str, nproc: int = 2, timeout: int = 240):
         assert p.returncode == 0, f"worker failed:\n{out}\n{err}"
         outs.append(json.loads(out.strip().splitlines()[-1]))
     return outs
+
+
+def test_two_process_ragged_shards(rng):
+    """Unequal per-host shards (17 rows → 9/8): with num_batches from
+    steps_for, the short host fabricates a zero-weight batch for the last
+    collective instead of deadlocking, and the global accuracy counts all
+    17 real rows exactly once."""
+    outs = _run_workers("xla", mode="ragged")
+    assert outs[0]["acc"] == pytest.approx(outs[1]["acc"])
+
+    params = _params()
+    data_rng = np.random.default_rng(21)
+    gx = data_rng.standard_normal((17, 32, 32, 3)).astype(np.float32)
+    gy = data_rng.integers(0, 13, size=(17,)).astype(np.int32)
+    logits = np.asarray(vit_forward(params, jnp.asarray(gx), CFG, SCHED))
+    want = 100.0 * int((logits.argmax(axis=1) == gy).sum()) / 17
+    assert outs[0]["acc"] == pytest.approx(want)
 
 
 def test_cli_distributed_two_process(tmp_path):
