@@ -108,6 +108,17 @@ def get_args(argv=None):
                         help="With --calibrate: also write the calibrated "
                              "scales (RAJNI-schedule forward) to a JSON "
                              "file for rajni_tpu.export --act_scales")
+    parser.add_argument("--load_scales", default=None, metavar="FILE",
+                        help="With --quantize: use previously saved static "
+                             "int8 activation scales (--save_scales output) "
+                             "for the RAJNI evaluation instead of "
+                             "calibrating — the calibrate-once/serve-"
+                             "anywhere flow, and the only static-scale "
+                             "path under --distributed (per-host "
+                             "calibration would diverge the controllers' "
+                             "programs). The base model in --compare_base "
+                             "stays dynamic int8 (the file carries the "
+                             "RAJNI-schedule scales).")
     parser.add_argument("--preprocess", type=str, default="host",
                         choices=["host", "device", "device-full"],
                         help="Where eval preprocessing runs (rajni_tpu.data."
@@ -333,6 +344,14 @@ def main(argv=None):
         # validate up front: the base-model evaluation can take a long
         # time, and failing only afterwards would throw that work away
         raise ValueError("--save_scales requires --quantize --calibrate N")
+    if args.load_scales:
+        if not args.quantize:
+            raise ValueError("--load_scales requires --quantize")
+        if args.calibrate:
+            raise ValueError(
+                "--load_scales and --calibrate are mutually exclusive "
+                "(loading replaces calibration)"
+            )
 
     # Calibration batches must be captured BEFORE quantize_params — the
     # calibration forward runs on the unquantized weights — and pushed
@@ -358,7 +377,25 @@ def main(argv=None):
         params = quantize_params(params)
         print("Quantized MLP + attention-projection weights to int8")
 
+    loaded_scales = None
+    if args.load_scales:
+        from .quant import ActScales
+
+        loaded_scales = ActScales.load(args.load_scales)
+        if len(loaded_scales.blocks) != config.depth:
+            raise ValueError(
+                f"{args.load_scales} holds scales for "
+                f"{len(loaded_scales.blocks)} blocks but {args.model} "
+                f"has {config.depth} — calibrate with the serving model"
+            )
+        print(f"Loaded static int8 activation scales from "
+              f"{args.load_scales}")
+
     def calibrated_scales(sched):
+        if loaded_scales is not None:
+            # the file carries the RAJNI-schedule scales (what
+            # --save_scales wrote); the base comparison stays dynamic
+            return loaded_scales if sched is not None else None
         if not calib_batches:
             return None
         from .quant import calibrate_act_scales

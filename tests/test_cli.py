@@ -159,6 +159,47 @@ def test_main_calibrate_requires_quantize():
         main(["--synthetic", "1", "--calibrate", "2", "--schedule", "x"])
 
 
+def test_main_load_scales_round_trip(tmp_path, capsys):
+    """--save_scales then --load_scales: the second run consumes the file
+    instead of calibrating (the calibrate-once/serve-anywhere flow; the
+    only static path allowed under --distributed)."""
+    sched = tmp_path / "s.json"
+    sched.write_text(json.dumps({"3": {"keep_ratio": 0.9}}))
+    scales = tmp_path / "scales.json"
+    main([
+        "--synthetic", "2", "--batch_size", "4", "--max_batches", "1",
+        "--model", "vit_tiny_patch16_224", "--schedule", str(sched),
+        "--warmup", "0", "--dtype", "float32", "--quantize",
+        "--calibrate", "1", "--save_scales", str(scales),
+    ])
+    capsys.readouterr()
+    result = main([
+        "--synthetic", "2", "--batch_size", "4", "--max_batches", "1",
+        "--model", "vit_tiny_patch16_224", "--schedule", str(sched),
+        "--warmup", "0", "--dtype", "float32", "--quantize",
+        "--load_scales", str(scales),
+    ])
+    out = capsys.readouterr().out
+    assert f"Loaded static int8 activation scales from {scales}" in out
+    assert "Calibrated static" not in out  # no recalibration happened
+    assert "rajni" in result
+
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        main(["--synthetic", "1", "--schedule", str(sched), "--quantize",
+              "--calibrate", "1", "--load_scales", str(scales)])
+    with pytest.raises(ValueError, match="requires --quantize"):
+        main(["--synthetic", "1", "--schedule", str(sched),
+              "--load_scales", str(scales)])
+    bad = tmp_path / "bad_scales.json"
+    bad.write_text(json.dumps(
+        {"blocks": [[1.0, 1.0, 1.0, 1.0]] * 3, "head": 1.0}
+    ))
+    with pytest.raises(ValueError, match="calibrate with the serving"):
+        main(["--synthetic", "1", "--schedule", str(sched), "--quantize",
+              "--model", "vit_tiny_patch16_224",
+              "--load_scales", str(bad)])
+
+
 def test_calibrate_save_scales_export_pipeline(tmp_path, capsys):
     """The full PTQ deployment pipeline: eval-CLI calibration writes the
     scales JSON; the export CLI bakes them into a quantized artifact."""
