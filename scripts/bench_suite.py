@@ -140,6 +140,12 @@ def main():
                     help="run only configs whose key contains SUBSTR "
                          "(measure a subset without re-running the suite; "
                          "merge the printed rows into BENCH_SUITE.json)")
+    ap.add_argument("--merge", default=None, metavar="FILE",
+                    help="also merge the measured rows into FILE "
+                         "(JSON-lines suite artifact): rows with a "
+                         "matching config key are replaced in place, new "
+                         "configs append — so --only re-measures update "
+                         "the artifact without touching other rows")
     args = ap.parse_args()
 
     def wanted(key):
@@ -197,6 +203,20 @@ def main():
 
     for r in results:
         print(json.dumps(r))
+
+    if args.merge and results:
+        rows = []
+        if os.path.exists(args.merge):
+            with open(args.merge) as f:
+                rows = [json.loads(ln) for ln in f if ln.strip()]
+        by_key = {r["config"]: r for r in results}
+        rows = [by_key.pop(r["config"], r) for r in rows]
+        rows += list(by_key.values())  # brand-new configs append
+        with open(args.merge, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+        print(f"merged {len(results)} rows into {args.merge}",
+              file=sys.stderr)
 
 
 if __name__ == "__main__":
