@@ -97,6 +97,29 @@ def _free_port() -> int:
     return port
 
 
+def test_evaluate_model_multihost_device_preprocess_stage(rng):
+    """The in-graph preprocessing stage (--preprocess device: uint8 H2D +
+    on-chip normalize) composes with the multihost eval step — uint8
+    batches shard and pad like float ones, and the result matches the
+    host-normalized forward exactly (the normalize is bit-exact)."""
+    from rajni_tpu.data.device import normalize_images
+
+    params = _params()
+    u8 = rng.integers(0, 256, (8, 32, 32, 3), dtype=np.uint8)
+    labels = rng.integers(0, 13, size=(8,)).astype(np.int32)
+    mesh = make_mesh(jax.devices()[:8], data=8, model=1)
+
+    acc, thr = multihost.evaluate_model_multihost(
+        params, CFG, SCHED, [(u8, labels)], mesh=mesh, warmup=1,
+        stage=lambda x: normalize_images(x, jnp.float32),
+    )
+    host = np.asarray(normalize_images(jnp.asarray(u8), jnp.float32))
+    logits = np.asarray(vit_forward(params, jnp.asarray(host), CFG, SCHED))
+    want = 100.0 * int((logits.argmax(axis=1) == labels).sum()) / 8
+    assert acc == pytest.approx(want)
+    assert thr > 0
+
+
 def test_steps_for():
     from rajni_tpu.parallel.multihost import steps_for
 
