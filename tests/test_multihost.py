@@ -120,6 +120,15 @@ def test_evaluate_model_multihost_device_preprocess_stage(rng):
     assert thr > 0
 
 
+def test_initialize_rejects_partial_topology():
+    """Explicit process ids without a coordinator must raise, not be
+    silently discarded in favor of pod autodetection."""
+    with pytest.raises(ValueError, match="coordinator_address"):
+        multihost.initialize(num_processes=2)
+    with pytest.raises(ValueError, match="coordinator_address"):
+        multihost.initialize(process_id=0)
+
+
 def test_steps_for():
     from rajni_tpu.parallel.multihost import steps_for
 
