@@ -231,6 +231,32 @@ def _pad_to_local(images, labels, b_loc: int):
     )
 
 
+def local_batch_size(global_batch: int, strict_devices: bool = False) -> int:
+    """This process's share of a global batch (validates divisibility by
+    the process count; with ``strict_devices`` also by the device count —
+    required when the caller does no padding, e.g. the train step, where
+    a batch that doesn't split over the data axis fails at step 1)."""
+    nproc = jax.process_count()
+    ndev = jax.device_count()
+    if global_batch % nproc:
+        raise ValueError(
+            f"global batch {global_batch} not divisible by the process "
+            f"count {nproc}"
+        )
+    if strict_devices and global_batch % ndev:
+        raise ValueError(
+            f"global batch {global_batch} not divisible by the device "
+            f"count {ndev}"
+        )
+    return global_batch // nproc
+
+
+def shard_samples(samples):
+    """This process's interleaved shard of a sample list (the standard
+    distributed-sampler split; shard sizes differ by at most one)."""
+    return samples[jax.process_index()::jax.process_count()]
+
+
 def steps_for(total_rows: int, global_batch: int, processes: int) -> int:
     """The number of eval/train steps EVERY process must execute for a
     ``total_rows``-sample dataset split interleaved over ``processes``

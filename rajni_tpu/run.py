@@ -293,24 +293,24 @@ def main(argv=None):
         # and feeds 1/Nth of the global batch (the interleaved split is
         # the standard distributed-sampler layout; accuracy counters are
         # order-invariant, so accounting matches the single-host run)
+        from .parallel.multihost import (
+            local_batch_size,
+            shard_samples,
+            steps_for,
+        )
+
         pid, nproc = jax.process_index(), jax.process_count()
-        if args.batch_size % nproc:
-            raise ValueError(
-                f"--batch_size {args.batch_size} must be divisible by the "
-                f"process count {nproc} (it is the GLOBAL batch)"
-            )
+        local_b = local_batch_size(args.batch_size)
         if args.synthetic is not None:
             dist_num_batches = args.synthetic  # equal on every host
             loader = SyntheticLoader(
                 num_batches=args.synthetic,
-                batch_size=args.batch_size // nproc,
+                batch_size=local_b,
                 img_size=config.img_size,
                 num_classes=config.num_classes,
                 seed=args.seed + 100003 * pid,  # distinct data per host
             )
         else:
-            from .parallel.multihost import steps_for
-
             # every controller must run the same number of eval steps —
             # steps_for derives it from the PRE-SHARD dataset length, so
             # hosts whose interleaved shard runs short pad with
@@ -319,9 +319,9 @@ def main(argv=None):
             dist_num_batches = steps_for(
                 len(dataset), args.batch_size, nproc
             )
-            dataset.samples = dataset.samples[pid::nproc]
+            dataset.samples = shard_samples(dataset.samples)
             loader = DataLoader(
-                dataset, batch_size=args.batch_size // nproc,
+                dataset, batch_size=local_b,
                 num_workers=args.num_workers,
             )
             print(f"Process {pid}: local shard {len(dataset)} images, "

@@ -129,14 +129,10 @@ def main(argv=None):
         multihost.initialize(args.coordinator, args.num_processes,
                              args.process_id)
         pid, nproc = jax.process_index(), jax.process_count()
-        # the batch shards over EVERY device of the global data axis, so
-        # the global batch must divide by the device count (not just the
-        # process count) — host_to_global would otherwise raise at step 1
-        if args.batch_size % max(jax.device_count(), 1):
-            raise ValueError(
-                f"--batch_size {args.batch_size} (the GLOBAL batch) must "
-                f"be divisible by the device count {jax.device_count()}"
-            )
+        # strict: the train step does no padding, so the global batch
+        # must divide over EVERY device of the data axis or
+        # host_to_global raises at step 1
+        multihost.local_batch_size(args.batch_size, strict_devices=True)
         print(f"Distributed: process {pid} of {nproc}, "
               f"{len(jax.local_devices())} local / "
               f"{len(jax.devices())} global devices")
@@ -168,7 +164,8 @@ def main(argv=None):
         # loss is a mean over the data-sharded batch — XLA inserts the
         # cross-host all-reduce
         state = multihost.replicate_to_global(state, mesh)
-        local_batch = args.batch_size // jax.process_count()
+        local_batch = multihost.local_batch_size(args.batch_size,
+                                                 strict_devices=True)
 
     if args.synthetic or args.data_path is None:
         if args.data_path is None and not args.synthetic:
@@ -206,9 +203,8 @@ def main(argv=None):
                     f"cannot fill a local batch of {local_batch}"
                 )
             # interleaved per-process shard (the distributed-sampler split)
-            dataset.samples = dataset.samples[
-                jax.process_index()::jax.process_count()
-            ]
+            from .parallel import multihost as _mh
+            dataset.samples = _mh.shard_samples(dataset.samples)
         loader = DataLoader(dataset, batch_size=local_batch)
         print(f"training on {len(dataset)} images, "
               f"{len(dataset.classes)} classes")
