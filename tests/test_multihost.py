@@ -120,6 +120,32 @@ def test_evaluate_model_multihost_device_preprocess_stage(rng):
     assert thr > 0
 
 
+def test_multihost_eval_static_int8(rng):
+    """Static int8 activation scales (trace-time constants) compose with
+    the multihost eval step — the --load_scales + --distributed serving
+    path. Counters must match the single-chip static-scale forward."""
+    from rajni_tpu.quant import calibrate_act_scales, quantize_params
+
+    params = _params()
+    x = rng.standard_normal((8, 32, 32, 3)).astype(np.float32)
+    labels = rng.integers(0, 13, size=(8,)).astype(np.int32)
+    scales = calibrate_act_scales(params, jnp.asarray(x), CFG, SCHED)
+    q = quantize_params(params)
+
+    mesh = make_mesh(jax.devices()[:8], data=8, model=1)
+    acc, _ = multihost.evaluate_model_multihost(
+        q, CFG, SCHED, [(x, labels)], mesh=mesh, impl="pallas",
+        warmup=1, act_scales=scales,
+    )
+    single = np.asarray(
+        jax.jit(vit_forward, static_argnums=(2, 3, 4, 5))(
+            q, jnp.asarray(x), CFG, SCHED, "pallas", scales
+        )
+    )
+    want = 100.0 * int((single.argmax(axis=1) == labels).sum()) / 8
+    assert acc == pytest.approx(want)
+
+
 def test_initialize_rejects_partial_topology():
     """Explicit process ids without a coordinator must raise, not be
     silently discarded in favor of pod autodetection."""
