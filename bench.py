@@ -65,6 +65,12 @@ def main() -> None:
     if quant:
         from rajni_tpu.quant import quantize_params
 
+        if calibrate and impl == "xla":
+            # the xla route ignores act_scales by contract (fully
+            # dynamic) — skip the calibration forwards and the label
+            log("WARNING: RAJNI_BENCH_CALIBRATE=1 has no effect on the "
+                "xla route (it stays fully dynamic); skipping calibration")
+            calibrate = False
         if calibrate:
             # Static-scale PTQ (RAJNI_BENCH_CALIBRATE=1, with QUANT=1):
             # per-schedule scales, calibrated pre-quantization on the bench

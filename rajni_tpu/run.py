@@ -369,6 +369,14 @@ def main(argv=None):
             imgs = jax.device_put(jnp.asarray(imgs), device)
             calib_batches.append(imgs if stage is None else stage(imgs))
         print(f"Captured {len(calib_batches)} calibration batches")
+        if not calib_batches:
+            raise ValueError(
+                "--calibrate captured 0 batches (empty dataset/loader?)"
+            )
+        if kernels == "xla":
+            print("WARNING: --calibrate has no effect on the xla kernel "
+                  "route (static scales apply to the pallas kernels only; "
+                  "this evaluation stays dynamic int8)")
 
     raw_params = params
     if args.quantize:
@@ -446,11 +454,25 @@ def main(argv=None):
             warmup=args.warmup, max_batches=args.max_batches,
         )
 
+    # Compute ALL calibrated scales up front so the device-resident
+    # calibration batches (≈0.15 GB each at batch 256/224px) are freed
+    # before EITHER long evaluation — not just the RAJNI one. The
+    # missing-schedule ValueError stays after the base eval (reference
+    # error-ordering parity, run.py:115-116), which is why this only
+    # pre-loads the schedule when one was actually given.
+    base_scales = calibrated_scales(None) if args.compare_base else None
+    rajni_scales = None
+    if calib_batches and args.schedule is not None:
+        rajni_scales = calibrated_scales(
+            load_schedule(args.schedule, config.depth)
+        )
+        calib_batches.clear()
+
     # ---- Base model (optional comparison, reference run.py:97-110) ----
     base_acc = base_tput = None
     if args.compare_base:
         print("\nEvaluating BASE model")
-        base_acc, base_tput = run_eval(None, calibrated_scales(None))
+        base_acc, base_tput = run_eval(None, base_scales)
         print(f"Base  - Accuracy: {base_acc:.2f}%, "
               f"Throughput: {base_tput:.1f} img/s")
 
@@ -466,11 +488,8 @@ def main(argv=None):
           f"{model_stats(config, schedule)['token_counts']}")
 
     print("\nEvaluating RAJNI model")
-    rajni_scales = calibrated_scales(schedule)
-    if calib_batches:
-        # free the device-resident calibration batches before the long
-        # evaluation — at batch 256 / 224px they pin ~0.15 GB each
-        calib_batches.clear()
+    if rajni_scales is None:
+        rajni_scales = calibrated_scales(schedule)
     if args.save_scales:
         rajni_scales.save(args.save_scales)
         print(f"Saved calibrated scales to {args.save_scales}")
