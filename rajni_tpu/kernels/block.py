@@ -69,8 +69,6 @@ def _prune_diag() -> str:
     """Timing-attribution switch for the pruned whole-block kernel
     (``RAJNI_PRUNE_DIAG`` = comma list of ``noscore``/``nosel``/
     ``nogather``) — numerically WRONG, bench attribution only."""
-    import os
-
     return os.environ.get("RAJNI_PRUNE_DIAG", "")
 
 
@@ -82,8 +80,6 @@ def _gbatch() -> set[str]:
     img/s serial — 3D iota/mask ops lower worse than 2x serial 2D), so the
     default batches nothing; ``score`` batches only the importance scorer
     ([G, H, C]/[G, N, D] matmul shapes, no 3D [N, N] masks)."""
-    import os
-
     v = os.environ.get("RAJNI_GBATCH", "")
     return set(filter(None, v.split(",")))
 
@@ -98,8 +94,6 @@ def _bf16_g_candidates(C: int, pruned: bool) -> tuple[int, ...]:
     drops the STOCK kernel 12119 → 11412 (VMEM pressure at N rows), and
     G=8 loses outright (12101) — so only the pruned plan at small C tries
     4 first."""
-    import os
-
     force = os.environ.get("RAJNI_BF16_G")
     if force:
         return (int(force),)
@@ -230,8 +224,6 @@ def _sdpa_mode() -> str:
         softmax ≈ 0.28 ms. The qk cost is intrinsic to [200, 64]-operand
         matmuls on this toolchain, not to the loop structure.
     """
-    import os
-
     return os.environ.get("RAJNI_SDPA", "phased")
 
 
@@ -1219,18 +1211,19 @@ def fused_gather_sdpa_proj_residual_int8(
 # --------------------------------------------------------------------------
 
 
-def _int8_matmul(y32, wq_ref, ws_ref, *, static=False, inv=None):
+def _int8_matmul(y32, wq_ref, ws_ref, *, static=False):
     """``f32 [R, C] @ int8-weight -> f32 [R, out]`` via the int8 MXU.
 
     ``static=False`` quantizes the activations dynamically per row
     (:func:`rajni_tpu.kernels.math.quantize_rows`). ``static=True`` is the
     calibrated mode (:func:`rajni_tpu.quant.calibrate_act_scales`): ``y32``
-    arrives pre-scaled by ``1/a`` — either through a folded upstream affine
-    (``inv=None``) or via the compile-time constant ``inv`` — and ``ws_ref``
+    arrives pre-scaled by ``1/a`` through a folded upstream vector operand
+    (LN affine / weight-scale row / sinv row — scalar multiplies measured
+    ~0.3k img/s per site, hence no ``inv`` parameter), and ``ws_ref``
     already carries the ``a`` dequant factor folded into the weight scales,
     so the absmax reduction and the ``[R, 1]`` scale vanish entirely."""
     if static:
-        y_q = _quantize_static(y32, inv)
+        y_q = _quantize_static(y32)
         acc = jax.lax.dot_general(
             y_q, wq_ref[:], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32,
@@ -1754,8 +1747,6 @@ def _pruned_full_int8_plan(
         mlp_live = g * K * hc * 4 + g * K * C * (4 + 4 + 1)
         return io + weights + max(attn_live, mlp_live) <= _VMEM_BUDGET
 
-    import os
-
     force = os.environ.get("RAJNI_INT8_G")
     if force:
         g = int(force)
@@ -1849,7 +1840,17 @@ def fused_pruned_block_full_int8(
 
     itemsize = jnp.dtype(x.dtype).itemsize
     plan = _pruned_full_int8_plan(N, K, C, hidden, itemsize)
-    G, hc = plan if plan is not None else (1, hidden)
+    if plan is None:
+        # no (G, hc) fits the VMEM budget — fail with a routable error
+        # instead of compiling the LARGEST (G=1, full-hidden) config into
+        # an opaque Mosaic allocation failure (callers route by
+        # _full_block_fits_int8; direct callers get this message)
+        raise ValueError(
+            f"fused_pruned_block_full_int8 does not fit VMEM at N={N}, "
+            f"K={K}, C={C}, hidden={hidden} — route to the attention-half "
+            "+ MLP kernels (models.vit does this automatically)"
+        )
+    G, hc = plan
     if B % G:
         G = 1
     rows = G * N
@@ -1973,6 +1974,13 @@ def _pruned_block_full_kernel(
         s_row_of = lambda g: s_list[g]  # noqa: E731
 
     # ---- selection + gather + SDPA per image ----
+    if "sel" in gb and "nosel" not in diag:
+        # [G, N, N]-batched selection (RAJNI_GBATCH=sel) — the measured-
+        # negative alternative kept runnable: 12265 vs ~12.97k img/s serial
+        sel_g, ns_g = _select_from_scores_g(
+            jnp.concatenate([s_row_of(g) for g in range(G)], axis=0), K,
+            dtype,
+        )
     attns, xgs = [], []
     for g in range(G):
         s_row = s_row_of(g)
@@ -1981,6 +1989,8 @@ def _pruned_block_full_kernel(
             iota_n = jax.lax.broadcasted_iota(jnp.int32, (K, seq), 1)
             sel = (iota_k == iota_n).astype(dtype)
             next_scores = jnp.zeros((K, 1), jnp.float32)
+        elif "sel" in gb:
+            sel, next_scores = sel_g[g], ns_g[g]
         else:
             sel, _, next_scores = _select_from_scores(s_row, K, dtype)
         if "nogather" in diag:
@@ -2440,7 +2450,15 @@ def fused_block_full_int8(
 
     itemsize = jnp.dtype(x.dtype).itemsize
     plan = _block_full_int8_plan(N, C, hidden, itemsize)
-    G, hc = plan if plan is not None else (1, hidden)
+    if plan is None:
+        # see fused_pruned_block_full_int8: never fall back to the
+        # largest config — surface a routable error instead
+        raise ValueError(
+            f"fused_block_full_int8 does not fit VMEM at N={N}, C={C}, "
+            f"hidden={hidden} — route to the attention-half + MLP kernels "
+            "(models.vit does this automatically)"
+        )
+    G, hc = plan
     if B % G:
         G = 1
     rows = G * N
@@ -2515,7 +2533,10 @@ def _pruned_block_int8_kernel(
 ):
     # static_act: calibrated static scales — folds as in
     # _attn_block_int8_kernel (V-column fold for 1/a_proj; the importance
-    # z-score is V-scale-invariant, so selection is unchanged).
+    # z-score is V-scale-invariant up to the eps term and the bf16
+    # rounding of the pre-scaled V — near-tied ranks can differ from
+    # the dynamic path; parity is whole-output-tolerance, not
+    # kept-set-identical).
     dtype = x_ref.dtype
     K = out_ref.shape[1]
 

@@ -66,8 +66,10 @@ def fold_static_attn(lns, lnb, sqkv, sproj, bqkv, aq, ap):
       * ``a_qkv`` into the QKV weight-scale row ``sqkv`` (dequant);
       * ``1/a_proj`` into the V-COLUMNS of both ``sqkv`` AND the qkv BIAS
         — attention is linear in V and the importance z-score is
-        V-scale-invariant, so the SDPA output arrives pre-scaled for the
-        projection quantize. The bias is added *post-dequant* in the
+        V-scale-invariant (up to the post-sqrt eps term and the bf16
+        rounding of the pre-scaled V, so near-tied token ranks may differ
+        from the dynamic path), and the SDPA output arrives pre-scaled for
+        the projection quantize. The bias is added *post-dequant* in the
         kernels, so it must carry the same V fold or the V-bias term ends
         up off by a factor ``a_proj`` (caught by the nonzero-bias parity
         tests);

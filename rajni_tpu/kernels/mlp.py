@@ -63,7 +63,7 @@ def _hidden_chunk(C: int, hidden: int, itemsize: int) -> int:
 
 def _ln_mlp_kernel_fast(
     x_ref, ln_scale_ref, ln_bias_ref, w1_ref, b1_ref, w2_ref, b2_ref,
-    ls_ref, out_ref, y_ref, acc_ref, *, eps: float, add_residual: bool,
+    ls_ref, out_ref, *, eps: float, add_residual: bool,
 ):
     """Single-chunk variant (weights fully resident): straight-line, no
     scratch round trips. Used whenever fc1+fc2 fit the VMEM weight budget."""
@@ -190,7 +190,9 @@ def fused_ln_mlp_residual(
         out_specs=pl.BlockSpec(
             (_ROWS, C), lambda r, k: (r, 0), memory_space=pltpu.VMEM
         ),
-        scratch_shapes=[
+        # the fast (single-chunk) kernel never touches the scratch — pass
+        # none so its ~1.2 MB doesn't count against the 16 MB VMEM budget
+        scratch_shapes=[] if hc == hidden else [
             pltpu.VMEM((_ROWS, C), x.dtype),       # normed input, reused per k
             pltpu.VMEM((_ROWS, C), jnp.float32),   # fc2 accumulator
         ],
@@ -272,6 +274,66 @@ def _ln_mlp_int8_kernel(
     out_ref[:] = out.astype(out_ref.dtype)
 
 
+def _ln_mlp_int8_chunk_kernel(
+    x_ref, ln_scale_ref, ln_bias_ref, w1_ref, s1_ref, b1_ref,
+    w2_ref, s2_ref, b2_ref, ls_ref, sinv_ref, out_ref, y_ref, acc_ref,
+    *, eps: float, add_residual: bool = True, static_act: bool = False,
+):
+    """Hidden-chunked int8 variant: streams ``[C, hc]``/``[hc, C]`` weight
+    chunks through a second grid dimension for models whose int8 fc pair
+    exceeds the resident-weight budget (ViT-g class and up; ViT-H still
+    fits unchunked). GELU and the static fc2 quantize are elementwise in
+    the hidden axis, so chunking is exact for them; DYNAMIC mode quantizes
+    each h-chunk with its own per-row absmax (a finer grid than the
+    unchunked kernel's whole-row scale — same tolerance-not-bit-parity
+    note as the TP grouped scales, docs/QUANTIZATION.md)."""
+    k = pl.program_id(1)
+    nk = pl.num_programs(1)
+
+    @pl.when(k == 0)
+    def _():
+        x32 = x_ref[:].astype(jnp.float32)
+        mean = jnp.mean(x32, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+        y = (x32 - mean) * jax.lax.rsqrt(var + eps)
+        y_ref[:] = y * ln_scale_ref[:].astype(jnp.float32) + ln_bias_ref[
+            :
+        ].astype(jnp.float32)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    # re-quantize y from the f32 scratch per chunk (identical result every
+    # chunk; the absmax pass is VPU noise next to the streamed matmuls)
+    if static_act:
+        y_q, a_scale = _quantize_static(y_ref[:]), 1.0
+    else:
+        y_q, a_scale = _quantize_rows(y_ref[:])
+    h = jax.lax.dot_general(
+        y_q, w1_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    ).astype(jnp.float32)
+    h = (h if static_act else h * a_scale) * s1_ref[:] + b1_ref[:].astype(
+        jnp.float32
+    )
+    h = gelu_fast(h)
+    if static_act:
+        h_q, h_scale = _quantize_static(h * sinv_ref[:]), 1.0
+    else:
+        h_q, h_scale = _quantize_rows(h)
+    part = jax.lax.dot_general(
+        h_q, w2_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    ).astype(jnp.float32)
+    acc_ref[:] += part if static_act else part * h_scale
+
+    @pl.when(k == nk - 1)
+    def _():
+        out = acc_ref[:] * s2_ref[:] + b2_ref[:].astype(jnp.float32)
+        out = out * ls_ref[:].astype(jnp.float32)
+        if add_residual:
+            out = x_ref[:].astype(jnp.float32) + out
+        out_ref[:] = out.astype(out_ref.dtype)
+
+
 @functools.partial(
     jax.jit, static_argnames=("eps", "add_residual", "act_scales")
 )
@@ -289,7 +351,11 @@ def fused_ln_mlp_residual_int8(
     ``mlp_params`` carry :func:`rajni_tpu.quant.quantize_weight` records
     (``kernel = {"int8": [C,Hd], "scale": [1,Hd]}``); activations are
     dynamically quantized per token row inside the kernel. Int8 weights
-    halve the resident weight footprint, so even ViT-H fits unchunked.
+    halve the resident weight footprint, so even ViT-H fits unchunked;
+    larger configs (ViT-g class) stream hidden chunks like the bf16
+    kernel (``_ln_mlp_int8_chunk_kernel`` — dynamic mode then quantizes
+    each h-chunk with its own per-row scale, tolerance- not bit-parity
+    vs the unchunked kernel).
     ``add_residual=False`` returns the ls-scaled MLP output without the
     ``x +`` — the tensor-parallel path psums partials first.
     ``act_scales`` — calibrated static ``(a_fc1, a_fc2)``
@@ -315,42 +381,8 @@ def fused_ln_mlp_residual_int8(
 
     rows = B * N
     flat = x.reshape(rows, C)
-    grid = (pl.cdiv(rows, _ROWS),)
-
-    vec = lambda n: pl.BlockSpec(  # noqa: E731
-        (1, n), lambda r: (0, 0), memory_space=pltpu.VMEM
-    )
-    mat = lambda s: pl.BlockSpec(  # noqa: E731
-        s, lambda r: (0, 0), memory_space=pltpu.VMEM
-    )
-    out = pl.pallas_call(
-        functools.partial(_ln_mlp_int8_kernel, eps=eps,
-                          add_residual=add_residual,
-                          static_act=act_scales is not None),
-        out_shape=jax.ShapeDtypeStruct((rows, C), x.dtype),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((_ROWS, C), lambda r: (r, 0),
-                         memory_space=pltpu.VMEM),
-            vec(C), vec(C),                      # ln scale/bias
-            mat((C, hidden)), vec(hidden), vec(hidden),   # w1q, s1, b1
-            mat((hidden, C)), vec(C), vec(C),             # w2q, s2, b2
-            vec(C),                              # layer-scale
-            vec(hidden),                         # static 1/a_fc2 row
-        ],
-        out_specs=pl.BlockSpec(
-            (_ROWS, C), lambda r: (r, 0), memory_space=pltpu.VMEM
-        ),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * 2 * rows * C * hidden,
-            bytes_accessed=2 * rows * C * x.dtype.itemsize + 2 * C * hidden,
-            transcendentals=rows * hidden,
-        ),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel",),
-        ),
-        interpret=_use_interpret(),
-    )(
+    hc = _hidden_chunk(C, hidden, 1)  # int8 weights: 1 byte/elem
+    operands = (
         flat,
         lns,
         lnb,
@@ -363,4 +395,83 @@ def fused_ln_mlp_residual_int8(
         ls.reshape(1, C),
         sinv,
     )
+    cost = pl.CostEstimate(
+        flops=2 * 2 * rows * C * hidden,
+        bytes_accessed=2 * rows * C * x.dtype.itemsize + 2 * C * hidden,
+        transcendentals=rows * hidden,
+    )
+
+    if hc != hidden:
+        # streamed-chunk route for models whose int8 fc pair exceeds the
+        # resident budget (ViT-g class; ViT-H C=1280 still fits resident)
+        vec2 = lambda n: pl.BlockSpec(  # noqa: E731
+            (1, n), lambda r, k: (0, 0), memory_space=pltpu.VMEM
+        )
+        hvec = lambda: pl.BlockSpec(  # noqa: E731 — [1, hc] hidden chunk
+            (1, hc), lambda r, k: (0, k), memory_space=pltpu.VMEM
+        )
+        out = pl.pallas_call(
+            functools.partial(_ln_mlp_int8_chunk_kernel, eps=eps,
+                              add_residual=add_residual,
+                              static_act=act_scales is not None),
+            out_shape=jax.ShapeDtypeStruct((rows, C), x.dtype),
+            grid=(pl.cdiv(rows, _ROWS), hidden // hc),
+            in_specs=[
+                pl.BlockSpec((_ROWS, C), lambda r, k: (r, 0),
+                             memory_space=pltpu.VMEM),
+                vec2(C), vec2(C),                    # ln scale/bias
+                pl.BlockSpec((C, hc), lambda r, k: (0, k),
+                             memory_space=pltpu.VMEM),
+                hvec(), hvec(),                      # s1, b1 chunks
+                pl.BlockSpec((hc, C), lambda r, k: (k, 0),
+                             memory_space=pltpu.VMEM),
+                vec2(C), vec2(C),                    # s2, b2
+                vec2(C),                             # layer-scale
+                hvec(),                              # static 1/a_fc2 chunk
+            ],
+            out_specs=pl.BlockSpec(
+                (_ROWS, C), lambda r, k: (r, 0), memory_space=pltpu.VMEM
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((_ROWS, C), jnp.float32),  # normed input
+                pltpu.VMEM((_ROWS, C), jnp.float32),  # fc2 accumulator
+            ],
+            cost_estimate=cost,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "arbitrary"),
+            ),
+            interpret=_use_interpret(),
+        )(*operands)
+        return out.reshape(B, N, C)
+
+    vec = lambda n: pl.BlockSpec(  # noqa: E731
+        (1, n), lambda r: (0, 0), memory_space=pltpu.VMEM
+    )
+    mat = lambda s: pl.BlockSpec(  # noqa: E731
+        s, lambda r: (0, 0), memory_space=pltpu.VMEM
+    )
+    out = pl.pallas_call(
+        functools.partial(_ln_mlp_int8_kernel, eps=eps,
+                          add_residual=add_residual,
+                          static_act=act_scales is not None),
+        out_shape=jax.ShapeDtypeStruct((rows, C), x.dtype),
+        grid=(pl.cdiv(rows, _ROWS),),
+        in_specs=[
+            pl.BlockSpec((_ROWS, C), lambda r: (r, 0),
+                         memory_space=pltpu.VMEM),
+            vec(C), vec(C),                      # ln scale/bias
+            mat((C, hidden)), vec(hidden), vec(hidden),   # w1q, s1, b1
+            mat((hidden, C)), vec(C), vec(C),             # w2q, s2, b2
+            vec(C),                              # layer-scale
+            vec(hidden),                         # static 1/a_fc2 row
+        ],
+        out_specs=pl.BlockSpec(
+            (_ROWS, C), lambda r: (r, 0), memory_space=pltpu.VMEM
+        ),
+        cost_estimate=cost,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
+        interpret=_use_interpret(),
+    )(*operands)
     return out.reshape(B, N, C)

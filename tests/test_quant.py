@@ -510,3 +510,49 @@ def test_static_int8_nonzero_bias_stock(rng):
     ref = np.asarray(vit_forward(params, x, CFG, None, "xla"))
     stat = np.asarray(vit_forward(q, x, CFG, None, "pallas", scales))
     assert np.abs(stat - ref).max() / np.abs(ref).max() < 0.1
+
+
+@pytest.mark.parametrize("static", [False, True])
+def test_int8_mlp_hidden_chunk_route(rng, monkeypatch, static):
+    """The streamed-chunk int8 MLP (ViT-g-class weights that exceed the
+    resident budget) must match the unchunked kernel: exactly for static
+    scales (same per-tensor quantize per chunk), tolerance for dynamic
+    (per-chunk per-row scales are a finer grid than whole-row)."""
+    import rajni_tpu.kernels.mlp as mlpmod
+    from rajni_tpu.kernels.mlp import fused_ln_mlp_residual_int8
+    from rajni_tpu.quant import quantize_weight
+
+    B, N, C, Hd = 2, 8, 64, 512
+    x = jnp.asarray(rng.standard_normal((B, N, C)), jnp.float32)
+    ln = {"scale": jnp.asarray(rng.standard_normal(C) * 0.1 + 1.0,
+                               jnp.float32),
+          "bias": jnp.asarray(rng.standard_normal(C) * 0.1, jnp.float32)}
+    mlp_q = {
+        "fc1": {"kernel": quantize_weight(jnp.asarray(
+                    rng.standard_normal((C, Hd)) * 0.1, jnp.float32)),
+                "bias": jnp.asarray(rng.standard_normal(Hd) * 0.1,
+                                    jnp.float32)},
+        "fc2": {"kernel": quantize_weight(jnp.asarray(
+                    rng.standard_normal((Hd, C)) * 0.1, jnp.float32)),
+                "bias": jnp.asarray(rng.standard_normal(C) * 0.1,
+                                    jnp.float32)},
+    }
+    scales = (2.0, 3.0) if static else None
+
+    want = np.asarray(
+        fused_ln_mlp_residual_int8(x, ln, mlp_q, act_scales=scales)
+    )
+    # shrink the budget so Hd=512 streams in 4 chunks of 128; clear the
+    # jit cache or the second call replays the unchunked trace
+    monkeypatch.setattr(mlpmod, "_WEIGHT_BUDGET", 2 * C * 128)
+    assert mlpmod._hidden_chunk(C, Hd, 1) == 128  # chunk route engaged
+    fused_ln_mlp_residual_int8.clear_cache()
+    try:
+        got = np.asarray(
+            fused_ln_mlp_residual_int8(x, ln, mlp_q, act_scales=scales)
+        )
+    finally:
+        fused_ln_mlp_residual_int8.clear_cache()  # don't poison later tests
+    denom = np.abs(want).max()
+    tol = 1e-5 if static else 0.05
+    assert np.abs(got - want).max() / denom < tol
