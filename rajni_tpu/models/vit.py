@@ -750,7 +750,23 @@ def vit_forward(
         if _tap is not None:
             _tap(blk_i, x)
 
-    # Final norm + head on the CLS token only (reference model.py:65-66).
+    return classifier_head(x, params, config, act_scales, impl)
+
+
+def classifier_head(
+    x: jax.Array,
+    params: Params,
+    config: ViTConfig,
+    act_scales=None,
+    impl: str = "xla",
+) -> jax.Array:
+    """Final norm + head on the CLS token only (reference model.py:65-66).
+
+    Shared by :func:`vit_forward` and the tensor-parallel composition
+    (:func:`rajni_tpu.parallel.mesh.tp_pallas_forward`) so the head
+    semantics — CLS-only norm, int8/static-quantize rules, output dtype —
+    cannot drift between the two entry points.
+    """
     # LayerNorm is per-token, so norm(x)[:, 0] ≡ norm(x[:, 0:1])[:, 0] —
     # normalizing just the CLS row skips a full-sequence pass bit-exactly.
     cls_out = layer_norm(

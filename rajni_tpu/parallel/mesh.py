@@ -252,6 +252,13 @@ def sharded_forward(
     composes trivially (VERDICT r2 missing #3; reference equivalence: the
     per-image torchvision transforms at run.py:62-70)."""
 
+    if impl == "auto":
+        # resolve by backend here: the per-batch crossover
+        # (models.vit.resolve_impl) does not apply — the DP path exists
+        # for large serving batches, and "auto" must never silently build
+        # interpret-mode Pallas kernels off-TPU
+        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+
     def forward(p, images):
         if stage is not None:
             images = stage(images)
@@ -373,9 +380,11 @@ def tp_pallas_forward(
         fused_ln_qkv,
         fused_ln_qkv_int8,
     )
+    from ..kernels.block import _gather_fits_fast
     from ..kernels.math import quantize_rows, quantize_static
     from ..kernels.mlp import fused_ln_mlp_residual, fused_ln_mlp_residual_int8
-    from ..models.vit import layer_norm, patch_embed
+    from ..models.vit import classifier_head, patch_embed
+    from ..quant import dequantize_weight
     from ..ops.importance import (
         importance_from_partials,
         importance_partials,
@@ -416,13 +425,32 @@ def tp_pallas_forward(
             q_kern = qkv_loc["kernel"]
             quantized = is_quantized(q_kern)
             aq = ap = a1 = a2 = None
-            if quantized and act_scales is not None:
+            if act_scales is not None:
+                # unpack regardless of which sites are quantized: MLP-only
+                # quantization (quantize_params(attn=False)) must still
+                # consume its calibrated a_fc1/a_fc2, matching single-chip
+                # vit_forward
                 aq, ap, a1, a2 = act_scales.block(blk_i)
             wproj = block["attn"]["proj"]["kernel"]   # [C_local, C] (record)
             bproj = block["attn"]["proj"]["bias"]     # [C] replicated
             ls1 = block.get("ls1")
             ls2 = block.get("ls2")
             b1term = bproj if ls1 is None else bproj * ls1
+            # For pruned blocks, the int8 gather tail must fit VMEM or we
+            # fall back to the dequantized bf16 tail (which has its own
+            # chunked long-sequence path) — decide BEFORE the qkv
+            # producer runs, because the bf16 tail never compensates the
+            # V-column fold (same hazard as vit_forward's int8_tail).
+            n_in = x.shape[1]
+            C_loc = C // tp  # per-shard width (whole heads per shard)
+            int8_tail = quantized and (
+                spec is None
+                or _gather_fits_fast(
+                    n_in, keep_count(spec.keep_ratio, n_in) + 1,
+                    max(C_loc, C), jnp.dtype(x.dtype).itemsize,
+                )
+            )
+            ap_eff = ap if int8_tail else None
             if quantized:
                 qkv_flat = {
                     "kernel": {
@@ -433,7 +461,10 @@ def tp_pallas_forward(
                 }
                 qkv_l, _ = fused_ln_qkv_int8(
                     x, block["norm1"], qkv_flat, H_l, eps, False,
-                    act_scales=None if aq is None else (aq, ap),
+                    act_scales=(
+                        None if (aq is None or not int8_tail)
+                        else (aq, ap)
+                    ),
                 )
             else:
                 qkv_flat = {
@@ -486,17 +517,20 @@ def tp_pallas_forward(
                     )
                 idx, sel = select_tokens_dense(scores, keep, x.dtype)
                 x_g = gather_tokens(x, idx)
-                proj_zerob = {
-                    "kernel": wproj, "bias": jnp.zeros_like(bproj)
-                }
-                if quantized:
+                if int8_tail:
                     part = fused_gather_sdpa_proj_residual_int8(
-                        qkv_l, sel, jnp.zeros_like(x), proj_zerob,
-                        ls1, H_l, config.attn_scale, act_scale=ap,
+                        qkv_l, sel, jnp.zeros_like(x),
+                        {"kernel": wproj, "bias": jnp.zeros_like(bproj)},
+                        ls1, H_l, config.attn_scale, act_scale=ap_eff,
                     )
                 else:
+                    # bf16 tail (has a chunked long-sequence path the int8
+                    # kernel lacks); dequantize the proj shard if needed
+                    wp = (dequantize_weight(wproj).astype(x.dtype)
+                          if quantized else wproj)
                     part = fused_gather_sdpa_proj_residual(
-                        qkv_l, sel, jnp.zeros_like(x), proj_zerob,
+                        qkv_l, sel, jnp.zeros_like(x),
+                        {"kernel": wp, "bias": jnp.zeros_like(bproj)},
                         ls1, H_l, config.attn_scale,
                     )
                 out = jax.lax.psum(part.astype(jnp.float32), "model")
@@ -529,25 +563,10 @@ def tp_pallas_forward(
             out = jax.lax.psum(part.astype(jnp.float32), "model")
             x = (x.astype(jnp.float32) + out + b2term).astype(dtype)
 
-        x = layer_norm(x, p["norm"], eps)
-        hk = p["head"]["kernel"]
-        if is_quantized(hk):
-            cls32 = x[:, 0].astype(jnp.float32)
-            if act_scales is not None:
-                a_h = act_scales.head
-                cls_q, a_s = quantize_static(cls32, 1.0 / a_h), a_h
-            else:
-                cls_q, a_s = quantize_rows(cls32)
-            acc = jax.lax.dot_general(
-                cls_q, hk["int8"], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32,
-            ).astype(jnp.float32)
-            return acc * a_s * hk["scale"].reshape(1, -1) + p["head"][
-                "bias"
-            ].astype(jnp.float32)
-        return (
-            x[:, 0] @ hk + p["head"]["bias"]
-        ).astype(jnp.float32)
+        # shared head: CLS-only final norm + (static-)int8/linear head —
+        # one implementation with vit_forward so the semantics (impl gate,
+        # output dtype) cannot drift between the entry points
+        return classifier_head(x, p, config, act_scales, "pallas")
 
     mapped = jax.jit(
         jax.shard_map(

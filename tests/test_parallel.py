@@ -227,3 +227,47 @@ def test_dp_with_quantized_params(setup):
     apply = sharded_forward(qparams, TINY, SCHED, mesh, impl="pallas")
     got = np.asarray(apply(x))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_tp_pallas_mlp_only_static_scales(setup):
+    """MLP-only quantization (quantize_params(attn=False)) with calibrated
+    static scales under TP: the a_fc1/a_fc2 scales must be consumed even
+    though the attention stays bf16 (they were silently dropped before —
+    the unpack was gated on attention quantization)."""
+    from rajni_tpu.quant import calibrate_act_scales, quantize_params
+
+    params, x = setup
+    scales = calibrate_act_scales(params, x, TINY, SCHED)
+    qparams = quantize_params(params, attn=False)
+    want = np.asarray(
+        jax.jit(vit_forward, static_argnums=(2, 3, 4, 5))(
+            qparams, x, TINY, SCHED, "pallas", scales
+        )
+    )
+    tp_mesh = make_mesh(data=4, model=2)
+    tp_apply = sharded_forward(qparams, TINY, SCHED, tp_mesh,
+                               impl="pallas", act_scales=scales)
+    got = np.asarray(tp_apply(x))
+    np.testing.assert_allclose(
+        got, want, rtol=1e-3, atol=1e-3 * np.abs(want).max()
+    )
+
+
+def test_tp_pallas_int8_unfit_tail_falls_back(setup, monkeypatch):
+    """When the fast int8 gather tail does not fit VMEM, the TP pruned
+    path must fall back to the dequantized bf16 tail — and must NOT have
+    V-folded the QKV producer (the bf16 tail never compensates)."""
+    import rajni_tpu.kernels.block as blk
+    from rajni_tpu.quant import calibrate_act_scales, quantize_params
+
+    params, x = setup
+    scales = calibrate_act_scales(params, x, TINY, SCHED)
+    qparams = quantize_params(params)
+    ref32 = np.asarray(vit_forward(params, x, TINY, SCHED, "xla"))
+    monkeypatch.setattr(blk, "_gather_fits_fast", lambda *a, **k: False)
+    tp_mesh = make_mesh(data=4, model=2)
+    tp_apply = sharded_forward(qparams, TINY, SCHED, tp_mesh,
+                               impl="pallas", act_scales=scales)
+    got = np.asarray(tp_apply(x))
+    assert np.isfinite(got).all()
+    assert np.abs(got - ref32).max() / np.abs(ref32).max() < 0.2
