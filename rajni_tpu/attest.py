@@ -115,6 +115,7 @@ def check_fixture(
     dtype=None,
     impl: str = "xla",
     batch: int | None = None,
+    act_scales=None,
 ) -> dict:
     """Replay a fixture through this framework and report the deviation.
 
@@ -122,6 +123,11 @@ def check_fixture(
     "model", "source"}`` where ``top1_agreement`` is the fraction of images
     whose argmax matches the captured reference logits — the quantity the
     ≤0.5%-drop claim rides on (argmax agreement ≥ 1 - drop).
+
+    ``act_scales`` (:class:`rajni_tpu.quant.ActScales` or a path to a
+    ``--save_scales`` JSON) attests the calibrated static-scale int8
+    configuration — gate the EXACT numerics that will serve traffic, not
+    just the dynamic mode.
     """
     import jax
     import jax.numpy as jnp
@@ -146,7 +152,11 @@ def check_fixture(
         from .params.io import _cast_tree
 
         params = _cast_tree(params, dtype)
-    fn = jax.jit(vit_forward, static_argnums=(2, 3, 4))
+    if isinstance(act_scales, str):
+        from .quant import ActScales
+
+        act_scales = ActScales.load(act_scales)
+    fn = jax.jit(vit_forward, static_argnums=(2, 3, 4, 5))
 
     outs = []
     for i in range(0, n, batch):
@@ -157,7 +167,8 @@ def check_fixture(
                 [chunk, np.zeros((pad,) + chunk.shape[1:], chunk.dtype)]
             )
         out = np.asarray(
-            fn(params, jnp.asarray(chunk), config, schedule, impl),
+            fn(params, jnp.asarray(chunk), config, schedule, impl,
+               act_scales),
             np.float32,
         )
         outs.append(out[: out.shape[0] - pad if pad else None])
@@ -227,7 +238,17 @@ def main(argv=None) -> None:
     p.add_argument("--min_agreement", type=float, default=0.995,
                    help="fail (exit 1) below this top-1 agreement "
                         "(0.995 = the ≤0.5%% drop north star)")
+    p.add_argument("--quantize", action="store_true",
+                   help="int8-quantize the checkpoint before attesting "
+                        "(gate the quantized serving numerics)")
+    p.add_argument("--act_scales", default=None, metavar="FILE",
+                   help="with --quantize: calibrated static scales JSON "
+                        "(--save_scales output) — attest the static-scale "
+                        "int8 configuration that actually serves")
     args = p.parse_args(argv)
+
+    if args.act_scales and not args.quantize:
+        raise ValueError("--act_scales requires --quantize")
 
     import jax.numpy as jnp
 
@@ -236,7 +257,12 @@ def main(argv=None) -> None:
     fix = load_fixture(args.fixture)
     dtype = jnp.float32 if args.dtype == "float32" else jnp.bfloat16
     params = load_checkpoint_auto(args.checkpoint, fix["model"], dtype=dtype)
-    report = check_fixture(fix, params, impl=args.kernels, batch=args.batch)
+    if args.quantize:
+        from .quant import quantize_params
+
+        params = quantize_params(params)
+    report = check_fixture(fix, params, impl=args.kernels, batch=args.batch,
+                           act_scales=args.act_scales)
     report["dtype"] = args.dtype
     print(json.dumps(report))
     if report["top1_agreement"] < args.min_agreement:

@@ -2,9 +2,13 @@
 
 Builds ``_native/preprocess.cpp`` into a shared library on first use (cached
 next to the source; rebuilt when the source is newer) and exposes
-:func:`preprocess_native` with the exact contract of
-:func:`rajni_tpu.data.pipeline.preprocess`. The ctypes call releases the GIL,
-so the DataLoader's decode thread pool scales across cores.
+:func:`preprocess_native` with the same GEOMETRY as
+:func:`rajni_tpu.data.pipeline.preprocess` (shared
+``resize_crop_geometry``) but double-precision resampling where PIL uses
+8-bit fixed-point coefficients — values agree within ±1/255 per channel
+(pinned by tests/test_native.py), not bit-exactly. The ctypes call
+releases the GIL, so the DataLoader's decode thread pool scales across
+cores.
 
 Set ``RAJNI_NATIVE=0`` to force the pure-PIL path.
 """
@@ -93,16 +97,11 @@ def preprocess_native(
         raise RuntimeError("native preprocessing unavailable")
     rgb = np.ascontiguousarray(rgb, dtype=np.uint8)
     h, w = rgb.shape[:2]
-    # shorter-side resize dims — torchvision truncates the scaled long side
-    # (int(), not round(); see pipeline.preprocess)
-    if w <= h:
-        nw, nh = resize, max(1, int(h * resize / w))
-    else:
-        nh, nw = resize, max(1, int(w * resize / h))
-    # torchvision CenterCrop offsets — Python round() on purpose (banker's),
-    # the same quirk the PIL path reproduces (pipeline.preprocess).
-    left = int(round((nw - img_size) / 2.0))
-    top = int(round((nh - img_size) / 2.0))
+    # the shared parity-critical geometry (int-truncated long side,
+    # banker's-rounded crop offsets — pipeline.resize_crop_geometry)
+    from .pipeline import resize_crop_geometry
+
+    nw, nh, left, top = resize_crop_geometry(w, h, img_size, resize)
 
     out = np.empty((img_size, img_size, 3), np.float32)
     mean32 = np.ascontiguousarray(mean, np.float32)

@@ -126,32 +126,49 @@ def _default_resize(img_size: int, resize: int | None) -> int:
     return int(img_size * 256 / 224) if resize is None else resize
 
 
+def resize_crop_geometry(
+    w: int, h: int, img_size: int, resize: int
+) -> tuple[int, int, int, int]:
+    """The parity-critical torchvision geometry → ``(nw, nh, left, top)``.
+
+    ONE implementation for all three pipeline tiers (PIL, uint8, native
+    C++ — the comments had already drifted between the old copies):
+
+      * the scaled long side uses int() TRUNCATION
+        (torchvision ``_compute_resized_output_size``:
+        ``int(size * long / short)``) — round() would resample ~half of
+        non-square ImageNet-val images to a different geometry;
+      * CenterCrop offsets use Python ``round()`` = round-half-EVEN
+        (banker's rounding), torchvision's exact quirk: (257-224)/2=16.5
+        crops at 16, not 17.
+    """
+    if w <= h:
+        nw, nh = resize, max(1, int(h * resize / w))
+    else:
+        nh, nw = resize, max(1, int(w * resize / h))
+    left = int(round((nw - img_size) / 2.0))
+    top = int(round((nh - img_size) / 2.0))
+    return nw, nh, left, top
+
+
 def preprocess(im, img_size: int = 224, resize: int | None = None) -> np.ndarray:
     """Resize-shorter-side(bicubic) → center-crop → [0,1] → normalize.
 
     Bit-matches the reference transform stack (run.py:62-70): torchvision's
     ``Resize(256, interpolation=3)`` resizes the *shorter* edge to 256 with
-    PIL bicubic; ``CenterCrop`` uses round-half-down offsets reproduced here.
+    PIL bicubic; ``CenterCrop`` offsets use round-half-even (banker's)
+    exactly like torchvision (:func:`resize_crop_geometry`). (The native
+    C++ tier reproduces this geometry but resamples in double precision —
+    within ±1/255 of PIL's fixed-point path, not bit-equal; see
+    :mod:`rajni_tpu.data.native`.)
 
     Returns NHWC float32 ``[img_size, img_size, 3]``.
     """
     from PIL import Image
 
     resize = _default_resize(img_size, resize)
-    w, h = im.size
-    # torchvision computes the scaled long side with int() TRUNCATION
-    # (`_compute_resized_output_size`: ``int(size * long / short)``), not
-    # rounding — using round() here would resample ~half of non-square
-    # ImageNet-val images to a different geometry than the reference.
-    if w <= h:
-        nw, nh = resize, max(1, int(h * resize / w))
-    else:
-        nh, nw = resize, max(1, int(w * resize / h))
+    nw, nh, left, top = resize_crop_geometry(*im.size, img_size, resize)
     im = im.resize((nw, nh), Image.BICUBIC)
-
-    # torchvision CenterCrop: offset = round((dim - crop) / 2) via int rounding
-    left = int(round((nw - img_size) / 2.0))
-    top = int(round((nh - img_size) / 2.0))
     im = im.crop((left, top, left + img_size, top + img_size))
 
     arr = np.asarray(im, np.float32) / 255.0
@@ -167,14 +184,8 @@ def preprocess_u8(im, img_size: int = 224, resize: int | None = None) -> np.ndar
     from PIL import Image
 
     resize = _default_resize(img_size, resize)
-    w, h = im.size
-    if w <= h:
-        nw, nh = resize, max(1, int(h * resize / w))
-    else:
-        nh, nw = resize, max(1, int(w * resize / h))
+    nw, nh, left, top = resize_crop_geometry(*im.size, img_size, resize)
     im = im.resize((nw, nh), Image.BICUBIC)
-    left = int(round((nw - img_size) / 2.0))
-    top = int(round((nh - img_size) / 2.0))
     im = im.crop((left, top, left + img_size, top + img_size))
     return np.asarray(im, np.uint8)
 

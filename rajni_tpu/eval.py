@@ -51,16 +51,26 @@ def _batch_dim(images) -> int:
     return (images[0] if isinstance(images, tuple) else images).shape[0]
 
 
+_place_warned = False
+
+
 def _place(x, placement):
     """device_put with a graceful fallback for batches a sharding cannot
     split: the model fn pads and places those itself
     (parallel.mesh._pad_batch). With :func:`_batch_divisor`-aware padding in
     the warmup/prefetch paths this fallback should never trigger — it would
-    move the H2D transfer inside the timed region."""
+    move the H2D transfer inside the timed region, so it warns (once)."""
     x = _host_batch(x)
     try:
         return jax.device_put(x, placement)
     except ValueError:
+        global _place_warned
+        if not _place_warned:
+            _place_warned = True
+            print("WARNING: batch could not be placed with the model's "
+                  "input sharding — the H2D transfer now happens INSIDE "
+                  "the timed region; throughput is not comparable to the "
+                  "reference protocol")
         return x
 
 
@@ -80,6 +90,14 @@ def _batch_divisor(placement) -> int:
     for a in axes:
         div *= mesh.shape[a]
     return div
+
+
+def _round_up(n: int, div: int) -> int:
+    """The compiled batch size: ``n`` rounded up to a ``div`` multiple —
+    ONE rule shared by the warmup and timed loops, which must compile the
+    same XLA program (a mismatch re-introduces the ~30 s compile inside
+    the timed region that the padding exists to prevent)."""
+    return -(-n // div) * div
 
 
 def _pad_to(images: np.ndarray, b: int) -> np.ndarray:
@@ -123,7 +141,7 @@ def _prefetch_to_device(iterator, device, depth: int = 2):
         if full_b is None:
             # round the compiled batch up to a data-axis multiple so the
             # DP scatter never falls back to host placement (_place).
-            full_b = -(-_batch_dim(images) // div) * div
+            full_b = _round_up(_batch_dim(images), div)
         buf.append(
             (_place(_pad_to(images, full_b), device), np.asarray(labels))
         )
@@ -179,10 +197,15 @@ def evaluate_model(
                 x, _ = next(it)
             except StopIteration:
                 it = iter(dataloader)
-                x, _ = next(it)
+                try:
+                    x, _ = next(it)
+                except StopIteration:
+                    raise ValueError(
+                        "dataloader yielded no batches (empty dataset?)"
+                    ) from None
             x = _host_batch(x)
             if warm_b is None:
-                warm_b = -(-_batch_dim(x) // div) * div
+                warm_b = _round_up(_batch_dim(x), div)
             fence(model(_place(_pad_to(x, warm_b), placement)))
 
     correct = 0

@@ -80,6 +80,12 @@ def export_model(
             "pallas"
             if platform == "tpu" and not dynamic
             and batch >= _PALLAS_MIN_BATCH
+            # "auto" must also consider the EXPORTING host: Mosaic can
+            # only lower on a TPU-attached host, and the xla artifact is
+            # valid on TPU too — so a CPU CI host exporting --platform
+            # tpu degrades to xla instead of hitting the loud pallas
+            # guard below (which stays for the EXPLICIT --kernels pallas)
+            and jax.default_backend() == "tpu"
             else "xla"
         )
     if impl == "pallas" and platform != "tpu":

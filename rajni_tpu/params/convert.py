@@ -40,7 +40,12 @@ from ..models.vit import Params, ViTConfig
 def _to_numpy(t: Any) -> np.ndarray:
     """torch.Tensor / np.ndarray → np.ndarray (no torch import required)."""
     if hasattr(t, "detach"):  # torch.Tensor without importing torch
-        t = t.detach().cpu().numpy()
+        t = t.detach().cpu()
+        if str(getattr(t, "dtype", "")) == "torch.bfloat16":
+            # torch bf16 tensors do not implement .numpy(); the f32
+            # round-trip is exact (every bf16 value is an f32 value)
+            t = t.float()
+        t = t.numpy()
     return np.asarray(t)
 
 
@@ -241,6 +246,38 @@ def convert_timm_state_dict(
     if f"blocks.{config.depth}.norm1.weight" in sd:
         raise ValueError(
             f"checkpoint has more than {config.depth} blocks — config mismatch"
+        )
+
+    # -- every key must be consumed: a semantic weight this converter does
+    # not model (norm_pre.* in CLIP-pretrained ViTs, reg_token,
+    # head_dist.* in distilled DeiT, ...) silently dropped would mean
+    # silently wrong logits, the worst possible failure for a
+    # weight-transplant tool --
+    consumed = {
+        "patch_embed.proj.weight", "patch_embed.proj.bias",
+        "cls_token", "pos_embed",
+        "norm.weight", "norm.bias", "head.weight", "head.bias",
+    }
+    for i in range(config.depth):
+        p = f"blocks.{i}"
+        consumed |= {
+            f"{p}.{leaf}.{wb}"
+            for leaf in ("norm1", "norm2", "attn.qkv", "attn.proj",
+                         "mlp.fc1", "mlp.fc2")
+            for wb in ("weight", "bias")
+        }
+        consumed |= {f"{p}.ls1.gamma", f"{p}.ls2.gamma"}
+    leftover = sorted(
+        k for k in sd
+        if k not in consumed
+        # trivial (identity) qk-norms were validated and ignored above
+        and ".q_norm." not in k and ".k_norm." not in k
+    )
+    if leftover:
+        raise ValueError(
+            "checkpoint contains weights this converter does not model "
+            f"(would be silently dropped): {leftover[:8]}"
+            f"{' ...' if len(leftover) > 8 else ''}"
         )
 
     return _cast(params, dtype)

@@ -300,3 +300,45 @@ def test_bf16_drift_vit_b_geometry_pruned_selection(rng):
             assert abs(p32[t] - thresh) <= 2 * eps + 1e-7, (
                 b, t, p32[t], thresh, eps
             )
+
+
+def test_attest_cli_quantized_static(tmp_path, capsys):
+    """--quantize [--act_scales] attests the int8 serving numerics — the
+    static-scale configuration that actually serves traffic is gateable,
+    not just the fp/dynamic modes."""
+    from rajni_tpu.attest import main
+    from rajni_tpu.params.io import save_params
+    from rajni_tpu.quant import calibrate_act_scales
+
+    cfg_name = "vit_tiny_patch16_224"
+    cfg = get_config(cfg_name)
+    params = init_params(jax.random.key(2), cfg, jnp.float32)
+    fix = str(tmp_path / "f.npz")
+    capture_self_fixture(fix, params, cfg_name, {1: {"keep_ratio": 0.8}},
+                         n=3, seed=3)
+    ckpt = str(tmp_path / "p.msgpack")
+    save_params(ckpt, params)
+
+    x = jnp.asarray(
+        np.random.default_rng(0).standard_normal(
+            (2, cfg.img_size, cfg.img_size, 3)
+        ), jnp.float32,
+    )
+    from rajni_tpu.utils.schedule import normalize_schedule
+
+    scales = calibrate_act_scales(
+        params, x, cfg, normalize_schedule({1: {"keep_ratio": 0.8}},
+                                           cfg.depth)
+    )
+    sfile = str(tmp_path / "scales.json")
+    scales.save(sfile)
+
+    # quantization shifts logits but random-init argmax usually survives;
+    # gate only that the static path RUNS and reports
+    main([fix, "--checkpoint", ckpt, "--quantize", "--act_scales", sfile,
+          "--kernels", "pallas", "--min_agreement", "0.0"])
+    out = capsys.readouterr().out
+    assert '"top1_agreement"' in out
+
+    with pytest.raises(ValueError, match="requires --quantize"):
+        main([fix, "--checkpoint", ckpt, "--act_scales", sfile])

@@ -291,3 +291,25 @@ def test_orbax_roundtrip(oracle, tmp_path):
         np.asarray(params["blocks"][0]["attn"]["qkv"]["kernel"]),
     )
     assert isinstance(loaded["blocks"], list)
+
+
+def test_unconsumed_keys_rejected(oracle):
+    """Weights the converter does not model (norm_pre, head_dist, ...)
+    must raise instead of being silently dropped — dropped semantic
+    weights mean silently wrong logits."""
+    sd = dict(oracle.state_dict())
+    sd["norm_pre.weight"] = torch.rand(CFG.embed_dim)
+    sd["norm_pre.bias"] = torch.rand(CFG.embed_dim)
+    with pytest.raises(ValueError, match="does not model"):
+        convert_timm_state_dict(sd, CFG)
+
+
+def test_bfloat16_torch_checkpoint_converts(oracle, rng):
+    """torch bf16 tensors have no .numpy(); the converter must round-trip
+    through f32 (exact) instead of crashing on modern bf16 checkpoints."""
+    sd = {k: v.to(torch.bfloat16) for k, v in oracle.state_dict().items()}
+    params = convert_timm_state_dict(sd, CFG, np.float32)
+    x = jnp.asarray(_images(rng, 2))
+    out = np.asarray(vit_forward(params, x, CFG))
+    assert out.shape == (2, CFG.num_classes)
+    assert np.isfinite(out).all()
