@@ -15,7 +15,7 @@ standard dynamic-quantization recipe:
     dequant factors into the weight-scale vectors at trace time, so the
     per-row absmax passes vanish from the kernels. Measured (v5e-1,
     batch-256 ViT-B schedule.json, BENCH_SUITE.json): static 6405 img/s
-    pruned vs 6267 dynamic (+2.2%, 93% of the bf16 roofline) but 5426 vs
+    pruned vs 6267 dynamic (+2.2%, 89% of the bf16 roofline) but 5426 vs
     5635 stock (−3.7%) — per-architecture routing advice in
     docs/QUANTIZATION.md (small-C models win most from static).
   * Accumulation in int32 on the MXU, dequantized as
@@ -161,10 +161,22 @@ class ActScales:
 
         with open(path) as f:
             d = json.load(f)
-        return cls(
-            blocks=tuple(tuple(float(v) for v in row) for row in d["blocks"]),
-            head=float(d["head"]),
-        )
+        blocks = tuple(tuple(float(v) for v in row) for row in d["blocks"])
+        head = float(d["head"])
+        for i, row in enumerate(blocks):
+            if len(row) != 4:
+                raise ValueError(
+                    f"{path}: block {i} has {len(row)} scales, expected 4 "
+                    "(a_qkv, a_proj, a_fc1, a_fc2)"
+                )
+        import math
+
+        flat = [v for row in blocks for v in row] + [head]
+        if any(not math.isfinite(v) or v <= 0.0 for v in flat):
+            raise ValueError(
+                f"{path}: activation scales must be finite and positive"
+            )
+        return cls(blocks=blocks, head=head)
 
 
 def _calibration_forward(params, images, config, schedule):
@@ -283,6 +295,11 @@ def calibrate_act_scales(
                 for row, prev in zip(b_amax, block_amax)
             ]
             head_amax = jnp.maximum(h_amax, head_amax)
+    if block_amax is None:
+        raise ValueError(
+            "calibrate_act_scales received no batches (empty iterable, or "
+            "an already-consumed generator)"
+        )
     scale = lambda m: float(  # noqa: E731
         jnp.maximum(m, 1e-8) * (margin / 127.0)
     )

@@ -366,7 +366,10 @@ def main(argv=None):
         for i, (imgs, _labels) in enumerate(loader):
             if i >= args.calibrate:
                 break
-            imgs = jax.device_put(jnp.asarray(imgs), device)
+            # tree-wise: canvas mode yields a TUPLE (canvas_u8, sizes)
+            imgs = jax.device_put(
+                jax.tree_util.tree_map(jnp.asarray, imgs), device
+            )
             calib_batches.append(imgs if stage is None else stage(imgs))
         print(f"Captured {len(calib_batches)} calibration batches")
         if not calib_batches:
@@ -398,6 +401,10 @@ def main(argv=None):
             )
         print(f"Loaded static int8 activation scales from "
               f"{args.load_scales}")
+        if kernels == "xla":
+            print("WARNING: --load_scales has no effect on the xla kernel "
+                  "route (static scales apply to the pallas kernels only; "
+                  "this evaluation stays dynamic int8)")
 
     def calibrated_scales(sched):
         if loaded_scales is not None:
@@ -462,10 +469,16 @@ def main(argv=None):
     # pre-loads the schedule when one was actually given.
     base_scales = calibrated_scales(None) if args.compare_base else None
     rajni_scales = None
-    if calib_batches and args.schedule is not None:
-        rajni_scales = calibrated_scales(
-            load_schedule(args.schedule, config.depth)
-        )
+    schedule = (
+        load_schedule(args.schedule, config.depth)
+        if args.schedule is not None else None
+    )
+    if calib_batches:
+        if schedule is not None:
+            rajni_scales = calibrated_scales(schedule)
+        # free even when --schedule was forgotten: the base eval below
+        # must not run with the calibration batches pinned in HBM just
+        # because the run will error afterwards
         calib_batches.clear()
 
     # ---- Base model (optional comparison, reference run.py:97-110) ----
@@ -477,9 +490,8 @@ def main(argv=None):
               f"Throughput: {base_tput:.1f} img/s")
 
     # ---- RAJNI model (reference run.py:113-145) ----
-    if args.schedule is None:
+    if schedule is None:
         raise ValueError("You must provide --schedule for RAJNI evaluation")
-    schedule = load_schedule(args.schedule, config.depth)
 
     print("\nLoaded RAJNI schedule:")
     for k, v in schedule_to_dict(schedule).items():

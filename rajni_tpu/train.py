@@ -189,6 +189,14 @@ def main(argv=None):
         from .data.pipeline import DataLoader, ImageFolder
 
         dataset = ImageFolder(args.data_path, img_size=config.img_size)
+        if len(dataset) < local_batch:
+            # the full-batch-only filter in batches() below would spin
+            # forever otherwise (single-host hang; distributed deadlock)
+            raise ValueError(
+                f"dataset ({len(dataset)} images) smaller than the "
+                f"{'local ' if args.distributed else ''}batch "
+                f"({local_batch}) — no full batch can ever be formed"
+            )
         if args.distributed and jax.process_count() > 1:
             # Every host must be able to fill a full local batch or its
             # batches() generator would spin forever while the other

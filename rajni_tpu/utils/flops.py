@@ -24,7 +24,9 @@ V5E_BF16_PEAK_TFLOPS = 197.0
 
 
 def flops_per_image(
-    config: ViTConfig, token_counts: list[int] | None = None
+    config: ViTConfig,
+    token_counts: list[int] | None = None,
+    final_count: int | None = None,
 ) -> float:
     """Forward matmul FLOPs (2×MAC) per image.
 
@@ -32,6 +34,17 @@ def flops_per_image(
     (SDPA). Pruned block N→K: the QKV projection runs at the full incoming
     N (reference attention.py:22), attention/proj/MLP at K:
     ``6·N·C² + 18·K·C² + 4·K²·C``. Plus patch-embed and the CLS head.
+
+    ``token_counts`` is the reference's ENTRY trace (token count at the
+    entry of each block — model.py:43), so block ``i`` runs
+    ``entry[i] → entry[i+1]``. The historical implementation paired the
+    trace one block late, billing a phantom full-N stock block and never
+    billing the last — +4.3% on the flagship schedule, which inflated
+    every recorded pruned-MFU figure until 2026-08-18. ``final_count`` is
+    the LAST block's exit count, only needed when the final block itself
+    prunes (an entry trace cannot express that); defaults to
+    ``token_counts[-1]`` (stock last block — true of every recorded
+    config).
     """
     C = config.embed_dim
     if token_counts is None:
@@ -43,8 +56,10 @@ def flops_per_image(
         )
     n0 = config.num_tokens
     flops = 2.0 * (n0 - 1) * config.patch_size**2 * config.in_chans * C
-    n_in = n0
-    for n_out in token_counts:
+    exits = list(token_counts[1:]) + [
+        token_counts[-1] if final_count is None else final_count
+    ]
+    for n_in, n_out in zip(token_counts, exits):
         if n_out == n_in:  # stock block
             flops += 24.0 * n_in * C * C + 4.0 * n_in**2 * C
         else:  # pruned: QKV at n_in, the rest at n_out
@@ -53,7 +68,6 @@ def flops_per_image(
                 + 18.0 * n_out * C * C
                 + 4.0 * n_out**2 * C
             )
-        n_in = n_out
     flops += 2.0 * C * config.num_classes
     return flops
 

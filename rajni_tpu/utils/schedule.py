@@ -86,9 +86,19 @@ def normalize_schedule(
     seq = tuple(schedule)
     if len(seq) != depth:
         raise ValueError(f"schedule length {len(seq)} != depth {depth}")
-    for entry in seq:
-        if entry is not None and not isinstance(entry, PruneSpec):
+    for i, entry in enumerate(seq):
+        if entry is None:
+            continue
+        if not isinstance(entry, PruneSpec):
             raise TypeError(f"bad schedule entry: {entry!r}")
+        # same range check as the mapping path — an out-of-range ratio
+        # otherwise surfaces as a confusing trace-time shape error (>1)
+        # or a silent clamp to one token (<=0)
+        if not 0.0 < entry.keep_ratio <= 1.0:
+            raise ValueError(
+                f"keep_ratio must be in (0, 1], got {entry.keep_ratio} "
+                f"for block {i}"
+            )
     return seq
 
 

@@ -45,7 +45,15 @@ def measure_throughput(fn, *args, iters: int = 20, warmup: int = 3,
     if iters < 1:
         raise ValueError(f"iters must be >= 1, got {iters}")
     if batch is None:
-        batch = args[1].shape[0] if len(args) > 1 else 1
+        # infer only from the fn(params, images, ...) convention; guessing
+        # 1 for anything else silently misreports throughput by a factor
+        # of the real batch
+        if len(args) > 1 and hasattr(args[1], "shape") and args[1].ndim:
+            batch = args[1].shape[0]
+        else:
+            raise ValueError(
+                "cannot infer the batch size from args — pass batch="
+            )
     for _ in range(warmup):
         fence(fn(*args))
     best = 0.0

@@ -98,7 +98,39 @@ def test_flops_accounting():
     sched = normalize_schedule(REFERENCE_SCHEDULE, cfg.depth)
     trace = model_stats(cfg, sched)["token_counts"]
     pruned = flops_per_image(cfg, trace)
-    assert 0.78 < pruned / base < 0.85
+    # 0.778 with the corrected per-block pairing (the token-MEAN ratio the
+    # docs quote is 0.816; FLOPs weigh the quadratic SDPA term too)
+    assert 0.75 < pruned / base < 0.82
     assert abs(mfu(cfg, None, 1970.0) - base * 1970 / 197e12) < 1e-9
     with pytest.raises(ValueError, match="entries for depth"):
         flops_per_image(cfg, [197] * 5)
+
+
+def test_flops_per_block_pairing():
+    """Regression for the entry-trace pairing bug (fixed 2026-08-18): the
+    function must equal a direct per-block summation over
+    (entry[i] -> entry[i+1]) — the old code billed a phantom full-N stock
+    block and skipped the last, inflating pruned FLOPs ~4%."""
+    from rajni_tpu import flops_per_image, get_config, model_stats
+    from rajni_tpu.utils.schedule import REFERENCE_SCHEDULE
+
+    cfg = get_config("vit_base_patch16_224")
+    sched = normalize_schedule(REFERENCE_SCHEDULE, cfg.depth)
+    trace = model_stats(cfg, sched)["token_counts"]
+
+    C = cfg.embed_dim
+    want = 2.0 * (cfg.num_tokens - 1) * cfg.patch_size**2 * 3 * C
+    exits = trace[1:] + [trace[-1]]
+    for n_in, n_out in zip(trace, exits):
+        if n_in == n_out:
+            want += 24.0 * n_in * C * C + 4.0 * n_in**2 * C
+        else:
+            want += 6.0 * n_in * C * C + 18.0 * n_out * C * C \
+                + 4.0 * n_out**2 * C
+    want += 2.0 * C * cfg.num_classes
+    assert flops_per_image(cfg, trace) == pytest.approx(want)
+
+    # the last block CAN prune — only expressible via final_count
+    last_prune = flops_per_image(cfg, [197] * 12, final_count=120)
+    stock = flops_per_image(cfg)
+    assert last_prune < stock
