@@ -82,6 +82,7 @@ def main() -> None:
                                                  schedule)
             log("calibrated static int8 activation scales "
                 "(RAJNI_BENCH_CALIBRATE=1)")
+        raw_params = params  # keep the bf16 weights for the xla_base row
         params = quantize_params(params)
         log("int8-quantized weights (RAJNI_BENCH_QUANT=1)")
     fwd = jax.jit(vit_forward, static_argnums=(2, 3, 4, 5))
@@ -116,8 +117,14 @@ def main() -> None:
         # same run so the recorded artifact carries both ratios.
         log("compiling + measuring XLA-ops unpruned base (north-star "
             "denominator)...")
-        xla_base = measure_throughput(fwd, params, images, config, None,
-                                      "xla", iters=iters)
+        # the denominator is the BF16 stock-timm stand-in: with QUANT=1
+        # the quantized tree would pay a per-call dequantize on the xla
+        # route and run an int8 head — a slower, numerics-different
+        # forward that silently inflates the recorded ratio
+        xla_base = measure_throughput(
+            fwd, raw_params if quant else params, images, config, None,
+            "xla", iters=iters,
+        )
         log(f"xla base: {xla_base:.1f} img/s")
         record["base_img_per_s"] = round(base, 1)
         record["xla_base_img_per_s"] = round(xla_base, 1)

@@ -68,6 +68,11 @@ def initialize(
         pass
     kwargs = {}
     if coordinator_address is not None:
+        if num_processes is None or process_id is None:
+            raise ValueError(
+                "coordinator_address requires num_processes and process_id "
+                "(pass all three, or none for TPU-pod autodetection)"
+            )
         kwargs = dict(
             coordinator_address=coordinator_address,
             num_processes=num_processes,
@@ -287,6 +292,7 @@ def evaluate_model_multihost(
     stage=None,
     num_batches: int | None = None,
     assume_replicated: bool = False,
+    local_batch: int | None = None,
 ) -> tuple[float, float]:
     """Reference-accounting eval over a multi-host mesh → ``(acc, img/s)``.
 
@@ -311,9 +317,23 @@ def evaluate_model_multihost(
     tree :func:`replicate_to_global` returned — saves re-pushing the
     model through the tunnel when evaluating several schedules).
 
+    ``local_batch`` is the steady per-host batch size every batch is
+    padded to. It MUST be a globally-agreed value (global batch /
+    processes — the CLI passes it): when omitted it is inferred from this
+    host's first batch, which is only safe if every host's first batch
+    has the same size (hosts whose interleaved shard is one row short
+    would otherwise infer a smaller padded shape and the controllers'
+    programs diverge). ``dataloader`` must be re-iterable (a list, not a
+    generator): the warmup pass restarts it.
+
     Single-process (tests, one-host pods) this degrades gracefully to the
     plain DP eval over the local mesh.
     """
+    if iter(dataloader) is iter(dataloader):
+        # a generator: warmup would consume measured batches silently
+        raise ValueError(
+            "dataloader must be re-iterable (pass a list, not a generator)"
+        )
     if mesh is None:
         mesh = global_mesh()
     step = multihost_eval_step(config, schedule, mesh, impl, act_scales,
@@ -331,7 +351,11 @@ def evaluate_model_multihost(
             f"({jax.process_count()})"
         )
     local_div = n_data // jax.process_count()
-    b_loc = None  # steady per-host batch, fixed by the first batch seen
+    # steady per-host batch: the globally-agreed value, or (single-host /
+    # equal-shard cases) fixed by the first batch seen
+    b_loc = None
+    if local_batch is not None:
+        b_loc = -(-local_batch // local_div) * local_div
     template = None  # last padded host batch (shapes for blank batches)
 
     def prepare(x, y):
@@ -349,7 +373,12 @@ def evaluate_model_multihost(
                 x, y = next(it)
             except StopIteration:
                 it = iter(dataloader)
-                x, y = next(it)
+                try:
+                    x, y = next(it)
+                except StopIteration:
+                    raise ValueError(
+                        "dataloader yielded no batches (empty dataset?)"
+                    ) from None
             g = host_to_global(prepare(x, y), mesh)
             fence(step(gparams, *g))
         it = iter(dataloader)

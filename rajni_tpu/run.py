@@ -452,6 +452,10 @@ def main(argv=None):
                 stage=dist_ctx["stage"],
                 num_batches=dist_num_batches,
                 assume_replicated=True,
+                # globally-agreed steady per-host batch: hosts whose
+                # interleaved shard runs one row short must not infer a
+                # smaller padded shape from their own first batch
+                local_batch=args.batch_size // jax.process_count(),
             )
         fn = make_model_fn(params, config, sched, args.data_parallel,
                            kernels, args.preprocess, dtype,

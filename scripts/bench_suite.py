@@ -51,8 +51,6 @@ VIT_H_PROBE = {  # large-model routing probe: keep-0.7 at 4 of 32 blocks
 
 from rajni_tpu.utils.flops import flops_per_image, mfu  # noqa: E402
 
-analytic_flops_per_image = flops_per_image  # back-compat alias
-
 
 def measure(model, schedule, batch, iters, impl, device=None, warmup=3,
             quantize=False, calibrate=False):

@@ -46,8 +46,7 @@ threeC = 3 * C
 
 def onehot_kernel(idx_ref, x_ref, o_ref):
     # build [K, N] one-hot from idx (SMEM scalars) via iota compare
-    idx_col = idx_ref[...]  # [K] int32 in SMEM? use broadcast path
-    k_iota = jax.lax.broadcasted_iota(jnp.int32, (K, N), 0)
+    idx_col = idx_ref[...]
     n_iota = jax.lax.broadcasted_iota(jnp.int32, (K, N), 1)
     # gather idx values into a [K, N] compare: idx[k] == n
     # SMEM scalar loop would be slow; emulate with the [N,1] score-ish way:
@@ -131,7 +130,6 @@ if __name__ == "__main__":
 
     if which in ("all", "onehot"):
         # one-hot wants a [K, 1]-style vmem idx; pass as [K, N]-broadcastable
-        idx_col = jnp.asarray(idx[0][:, None] * np.ones((1, N), np.int32))
         # per-image idx differs; for the probe use ONE shared idx set
         f = build_onehot()
         try:
@@ -141,7 +139,7 @@ if __name__ == "__main__":
             t = measure(f, (jnp.asarray(idx[0][:, None]), x))
             print(f"onehot: {t:.3f} ms  err={err}")
         except Exception as e:
-            print("onehot FAIL:", str(e).split_lines()[0] if hasattr(str(e), 'split_lines') else str(e)[:200])
+            print("onehot FAIL:", str(e)[:200])
 
     if which in ("all", "dmarow"):
         f = build_dmarow()

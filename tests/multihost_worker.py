@@ -75,6 +75,23 @@ def main() -> None:
 
     mesh = multihost.global_mesh()
     num_batches = None
+    local_batch = None
+    if mode == "tiny":
+        # dataset smaller than one global batch: 5 rows over 2 hosts gives
+        # FIRST batches of 3 vs 2 — without the globally-agreed
+        # local_batch, each host would infer a different padded shape and
+        # the controllers' programs diverge (deadlock)
+        n, local_batch = 5, 4
+        rng2 = np.random.default_rng(33)
+        gx = rng2.standard_normal((n, 32, 32, 3)).astype(np.float32)
+        gy = rng2.integers(0, 13, size=(n,)).astype(np.int32)
+        shard_x, shard_y = gx[pid::nproc], gy[pid::nproc]
+
+        def local_slices():  # noqa: F811 — deliberate mode override
+            yield shard_x, shard_y
+
+        num_batches = multihost.steps_for(n, local_batch * nproc, nproc)
+        assert num_batches == 1, num_batches
     if mode == "ragged":
         # the unequal-shard case: 17 rows interleaved over 2 hosts gives
         # shards of 9 and 8 → host 0 yields 3 local batches of ≤4, host 1
@@ -96,7 +113,7 @@ def main() -> None:
 
     acc, thr = multihost.evaluate_model_multihost(
         params, cfg, sched, list(local_slices()), mesh=mesh, impl=impl,
-        warmup=1, num_batches=num_batches,
+        warmup=1, num_batches=num_batches, local_batch=local_batch,
     )
     print(json.dumps({"pid": pid, "acc": acc, "thr": round(thr, 3),
                       "devices": len(jax.devices())}), flush=True)

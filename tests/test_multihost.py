@@ -214,6 +214,22 @@ def test_two_process_ragged_shards(rng):
     assert outs[0]["acc"] == pytest.approx(want)
 
 
+def test_two_process_divergent_first_batches(rng):
+    """Dataset smaller than one global batch (5 rows → first local batches
+    of 3 vs 2): with the globally-agreed local_batch both hosts pad to the
+    same shape instead of compiling divergent programs and deadlocking."""
+    outs = _run_workers("xla", mode="tiny")
+    assert outs[0]["acc"] == pytest.approx(outs[1]["acc"])
+
+    params = _params()
+    data_rng = np.random.default_rng(33)
+    gx = data_rng.standard_normal((5, 32, 32, 3)).astype(np.float32)
+    gy = data_rng.integers(0, 13, size=(5,)).astype(np.int32)
+    logits = np.asarray(vit_forward(params, jnp.asarray(gx), CFG, SCHED))
+    want = 100.0 * int((logits.argmax(axis=1) == gy).sum()) / 5
+    assert outs[0]["acc"] == pytest.approx(want)
+
+
 def test_cli_distributed_two_process(tmp_path):
     """End-to-end CLI: two `python -m rajni_tpu.run --distributed`
     processes form one runtime, shard the synthetic data, and report the
