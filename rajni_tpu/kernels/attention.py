@@ -74,6 +74,10 @@ def fused_sdpa(qkv: jax.Array, num_heads: int, scale: float) -> jax.Array:
     Drop-in replacement for :func:`rajni_tpu.ops.attention._sdpa` (same
     semantics, same packed-QKV input — reference attention.py:47-54).
     """
+    if qkv.ndim == 4:
+        # the TP head-aligned [B, N, 3, C] layout (parallel.mesh.
+        # repack_qkv_heads) — element order is identical, flatten it
+        qkv = qkv.reshape(qkv.shape[0], qkv.shape[1], -1)
     B, N, three_c = qkv.shape
     C = three_c // 3
     if C % num_heads:

@@ -87,16 +87,21 @@ def _importance_row_chunked(qkv_buf, N: int, num_heads: int,
     a_cls = jnp.mean(p, axis=0, keepdims=True)  # [1, N]
 
     # head-mean value norms: [N, C] @ [C, D] with a stacked-identity operand.
-    # The identity entries are exactly 1.0 (representable in bf16); the 1/H
-    # head-mean scale is applied in fp32 AFTER the dot, because bf16(1/H)
-    # would perturb every norm by ~0.4% and could flip selection ties.
+    # The head-mean runs in fp32 with f32(1/H) folded into the summation
+    # matrix (same term order as block._importance_f32 — bf16(1/H) would
+    # perturb every norm by ~0.4% and could flip selection ties).
     dim_of_c = jax.lax.broadcasted_iota(jnp.int32, (C, D), 0) % D
     dim_col = jax.lax.broadcasted_iota(jnp.int32, (C, D), 1)
     vsum = jnp.where(dim_of_c == dim_col, 1.0, 0.0).astype(qkv_buf.dtype)
     V = jax.lax.dot_general(
-        qkv_buf[0:N, 2 * C:], vsum, (((1,), (0,)), ((), ())),
+        qkv_buf[0:N, 2 * C:].astype(jnp.float32),
+        # fold f32(1/H) per-TERM inside the dot — the order
+        # block._importance_f32 uses; applying 1/H once after the exact
+        # sum is NOT bit-equal when H isn't a power of two (ViT-B H=12)
+        vsum.astype(jnp.float32) * jnp.float32(1.0 / H),
+        (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ) * (1.0 / H)  # [N, D] fp32
+    )  # [N, D] fp32
     V = V - jnp.mean(V, axis=0, keepdims=True)
     vn = jnp.sqrt(jnp.sum(V * V, axis=1, keepdims=True))  # [N, 1]
     mu = jnp.mean(vn)
@@ -131,8 +136,13 @@ def _select_rows_chunked(s_row, N: int, K: int):
         iota_l = jax.lax.broadcasted_iota(jnp.int32, (mc, N), 1)
         iota_s = jax.lax.broadcasted_iota(jnp.int32, (mc, N), 0) + m0
         eye = (iota_l == iota_s).astype(jnp.float32)
+        # jnp.where, NOT eye * sc: the CLS sentinel is +inf and
+        # 0 * inf = NaN would poison every other token's score — only a
+        # non-guaranteed XLA simplifier rewrite saved the multiply form
+        # (block._select_from_scores uses where for the same reason)
         col = jnp.sum(
-            eye * jnp.broadcast_to(sc, (mc, N)), axis=1, keepdims=True
+            jnp.where(iota_l == iota_s, jnp.broadcast_to(sc, (mc, N)), 0.0),
+            axis=1, keepdims=True,
         )  # [mc, 1] scores of tokens m0..m0+mc
         ahead = (col > sc).astype(jnp.float32)
         ties = ((col == sc) & (iota_s < iota_l)).astype(jnp.float32)

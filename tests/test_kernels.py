@@ -387,9 +387,12 @@ def test_longseq_block_matches_two_kernel_path(rng):
 
 
 def test_vit_forward_longseq_routing_matches_xla(rng, monkeypatch):
-    """Force the mega-kernel fits-checks off so the pruned pallas path
-    routes through kernels.longseq, and compare against the XLA reference
-    end-to-end (the ViT-B/384 production route, shrunk)."""
+    """Force the whole-block fits-checks off so the pruned pallas path
+    takes the TWO-KERNEL long-sequence fallback (fused_ln_qkv + XLA
+    selection + gather tail — the ViT-B/384 production route, shrunk) and
+    compare against the XLA reference end-to-end. NOTE: this does NOT
+    execute kernels/longseq.py — that module is a tested-but-unrouted
+    alternative (measured slower); its own pinning tests are above."""
     from rajni_tpu.kernels import block as blk
 
     monkeypatch.setattr(blk, "_pruned_block_fits", lambda *a: False)
