@@ -1,0 +1,453 @@
+"""Pipeline parallelism (GPipe) over a ``pipe`` mesh axis.
+
+The reference has no distributed code at all (SURVEY.md §2 "Parallelism");
+:mod:`rajni_tpu.parallel.mesh` supplies the faithful capability match (DP)
+plus Megatron TP. This module adds the third classic axis — **pipeline
+parallelism** — for ViTs whose weights exceed one chip's HBM (ViT-22B-class:
+48 blocks × C=6144 ≈ 44 GB bf16 vs 16 GB on v5e). It is TPU-native
+throughout: a ``(data, pipe)`` :class:`jax.sharding.Mesh`, per-stage block
+weights sharded over ``pipe`` (each chip *holds only its stage*),
+``lax.ppermute`` ring shifts on ICI, and one ``lax.scan`` over pipeline
+ticks so the whole schedule is a single compiled XLA program that
+differentiates (GPipe backward falls out of the scan/ppermute transpose —
+no hand-written backward schedule).
+
+Design notes
+------------
+* **Stage programs under SPMD.** Every device runs the same traced function,
+  so per-stage computation (different blocks, different token counts under a
+  pruning schedule) dispatches through ``lax.switch`` on
+  ``lax.axis_index("pipe")``. XLA lowers that to a conditional — each chip
+  executes only its own stage's blocks at runtime; the other branches cost
+  compile time only.
+* **Static shapes across stage boundaries.** RAJNI pruning shrinks the token
+  axis mid-network, but the per-block counts are compile-time constants of
+  the schedule (SURVEY.md §2 "critical insight"). The inter-stage payload is
+  therefore padded to the entry count ``N0`` and each stage *statically*
+  slices back to its true entry count from
+  :func:`rajni_tpu.utils.schedule.token_count_trace` — no dynamic shapes, no
+  masking arithmetic in the hot path.
+* **Score threading across stages.** ``update=false`` blocks reuse scores
+  from the previous pruned block (reference attention.py:25-28,
+  model.py:61-63). Whether scores are *valid* entering a stage is itself
+  static — valid iff the previous stage's last block was pruned — so the
+  carried score buffer is consumed only where the reference would.
+* **Bubble accounting.** GPipe utilization is ``M / (M + S - 1)`` for ``M``
+  microbatches over ``S`` stages; :func:`pipeline_forward` defaults to
+  ``M = 2·S`` and callers raise ``microbatch`` to amortize further. The
+  per-tick payload over ICI is one ``[B_micro, N0, C]`` activation — at
+  ViT-22B scale ~1.5 MB per microbatch row, far under ICI bandwidth per
+  tick of block compute.
+
+Composition: the ``data`` axis DPs whole pipelines (pure batch sharding, no
+extra collectives). Tensor parallelism composes at the stage level in
+principle (a third mesh axis with the Megatron psums of
+:func:`rajni_tpu.parallel.mesh.tp_pallas_forward` inside each branch) but is
+not wired here; int8 params are likewise rejected for now — PP exists for
+models too big for a chip, where bf16 weights are the first-order concern.
+
+No reference counterpart exists; cited behavior being preserved is the
+pruned forward itself (reference model.py:30-69) — the pipelined program
+must produce the single-device logits exactly, which
+``tests/test_pipeline.py`` pins on the 8-device CPU mesh.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models.vit import (
+    ViTConfig,
+    _layer_scale,
+    _mlp_branch,
+    classifier_head,
+    layer_norm,
+    patch_embed,
+    stock_block,
+)
+from ..ops.attention import pruned_attention
+from ..ops.pruning import keep_count
+from ..utils.schedule import Schedule, normalize_schedule, token_count_trace
+
+
+def make_pipe_mesh(
+    devices=None, pipe: int = 1, data: int | None = None
+) -> Mesh:
+    """Build a ``(data, pipe)`` mesh over the given (default: all) devices."""
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    if data is None:
+        if n % pipe:
+            raise ValueError(f"{n} devices not divisible by pipe={pipe}")
+        data = n // pipe
+    if data * pipe != n:
+        raise ValueError(f"mesh {data}x{pipe} != {n} devices")
+    dev_array = np.asarray(devices).reshape(data, pipe)
+    return Mesh(dev_array, axis_names=("data", "pipe"))
+
+
+def _check_plain(params: Any) -> None:
+    from ..quant import is_quantized
+
+    leaves = [params["blocks"][0]["attn"]["qkv"]["kernel"],
+              params["head"]["kernel"]]
+    if any(is_quantized(k) for k in leaves):
+        raise NotImplementedError(
+            "pipeline parallelism supports plain (bf16/f32) params; "
+            "int8 records are not wired — PP targets models whose bf16 "
+            "weights exceed a chip, use quantization to *avoid* PP instead"
+        )
+
+
+def stack_params(params: Any, n_stages: int) -> Any:
+    """Re-tree a ViT param pytree for the pipeline: blocks stacked on a
+    leading ``depth`` axis (shardable over ``pipe``), embed/head separate.
+
+    Returns ``{"embed": {...}, "blocks": stacked, "head": {...}}`` where
+    every ``blocks`` leaf is ``[depth, ...]``. Requires ``depth % n_stages
+    == 0`` so the contiguous shard of the leading axis *is* the stage.
+    """
+    _check_plain(params)
+    depth = len(params["blocks"])
+    if depth % n_stages:
+        raise ValueError(
+            f"depth={depth} must be divisible by pipe={n_stages} stages"
+        )
+    blocks = jax.tree_util.tree_map(
+        lambda *xs: jnp.stack(xs), *params["blocks"]
+    )
+    return {
+        "embed": {
+            "patch_embed": params["patch_embed"],
+            "cls_token": params["cls_token"],
+            "pos_embed": params["pos_embed"],
+        },
+        "blocks": blocks,
+        "head": {"norm": params["norm"], "head": params["head"]},
+    }
+
+
+def unstack_params(ptree: Any) -> Any:
+    """Inverse of :func:`stack_params` (checkpoint interchange)."""
+    depth = jax.tree_util.tree_leaves(ptree["blocks"])[0].shape[0]
+    blocks = [
+        jax.tree_util.tree_map(lambda a, i=i: a[i], ptree["blocks"])
+        for i in range(depth)
+    ]
+    return {
+        "patch_embed": ptree["embed"]["patch_embed"],
+        "cls_token": ptree["embed"]["cls_token"],
+        "pos_embed": ptree["embed"]["pos_embed"],
+        "blocks": blocks,
+        "norm": ptree["head"]["norm"],
+        "head": ptree["head"]["head"],
+    }
+
+
+def pipeline_pspecs(ptree: Any) -> Any:
+    """PartitionSpecs for a stacked tree: blocks over ``pipe``, rest
+    replicated (pytree-prefix specs)."""
+    return {
+        "embed": jax.tree_util.tree_map(lambda _: P(), ptree["embed"]),
+        "blocks": jax.tree_util.tree_map(lambda _: P("pipe"), ptree["blocks"]),
+        "head": jax.tree_util.tree_map(lambda _: P(), ptree["head"]),
+    }
+
+
+def place_pipeline_params(ptree: Any, mesh: Mesh) -> Any:
+    """Device-put a stacked tree: each chip holds ONLY its stage's blocks."""
+    return jax.tree_util.tree_map(
+        lambda a, s: jax.device_put(a, NamedSharding(mesh, s)),
+        ptree,
+        pipeline_pspecs(ptree),
+    )
+
+
+def _entry_counts(config: ViTConfig, schedule) -> list[int]:
+    """Token count entering each block, plus the final exit count
+    (length ``depth + 1``)."""
+    trace = token_count_trace(config.num_tokens, schedule)
+    last = trace[-1]
+    if schedule[-1] is not None:
+        last = keep_count(schedule[-1].keep_ratio, last) + 1
+    return trace + [last]
+
+
+def _stage_branch(
+    stage: int,
+    n_local: int,
+    config: ViTConfig,
+    schedule,
+    entry: list[int],
+    scores_valid_in: bool,
+    impl: str,
+):
+    """Build stage ``stage``'s program: slice the padded carry to the true
+    entry count, run its blocks (exact reference semantics — the same ops
+    as ``vit_forward``'s XLA branch), pad back to ``N0``."""
+    n0 = config.num_tokens
+    g0 = stage * n_local
+
+    def branch(local_blocks, x_pad, scores_pad):
+        x = x_pad[:, : entry[g0]]
+        scores = scores_pad[:, : entry[g0]] if scores_valid_in else None
+        for j in range(n_local):
+            g = g0 + j
+            block = jax.tree_util.tree_map(lambda a, j=j: a[j], local_blocks)
+            spec = schedule[g]
+            if spec is not None:
+                keep = keep_count(spec.keep_ratio, x.shape[1])
+                x_norm = layer_norm(x, block["norm1"], config.layer_norm_eps)
+                out, keep_idx, scores = pruned_attention(
+                    x_norm,
+                    block["attn"],
+                    config.num_heads,
+                    config.attn_scale,
+                    keep,
+                    spec.update,
+                    scores,
+                    impl,
+                )
+                # residual-stream compaction BEFORE the residual add
+                # (reference model.py:55-56)
+                x = jnp.take_along_axis(x, keep_idx[..., None], axis=1)
+                x = x + _layer_scale(out, block, "ls1")
+                x = _mlp_branch(x, block, config, impl)
+            else:
+                x = stock_block(x, block, config, impl)
+                scores = None  # invalidate (reference model.py:63)
+        pad = n0 - x.shape[1]
+        x_out = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
+        if scores is None:
+            # zero-of-the-input keeps the varying-manual-axes type equal
+            # across switch branches (a fresh constant would be invariant)
+            scores_out = scores_pad * 0
+        else:
+            scores_out = jnp.pad(
+                scores.astype(scores_pad.dtype),
+                ((0, 0), (0, n0 - scores.shape[1])),
+            )
+        return x_out, scores_out
+
+    return branch
+
+
+def _pipeline_logits_fn(
+    config: ViTConfig,
+    schedule,
+    mesh: Mesh,
+    n_micro: int,
+    impl: str,
+    remat: bool,
+):
+    """The shard_map'd pipeline: ``(stacked_tree, images[M, Bmg, H, W, 3])
+    -> logits[M, Bmg, classes]`` (f32, pipe-invariant, data-sharded)."""
+    n_stages = mesh.shape["pipe"]
+    depth = config.depth
+    if depth % n_stages:
+        raise ValueError(f"depth={depth} % pipe={n_stages} != 0")
+    n_local = depth // n_stages
+    entry = _entry_counts(config, schedule)
+    n0 = config.num_tokens
+    n_ticks = n_micro + n_stages - 1
+
+    # scores validity entering stage s: the previous stage's LAST block was
+    # pruned (an unpruned block resets scores — reference model.py:63)
+    valid_in = [False] + [
+        schedule[s * n_local - 1] is not None for s in range(1, n_stages)
+    ]
+    branches = [
+        _stage_branch(s, n_local, config, schedule, entry, valid_in[s], impl)
+        for s in range(n_stages)
+    ]
+    perm = [(i, i + 1) for i in range(n_stages - 1)]
+
+    def run(ptree, images):
+        s_idx = jax.lax.axis_index("pipe")
+        dtype = ptree["embed"]["cls_token"].dtype
+        b_micro = images.shape[1]
+
+        # Pre-embed every microbatch once (replicated work, one block-scale
+        # matmul per microbatch — negligible next to M·depth block ticks).
+        def embed(img):
+            e = ptree["embed"]
+            x = patch_embed(img.astype(dtype), e["patch_embed"], config)
+            cls = jnp.broadcast_to(
+                e["cls_token"], (x.shape[0], 1, config.embed_dim)
+            )
+            x = jnp.concatenate([cls, x], axis=1)
+            return x + e["pos_embed"][:, : x.shape[1]]
+
+        embedded = jax.vmap(embed)(images)  # [M, B, N0, C]
+
+        def tick(carry, t):
+            buf_x, buf_s, out = carry
+            # inject: stage 0 takes microbatch t's embedding
+            mb = jnp.clip(t, 0, n_micro - 1)
+            x_in = jax.lax.dynamic_index_in_dim(embedded, mb, 0, False)
+            buf_x = jnp.where(s_idx == 0, x_in, buf_x)
+
+            def compute(blocks, bx, bs):
+                return jax.lax.switch(s_idx, branches, blocks, bx, bs)
+
+            if remat:
+                compute = jax.checkpoint(compute)
+            x_out, s_out = compute(ptree["blocks"], buf_x, buf_s)
+
+            # extract: the last stage's output of tick t is microbatch
+            # t-(S-1)'s final activations
+            logits = classifier_head(
+                x_out, ptree["head"], config, None, impl
+            ).astype(jnp.float32)
+            o_idx = t - (n_stages - 1)
+            valid = jnp.logical_and(s_idx == n_stages - 1, o_idx >= 0)
+            safe = jnp.maximum(o_idx, 0)
+            cur = jax.lax.dynamic_slice_in_dim(out, safe, 1, 0)
+            out = jax.lax.dynamic_update_slice_in_dim(
+                out, jnp.where(valid, logits[None], cur), safe, 0
+            )
+
+            # shift stage s → s+1 on the ICI ring (absent sources yield 0)
+            if perm:
+                x_out = jax.lax.ppermute(x_out, "pipe", perm)
+                s_out = jax.lax.ppermute(s_out, "pipe", perm)
+            return (x_out, s_out, out), None
+
+        # carries vary over both mesh axes at the first tick's output —
+        # promote the zero init so the scan carry type is stable
+        carry = jax.tree_util.tree_map(
+            lambda a: jax.lax.pcast(a, ("data", "pipe"), to="varying"),
+            (
+                jnp.zeros((b_micro, n0, config.embed_dim), dtype),
+                jnp.zeros((b_micro, n0), jnp.float32),
+                jnp.zeros(
+                    (n_micro, b_micro, config.num_classes), jnp.float32
+                ),
+            ),
+        )
+        (_, _, out), _ = jax.lax.scan(
+            tick, carry, jnp.arange(n_ticks, dtype=jnp.int32)
+        )
+        # only the last stage wrote logits; everyone else holds zeros
+        return jax.lax.psum(out, "pipe")
+
+    pspecs = None  # resolved per-call below (tree shape needs the params)
+
+    def logits_fn(ptree, images):
+        nonlocal pspecs
+        if pspecs is None:
+            pspecs = pipeline_pspecs(ptree)
+        return jax.shard_map(
+            run,
+            mesh=mesh,
+            in_specs=(pspecs, P(None, "data")),
+            out_specs=P(None, "data"),
+        )(ptree, images)
+
+    return logits_fn
+
+
+def pipeline_forward(
+    params: Any,
+    config: ViTConfig,
+    schedule: Schedule | None,
+    mesh: Mesh,
+    microbatch: int | None = None,
+    impl: str = "xla",
+):
+    """Jitted pipelined ``images -> logits`` over a ``(data, pipe)`` mesh.
+
+    ``params`` may be the standard tree (stacked + placed here) or an
+    already-stacked tree from :func:`stack_params`. The returned callable
+    accepts ``[B, H, W, 3]`` (any B — padded to ``microbatch · data`` and
+    sliced back) and returns ``[B, num_classes]`` f32 logits identical to
+    the single-device :func:`rajni_tpu.models.vit.vit_forward`.
+
+    ``microbatch`` is the number of in-flight microbatches M (default
+    ``2 · pipe``); GPipe utilization is ``M / (M + S - 1)``.
+    """
+    schedule = normalize_schedule(schedule, config.depth)
+    n_stages = mesh.shape["pipe"]
+    n_micro = microbatch or 2 * n_stages
+    if "blocks" in params and isinstance(params["blocks"], list):
+        params = stack_params(params, n_stages)
+    placed = place_pipeline_params(params, mesh)
+    logits_fn = jax.jit(
+        _pipeline_logits_fn(config, schedule, mesh, n_micro, impl, False)
+    )
+
+    n_data = mesh.shape["data"]
+    group = n_micro * n_data
+
+    def apply(images):
+        b = images.shape[0]
+        pad = (-b) % group
+        if pad:
+            images = np.concatenate(
+                [np.asarray(images),
+                 np.zeros((pad,) + tuple(images.shape[1:]),
+                          np.asarray(images).dtype)],
+                axis=0,
+            )
+        mb = images.reshape((n_micro, -1) + tuple(images.shape[1:]))
+        out = logits_fn(placed, mb)
+        return out.reshape(-1, out.shape[-1])[:b]
+
+    apply.n_micro = n_micro
+    return apply
+
+
+def make_pipeline_train_step(
+    config: ViTConfig,
+    schedule: Schedule | None,
+    mesh: Mesh,
+    tx,
+    microbatch: int | None = None,
+    impl: str = "xla",
+):
+    """GPipe train step over the ``(data, pipe)`` mesh.
+
+    ``step(state, images[M·Bd, H, W, 3], labels[M·Bd]) -> (state, metrics)``
+    where ``state.params`` is a *stacked* tree (:func:`stack_params`,
+    placed with :func:`place_pipeline_params` so each chip's optimizer
+    state covers only its stage). The backward pipeline schedule is the
+    autodiff transpose of the forward scan — ``ppermute`` reverses
+    direction, ``psum`` becomes broadcast — with per-tick rematerialization
+    (``jax.checkpoint``) so activation memory is one stage-tick, not the
+    whole unrolled pipeline.
+    """
+    import optax
+
+    from ..train import TrainState, cross_entropy
+
+    schedule = normalize_schedule(schedule, config.depth)
+    n_micro = microbatch or 2 * mesh.shape["pipe"]
+    logits_fn = _pipeline_logits_fn(
+        config, schedule, mesh, n_micro, impl, remat=True
+    )
+
+    def loss_fn(ptree, images, labels):
+        mb = images.reshape((n_micro, -1) + tuple(images.shape[1:]))
+        logits = logits_fn(ptree, mb).reshape(-1, config.num_classes)
+        loss = cross_entropy(logits, labels)
+        acc = (jnp.argmax(logits, -1) == labels).mean()
+        return loss, acc
+
+    def step(state: TrainState, images, labels):
+        (loss, acc), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, images, labels
+        )
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return (
+            TrainState(params, opt_state, state.step + 1),
+            {"loss": loss, "accuracy": acc},
+        )
+
+    return step

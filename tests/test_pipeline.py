@@ -1,0 +1,173 @@
+"""Pipeline parallelism (GPipe) on the simulated 8-device CPU mesh.
+
+The pipelined program must reproduce the single-device pruned forward
+EXACTLY (same ops per block, zero-padding never enters the compute), and
+the pipelined train step must track the single-device loss trajectory —
+the backward schedule is the autodiff transpose of the forward scan.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from rajni_tpu.models.vit import ViTConfig, init_params, vit_forward
+from rajni_tpu.parallel.pipeline import (
+    make_pipe_mesh,
+    make_pipeline_train_step,
+    pipeline_forward,
+    place_pipeline_params,
+    stack_params,
+    unstack_params,
+)
+from rajni_tpu.train import TrainState, make_train_step
+from rajni_tpu.utils.schedule import normalize_schedule
+
+TINY = ViTConfig(
+    img_size=32, patch_size=16, embed_dim=64, depth=4, num_heads=4,
+    num_classes=16,
+)
+# update=False on block 2 REUSES block 1's (gathered) scores across the
+# stage boundary at pipe=4 (1 block/stage) and pipe=2 (2 blocks/stage):
+# the cross-stage score-threading contract (reference attention.py:25-28).
+SCHED = normalize_schedule(
+    {1: {"keep_ratio": 0.6, "update": True},
+     2: {"keep_ratio": 0.8, "update": False}},
+    TINY.depth,
+)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    assert len(jax.devices()) == 8, "conftest must provide 8 virtual devices"
+    params = init_params(jax.random.key(0), TINY)
+    x = np.asarray(
+        jax.random.normal(jax.random.key(1), (16, 32, 32, 3)), np.float32
+    )
+    return params, x
+
+
+@pytest.mark.parametrize("data,pipe,micro", [(2, 4, 4), (4, 2, 2), (2, 4, 8)])
+def test_pipeline_matches_single_device(setup, data, pipe, micro):
+    params, x = setup
+    want = np.asarray(vit_forward(params, jnp.asarray(x), TINY, SCHED))
+    mesh = make_pipe_mesh(data=data, pipe=pipe)
+    apply = pipeline_forward(params, TINY, SCHED, mesh, microbatch=micro)
+    got = np.asarray(apply(x))
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+
+def test_pipeline_unpruned_and_scores_invalidation(setup):
+    """No schedule at all, and a schedule where an unpruned block sits
+    between two pruned ones (scores must invalidate — model.py:63)."""
+    params, x = setup
+    mesh = make_pipe_mesh(data=2, pipe=4)
+    for sched in (
+        None,
+        normalize_schedule(
+            {0: {"keep_ratio": 0.8},
+             2: {"keep_ratio": 0.7, "update": False}},  # enters invalid →
+            TINY.depth,                                  # recomputes
+        ),
+    ):
+        want = np.asarray(vit_forward(params, jnp.asarray(x), TINY, sched))
+        got = np.asarray(
+            pipeline_forward(params, TINY, sched, mesh, microbatch=4)(x)
+        )
+        np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+
+def test_pipeline_pads_odd_batch(setup):
+    """B=10 with M·D=8 microbatch grid: padded to 16, sliced back."""
+    params, x = setup
+    mesh = make_pipe_mesh(data=2, pipe=4)
+    apply = pipeline_forward(params, TINY, SCHED, mesh, microbatch=4)
+    want = np.asarray(vit_forward(params, jnp.asarray(x[:10]), TINY, SCHED))
+    got = np.asarray(apply(x[:10]))
+    assert got.shape == (10, TINY.num_classes)
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+
+def test_stage_weight_placement(setup):
+    """Each chip holds ONLY its stage's blocks — the point of PP."""
+    params, _ = setup
+    mesh = make_pipe_mesh(data=2, pipe=4)
+    placed = place_pipeline_params(stack_params(params, 4), mesh)
+    fc1 = placed["blocks"]["mlp"]["fc1"]["kernel"]  # [depth, C, 4C]
+    shapes = {s.data.shape for s in fc1.addressable_shards}
+    assert shapes == {(1, 64, 256)}  # depth/pipe = 1 block per chip
+    # embed/head replicated
+    assert placed["embed"]["cls_token"].addressable_shards[0].data.shape == (
+        1, 1, 64,
+    )
+
+
+def test_pipeline_uses_collective_permute(setup):
+    """The inter-stage shift must be a collective-permute on the ICI ring,
+    not an all-gather of activations."""
+    params, x = setup
+    mesh = make_pipe_mesh(data=2, pipe=4)
+    from rajni_tpu.parallel.pipeline import _pipeline_logits_fn
+
+    stacked = place_pipeline_params(stack_params(params, 4), mesh)
+    fn = jax.jit(_pipeline_logits_fn(TINY, SCHED, mesh, 4, "xla", False))
+    mb = jnp.asarray(x).reshape(4, 4, 32, 32, 3)
+    hlo = fn.lower(stacked, mb).compile().as_text()
+    assert "collective-permute" in hlo
+    # no activation-sized all-gather: the only gathers allowed are tiny
+    # (none expected at all on this program)
+    assert " all-gather(" not in hlo
+
+
+def test_rejects_bad_configs(setup):
+    params, _ = setup
+    with pytest.raises(ValueError, match="divisible"):
+        stack_params(params, 3)  # depth=4 % 3
+    from rajni_tpu.quant import quantize_params
+
+    with pytest.raises(NotImplementedError, match="int8"):
+        stack_params(quantize_params(params), 2)
+
+
+def test_stack_unstack_roundtrip(setup):
+    params, x = setup
+    rt = unstack_params(stack_params(params, 2))
+    want = np.asarray(vit_forward(params, jnp.asarray(x), TINY, SCHED))
+    got = np.asarray(vit_forward(rt, jnp.asarray(x), TINY, SCHED))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_pipeline_train_matches_single_device(setup):
+    """3 GPipe steps track the single-device trajectory on the same union
+    batch: equal losses and matching strong-gradient leaves (the K-bias
+    caveat from the multihost parity test doesn't bite here — reduction
+    order inside one program is deterministic)."""
+    params, x = setup
+    mesh = make_pipe_mesh(data=2, pipe=4)
+    tx = optax.adamw(1e-3, weight_decay=0.0)
+
+    stacked = place_pipeline_params(stack_params(params, 4), mesh)
+    pstate = TrainState(stacked, tx.init(stacked), jnp.zeros((), jnp.int32))
+    pstep = jax.jit(
+        make_pipeline_train_step(TINY, SCHED, mesh, tx, microbatch=4)
+    )
+
+    sstate = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
+    sstep = jax.jit(make_train_step(TINY, SCHED, tx))
+
+    xb, yb = jnp.asarray(x[:8]), jnp.asarray(np.arange(8, dtype=np.int32) % 16)
+    for _ in range(3):
+        pstate, pm = pstep(pstate, xb, yb)
+        sstate, sm = sstep(sstate, xb, yb)
+        assert abs(float(pm["loss"]) - float(sm["loss"])) < 1e-5, (
+            float(pm["loss"]), float(sm["loss"]),
+        )
+    pu = unstack_params(jax.device_get(pstate.params))
+    su = jax.device_get(sstate.params)
+    for leaf in ("fc1", "fc2"):
+        d = np.abs(
+            np.asarray(pu["blocks"][1]["mlp"][leaf]["kernel"])
+            - np.asarray(su["blocks"][1]["mlp"][leaf]["kernel"])
+        ).max()
+        assert d < 5e-5, (leaf, d)
