@@ -119,9 +119,17 @@ def stack_params(params: Any, n_stages: int) -> Any:
         raise ValueError(
             f"depth={depth} must be divisible by pipe={n_stages} stages"
         )
-    blocks = jax.tree_util.tree_map(
-        lambda *xs: jnp.stack(xs), *params["blocks"]
-    )
+
+    # Host-side stacking when the leaves live on host: a checkpoint for an
+    # over-HBM model must never materialize the full [depth, ...] stack on
+    # one device — np.stack keeps it in host RAM so place_pipeline_params'
+    # device_put ships each chip only its stage's slice.
+    def _stack(*xs):
+        if all(isinstance(x, np.ndarray) for x in xs):
+            return np.stack(xs)
+        return jnp.stack(xs)
+
+    blocks = jax.tree_util.tree_map(_stack, *params["blocks"])
     return {
         "embed": {
             "patch_embed": params["patch_embed"],
