@@ -40,11 +40,16 @@ Design notes
   tick of block compute.
 
 Composition: the ``data`` axis DPs whole pipelines (pure batch sharding, no
-extra collectives). Tensor parallelism composes at the stage level in
-principle (a third mesh axis with the Megatron psums of
-:func:`rajni_tpu.parallel.mesh.tp_pallas_forward` inside each branch) but is
-not wired here; int8 params are likewise rejected for now — PP exists for
-models too big for a chip, where bf16 weights are the first-order concern.
+extra collectives), and a third ``model`` axis runs **Megatron tensor
+parallelism inside every stage** (``make_pipe_mesh(..., model=tp)``): each
+chip holds only its stage's blocks *and* only its head/hidden shard of
+them, stage programs run on local heads with the Megatron-minimum psums
+(attention proj, fc2, plus the scorer's two cross-head partial sums on
+rescoring blocks — the same decomposition as
+:func:`rajni_tpu.parallel.mesh.tp_pallas_forward`), and the ``pipe``
+ppermute shifts the (replicated-over-``model``) activations between
+stages. Int8 params are rejected for now — PP exists for models too big
+for a chip, where bf16 weights are the first-order concern.
 
 No reference counterpart exists; cited behavior being preserved is the
 pruned forward itself (reference model.py:30-69) — the pipelined program
@@ -70,26 +75,38 @@ from ..models.vit import (
     patch_embed,
     stock_block,
 )
-from ..ops.attention import pruned_attention
-from ..ops.pruning import keep_count
+from ..ops.attention import _qkv_projection, _sdpa, pruned_attention
+from ..ops.importance import importance_from_partials, importance_partials
+from ..ops.pruning import gather_tokens, keep_count, select_tokens
 from ..utils.schedule import Schedule, normalize_schedule, token_count_trace
 
 
 def make_pipe_mesh(
-    devices=None, pipe: int = 1, data: int | None = None
+    devices=None, pipe: int = 1, data: int | None = None, model: int = 1
 ) -> Mesh:
-    """Build a ``(data, pipe)`` mesh over the given (default: all) devices."""
+    """Build a ``(data, pipe)`` mesh — or ``(data, pipe, model)`` when
+    ``model > 1`` for Megatron TP inside each pipeline stage — over the
+    given (default: all) devices."""
     if devices is None:
         devices = jax.devices()
     n = len(devices)
     if data is None:
-        if n % pipe:
-            raise ValueError(f"{n} devices not divisible by pipe={pipe}")
-        data = n // pipe
-    if data * pipe != n:
-        raise ValueError(f"mesh {data}x{pipe} != {n} devices")
-    dev_array = np.asarray(devices).reshape(data, pipe)
-    return Mesh(dev_array, axis_names=("data", "pipe"))
+        if n % (pipe * model):
+            raise ValueError(
+                f"{n} devices not divisible by pipe={pipe} * model={model}"
+            )
+        data = n // (pipe * model)
+    if data * pipe * model != n:
+        raise ValueError(f"mesh {data}x{pipe}x{model} != {n} devices")
+    if model == 1:
+        dev_array = np.asarray(devices).reshape(data, pipe)
+        return Mesh(dev_array, axis_names=("data", "pipe"))
+    dev_array = np.asarray(devices).reshape(data, pipe, model)
+    return Mesh(dev_array, axis_names=("data", "pipe", "model"))
+
+
+def _mesh_tp(mesh: Mesh) -> int:
+    return mesh.shape["model"] if "model" in mesh.axis_names else 1
 
 
 def _check_plain(params: Any) -> None:
@@ -105,15 +122,24 @@ def _check_plain(params: Any) -> None:
         )
 
 
-def stack_params(params: Any, n_stages: int) -> Any:
+def stack_params(params: Any, n_stages: int, tp: int = 1) -> Any:
     """Re-tree a ViT param pytree for the pipeline: blocks stacked on a
     leading ``depth`` axis (shardable over ``pipe``), embed/head separate.
 
     Returns ``{"embed": {...}, "blocks": stacked, "head": {...}}`` where
     every ``blocks`` leaf is ``[depth, ...]``. Requires ``depth % n_stages
     == 0`` so the contiguous shard of the leading axis *is* the stage.
+
+    With ``tp > 1`` the packed QKV weights are first re-packed head-aligned
+    (``[C, 3, C]`` kernel / ``[3, C]`` bias,
+    :func:`rajni_tpu.parallel.mesh.repack_qkv_heads`) so the stacked leaf's
+    last axis shards over ``model`` on whole-head boundaries.
     """
     _check_plain(params)
+    if tp > 1:
+        from .mesh import repack_qkv_heads
+
+        params = repack_qkv_heads(params)
     depth = len(params["blocks"])
     if depth % n_stages:
         raise ValueError(
@@ -158,22 +184,56 @@ def unstack_params(ptree: Any) -> Any:
     }
 
 
-def pipeline_pspecs(ptree: Any) -> Any:
-    """PartitionSpecs for a stacked tree: blocks over ``pipe``, rest
-    replicated (pytree-prefix specs)."""
+def _stacked_block_pspecs(blocks: Any, tp: int) -> Any:
+    """Specs for the stacked ``blocks`` subtree: every leaf shards its
+    leading ``depth`` axis over ``pipe``; with ``tp > 1`` the Megatron
+    column/row dimensions additionally shard over ``model`` (mirroring
+    :func:`rajni_tpu.parallel.mesh.param_pspecs` one stacking axis up)."""
+    if tp == 1:
+        return jax.tree_util.tree_map(lambda _: P("pipe"), blocks)
+    spec = {
+        "norm1": {"scale": P("pipe"), "bias": P("pipe")},
+        "norm2": {"scale": P("pipe"), "bias": P("pipe")},
+        "attn": {
+            # head-aligned [depth, C, 3, C]: column-parallel on heads
+            "qkv": {
+                "kernel": P("pipe", None, None, "model"),
+                "bias": P("pipe", None, "model"),
+            },
+            # row-parallel: input dim sharded, bias replicated per stage
+            "proj": {"kernel": P("pipe", "model", None), "bias": P("pipe")},
+        },
+        "mlp": {
+            "fc1": {
+                "kernel": P("pipe", None, "model"),
+                "bias": P("pipe", "model"),
+            },
+            "fc2": {"kernel": P("pipe", "model", None), "bias": P("pipe")},
+        },
+    }
+    if "ls1" in blocks:
+        spec["ls1"] = P("pipe")
+        spec["ls2"] = P("pipe")
+    return spec
+
+
+def pipeline_pspecs(ptree: Any, tp: int = 1) -> Any:
+    """PartitionSpecs for a stacked tree: blocks over ``pipe`` (and, with
+    ``tp > 1``, Megatron dims over ``model``), embed/head replicated."""
     return {
         "embed": jax.tree_util.tree_map(lambda _: P(), ptree["embed"]),
-        "blocks": jax.tree_util.tree_map(lambda _: P("pipe"), ptree["blocks"]),
+        "blocks": _stacked_block_pspecs(ptree["blocks"], tp),
         "head": jax.tree_util.tree_map(lambda _: P(), ptree["head"]),
     }
 
 
 def place_pipeline_params(ptree: Any, mesh: Mesh) -> Any:
-    """Device-put a stacked tree: each chip holds ONLY its stage's blocks."""
+    """Device-put a stacked tree: each chip holds ONLY its stage's blocks
+    (and, on a 3-D mesh, only its head/hidden shard of them)."""
     return jax.tree_util.tree_map(
         lambda a, s: jax.device_put(a, NamedSharding(mesh, s)),
         ptree,
-        pipeline_pspecs(ptree),
+        pipeline_pspecs(ptree, _mesh_tp(mesh)),
     )
 
 
@@ -187,6 +247,60 @@ def _entry_counts(config: ViTConfig, schedule) -> list[int]:
     return trace + [last]
 
 
+def _tp_block(x, scores, block, spec, config: ViTConfig, tp: int):
+    """One ViT block with Megatron TP over the ``model`` axis — manual
+    XLA-ops collectives, running inside the pipeline's ``shard_map``.
+
+    Same decomposition as :func:`rajni_tpu.parallel.mesh.tp_pallas_forward`
+    (head-aligned column-parallel QKV → zero-collective local-head SDPA →
+    row-parallel proj psum; column/row-parallel MLP psum; the scorer
+    completed from psum'd local-head partial sums), expressed with the
+    plain lax ops of :mod:`rajni_tpu.ops`. Reference semantics per block:
+    model.py:51-59 (pruned) / model.py:61-63 (stock).
+    """
+    H_l = config.num_heads // tp
+    eps = config.layer_norm_eps
+    dtype = x.dtype
+    x_norm = layer_norm(x, block["norm1"], eps)
+    qkv_l = _qkv_projection(x_norm, block["attn"])  # [B, N, 3, C/tp]
+    if spec is not None:
+        if spec.update or scores is None:
+            a_s, v_s = importance_partials(qkv_l, H_l)
+            a_s = jax.lax.psum(a_s, "model")
+            v_s = jax.lax.psum(v_s, "model")
+            scores = importance_from_partials(a_s, v_s, config.num_heads)
+        keep = keep_count(spec.keep_ratio, x.shape[1])
+        # scores are psum-completed → identical on every shard, so the
+        # replicated selection picks identical indices (no collective)
+        keep_idx = select_tokens(scores, keep)
+        qkv_l = gather_tokens(qkv_l, keep_idx)
+        # residual-stream compaction BEFORE the residual add
+        # (reference model.py:55-56)
+        x = gather_tokens(x, keep_idx)
+        scores = jnp.take_along_axis(scores, keep_idx, axis=1)
+    else:
+        scores = None  # stock block invalidates (reference model.py:63)
+    out_l = _sdpa(qkv_l, H_l, config.attn_scale)  # [B, K, C/tp]
+    part = jnp.einsum(
+        "bnc,cd->bnd", out_l, block["attn"]["proj"]["kernel"],
+        preferred_element_type=jnp.float32,
+    )
+    out = jax.lax.psum(part, "model") + block["attn"]["proj"]["bias"]
+    x = (x.astype(jnp.float32) + _layer_scale(out, block, "ls1")).astype(dtype)
+
+    m = block["mlp"]
+    h = layer_norm(x, block["norm2"], eps)
+    h = h @ m["fc1"]["kernel"] + m["fc1"]["bias"]  # [B, K, hidden/tp]
+    h = jax.nn.gelu(h, approximate=False)
+    part = jnp.einsum(
+        "bnh,hc->bnc", h, m["fc2"]["kernel"],
+        preferred_element_type=jnp.float32,
+    )
+    out = jax.lax.psum(part, "model") + m["fc2"]["bias"]
+    x = (x.astype(jnp.float32) + _layer_scale(out, block, "ls2")).astype(dtype)
+    return x, scores
+
+
 def _stage_branch(
     stage: int,
     n_local: int,
@@ -195,6 +309,7 @@ def _stage_branch(
     entry: list[int],
     scores_valid_in: bool,
     impl: str,
+    tp: int = 1,
 ):
     """Build stage ``stage``'s program: slice the padded carry to the true
     entry count, run its blocks (exact reference semantics — the same ops
@@ -209,7 +324,9 @@ def _stage_branch(
             g = g0 + j
             block = jax.tree_util.tree_map(lambda a, j=j: a[j], local_blocks)
             spec = schedule[g]
-            if spec is not None:
+            if tp > 1:
+                x, scores = _tp_block(x, scores, block, spec, config, tp)
+            elif spec is not None:
                 keep = keep_count(spec.keep_ratio, x.shape[1])
                 x_norm = layer_norm(x, block["norm1"], config.layer_norm_eps)
                 out, keep_idx, scores = pruned_attention(
@@ -241,6 +358,11 @@ def _stage_branch(
                 scores.astype(scores_pad.dtype),
                 ((0, 0), (0, n0 - scores.shape[1])),
             )
+            if tp > 1:
+                # psum-completed scores are typed invariant over ``model``;
+                # adding a zero of the carry re-varies them so every switch
+                # branch returns the same manual-axes type
+                scores_out = scores_out + scores_pad * 0
         return x_out, scores_out
 
     return branch
@@ -261,6 +383,21 @@ def _pipeline_logits_fn(
     if depth % n_stages:
         raise ValueError(f"depth={depth} % pipe={n_stages} != 0")
     n_local = depth // n_stages
+    tp = _mesh_tp(mesh)
+    if tp > 1:
+        if impl != "xla":
+            raise NotImplementedError(
+                "TP-inside-a-stage is XLA-ops only (like the pipeline "
+                "itself — kernels are per-chip programs)"
+            )
+        if config.num_heads % tp:
+            raise ValueError(
+                f"model axis {tp} must divide num_heads={config.num_heads}"
+            )
+        if config.mlp_hidden % tp:
+            raise ValueError(
+                f"model axis {tp} must divide mlp_hidden={config.mlp_hidden}"
+            )
     entry = _entry_counts(config, schedule)
     n0 = config.num_tokens
     n_ticks = n_micro + n_stages - 1
@@ -271,7 +408,9 @@ def _pipeline_logits_fn(
         schedule[s * n_local - 1] is not None for s in range(1, n_stages)
     ]
     branches = [
-        _stage_branch(s, n_local, config, schedule, entry, valid_in[s], impl)
+        _stage_branch(
+            s, n_local, config, schedule, entry, valid_in[s], impl, tp
+        )
         for s in range(n_stages)
     ]
     perm = [(i, i + 1) for i in range(n_stages - 1)]
@@ -327,10 +466,10 @@ def _pipeline_logits_fn(
                 s_out = jax.lax.ppermute(s_out, "pipe", perm)
             return (x_out, s_out, out), None
 
-        # carries vary over both mesh axes at the first tick's output —
+        # carries vary over every mesh axis at the first tick's output —
         # promote the zero init so the scan carry type is stable
         carry = jax.tree_util.tree_map(
-            lambda a: jax.lax.pcast(a, ("data", "pipe"), to="varying"),
+            lambda a: jax.lax.pcast(a, tuple(mesh.axis_names), to="varying"),
             (
                 jnp.zeros((b_micro, n0, config.embed_dim), dtype),
                 jnp.zeros((b_micro, n0), jnp.float32),
@@ -342,7 +481,15 @@ def _pipeline_logits_fn(
         (_, _, out), _ = jax.lax.scan(
             tick, carry, jnp.arange(n_ticks, dtype=jnp.int32)
         )
-        # only the last stage wrote logits; everyone else holds zeros
+        # only the last stage wrote logits; everyone else holds zeros.
+        # With TP every model shard of the last stage holds the SAME
+        # logits (x is replicated over ``model`` after each psum), so the
+        # joint psum overcounts by exactly tp — the 1/tp rescale restores
+        # them (linear, so the train step's transpose stays exact), and
+        # reducing over ``model`` demotes the manual-axes type so the
+        # replicated out_spec holds.
+        if tp > 1:
+            return jax.lax.psum(out, ("pipe", "model")) * (1.0 / tp)
         return jax.lax.psum(out, "pipe")
 
     pspecs = None  # resolved per-call below (tree shape needs the params)
@@ -350,7 +497,7 @@ def _pipeline_logits_fn(
     def logits_fn(ptree, images):
         nonlocal pspecs
         if pspecs is None:
-            pspecs = pipeline_pspecs(ptree)
+            pspecs = pipeline_pspecs(ptree, tp)
         return jax.shard_map(
             run,
             mesh=mesh,
@@ -382,9 +529,15 @@ def pipeline_forward(
     """
     schedule = normalize_schedule(schedule, config.depth)
     n_stages = mesh.shape["pipe"]
+    tp = _mesh_tp(mesh)
     n_micro = microbatch or 2 * n_stages
     if "blocks" in params and isinstance(params["blocks"], list):
-        params = stack_params(params, n_stages)
+        params = stack_params(params, n_stages, tp)
+    elif tp > 1 and params["blocks"]["attn"]["qkv"]["kernel"].ndim != 4:
+        raise ValueError(
+            "a 3-D (model) mesh needs the head-aligned stacked layout — "
+            "re-stack with stack_params(params, n_stages, tp)"
+        )
     placed = place_pipeline_params(params, mesh)
     logits_fn = jax.jit(
         _pipeline_logits_fn(config, schedule, mesh, n_micro, impl, False)

@@ -138,6 +138,81 @@ def test_stack_unstack_roundtrip(setup):
     np.testing.assert_array_equal(got, want)
 
 
+@pytest.mark.parametrize("data,pipe,tp", [(2, 2, 2), (1, 4, 2), (1, 2, 4)])
+def test_pipeline_tp_matches_single_device(setup, data, pipe, tp):
+    """3-D (data, pipe, model) mesh: Megatron TP inside every pipeline
+    stage. psum partial-sum order differs from the single-chip reduce, so
+    tolerance- rather than bit-parity (same contract as the DP+TP tests)."""
+    params, x = setup
+    want = np.asarray(vit_forward(params, jnp.asarray(x), TINY, SCHED))
+    mesh = make_pipe_mesh(data=data, pipe=pipe, model=tp)
+    apply = pipeline_forward(params, TINY, SCHED, mesh, microbatch=2 * pipe)
+    got = np.asarray(apply(x))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_pipeline_tp_weight_placement(setup):
+    """Each chip holds only its stage's blocks AND only its head/hidden
+    shard of them — PP memory × TP memory compose."""
+    params, _ = setup
+    mesh = make_pipe_mesh(data=2, pipe=2, model=2)
+    placed = place_pipeline_params(stack_params(params, 2, tp=2), mesh)
+    fc1 = placed["blocks"]["mlp"]["fc1"]["kernel"]  # [depth, C, 4C]
+    assert {s.data.shape for s in fc1.addressable_shards} == {(2, 64, 128)}
+    qkv = placed["blocks"]["attn"]["qkv"]["kernel"]  # [depth, C, 3, C]
+    assert {s.data.shape for s in qkv.addressable_shards} == {(2, 64, 3, 32)}
+    proj = placed["blocks"]["attn"]["proj"]["kernel"]  # [depth, C, C]
+    assert {s.data.shape for s in proj.addressable_shards} == {(2, 32, 64)}
+
+
+def test_pipeline_tp_rejects_bad_heads(setup):
+    params, _ = setup
+    mesh = make_pipe_mesh(data=1, pipe=2, model=4)
+    bad = ViTConfig(
+        img_size=32, patch_size=16, embed_dim=64, depth=4, num_heads=2,
+        num_classes=16,
+    )
+    with pytest.raises(ValueError, match="num_heads"):
+        pipeline_forward(params, bad, SCHED, mesh, microbatch=4)
+
+
+def test_pipeline_tp_train_matches_single_device(setup):
+    """GPipe + in-stage TP train step tracks the single-device trajectory
+    (psum rounding → tolerance)."""
+    params, x = setup
+    mesh = make_pipe_mesh(data=2, pipe=2, model=2)
+    tx = optax.adamw(1e-3, weight_decay=0.0)
+
+    stacked = place_pipeline_params(stack_params(params, 2, tp=2), mesh)
+    pstate = TrainState(stacked, tx.init(stacked), jnp.zeros((), jnp.int32))
+    pstep = jax.jit(
+        make_pipeline_train_step(TINY, SCHED, mesh, tx, microbatch=4)
+    )
+
+    sstate = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
+    sstep = jax.jit(make_train_step(TINY, SCHED, tx))
+
+    xb, yb = jnp.asarray(x[:8]), jnp.asarray(np.arange(8, dtype=np.int32) % 16)
+    for _ in range(3):
+        pstate, pm = pstep(pstate, xb, yb)
+        sstate, sm = sstep(sstate, xb, yb)
+        assert abs(float(pm["loss"]) - float(sm["loss"])) < 1e-4, (
+            float(pm["loss"]), float(sm["loss"]),
+        )
+    pu = unstack_params(jax.device_get(pstate.params))
+    su = jax.device_get(sstate.params)
+    # the TP qkv stays head-aligned [C, 3, C] — flatten for comparison
+    got = np.asarray(pu["blocks"][1]["attn"]["qkv"]["kernel"]).reshape(64, -1)
+    want = np.asarray(su["blocks"][1]["attn"]["qkv"]["kernel"])
+    assert np.abs(got - want).max() < 5e-4
+    for leaf in ("fc1", "fc2"):
+        d = np.abs(
+            np.asarray(pu["blocks"][1]["mlp"][leaf]["kernel"])
+            - np.asarray(su["blocks"][1]["mlp"][leaf]["kernel"])
+        ).max()
+        assert d < 5e-4, (leaf, d)
+
+
 def test_pipeline_train_matches_single_device(setup):
     """3 GPipe steps track the single-device trajectory on the same union
     batch: equal losses and matching strong-gradient leaves (the K-bias
