@@ -30,10 +30,11 @@ def main():
     mesh = make_pipe_mesh(pipe=pipe)
     print(f"devices={n} mesh=(data={n // pipe}, pipe={pipe})")
 
-    # A small stand-in config (depth divisible by the pipe axis). For a real
-    # over-HBM model, point get_config at e.g. a 48-block giant instead.
+    # A small stand-in config (depth divisible by the pipe axis, heads by
+    # the TP demo's model=2). For a real over-HBM model, point get_config
+    # at e.g. a 48-block giant instead.
     config = ViTConfig(
-        img_size=224, patch_size=16, embed_dim=192, depth=12, num_heads=3,
+        img_size=224, patch_size=16, embed_dim=192, depth=12, num_heads=4,
     )
     schedule = normalize_schedule(
         {3: {"keep_ratio": 0.95}, 4: {"keep_ratio": 0.95},
@@ -55,6 +56,17 @@ def main():
     m = apply.n_micro
     print(f"GPipe utilization M/(M+S-1) = {m}/{m + pipe - 1} = "
           f"{m / (m + pipe - 1):.2f}")
+
+    # 3-D composition: Megatron TP inside every stage — each chip then
+    # holds only its stage's blocks AND only its head/hidden shard of them.
+    if n % (2 * pipe) == 0 and config.num_heads % 2 == 0:
+        mesh3 = make_pipe_mesh(pipe=pipe, model=2)
+        apply3 = pipeline_forward(
+            params, config, schedule, mesh3, microbatch=2 * pipe
+        )
+        got3 = np.asarray(apply3(images))
+        print(f"(data={mesh3.shape['data']}, pipe={pipe}, model=2): "
+              f"max |PP+TP - single-device| = {np.abs(got3 - want).max():.2e}")
 
 
 if __name__ == "__main__":
