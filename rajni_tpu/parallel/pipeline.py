@@ -375,6 +375,7 @@ def _pipeline_logits_fn(
     n_micro: int,
     impl: str,
     remat: bool,
+    stage=None,
 ):
     """The shard_map'd pipeline: ``(stacked_tree, images[M, Bmg, H, W, 3])
     -> logits[M, Bmg, classes]`` (f32, pipe-invariant, data-sharded)."""
@@ -423,6 +424,12 @@ def _pipeline_logits_fn(
         # Pre-embed every microbatch once (replicated work, one block-scale
         # matmul per microbatch — negligible next to M·depth block ticks).
         def embed(img):
+            if stage is not None:
+                # in-graph preprocessing (e.g. uint8 H2D + fused normalize,
+                # rajni_tpu.data.device.normalize_images) — per-image math,
+                # so it shards over ``data`` and replicates over ``pipe``
+                # exactly like the embed itself
+                img = stage(img)
             e = ptree["embed"]
             x = patch_embed(img.astype(dtype), e["patch_embed"], config)
             cls = jnp.broadcast_to(
@@ -515,6 +522,7 @@ def pipeline_forward(
     mesh: Mesh,
     microbatch: int | None = None,
     impl: str = "xla",
+    stage=None,
 ):
     """Jitted pipelined ``images -> logits`` over a ``(data, pipe)`` mesh.
 
@@ -526,6 +534,12 @@ def pipeline_forward(
 
     ``microbatch`` is the number of in-flight microbatches M (default
     ``2 · pipe``); GPipe utilization is ``M / (M + S - 1)``.
+
+    ``stage`` is an optional in-graph per-image preprocessing callable
+    (:func:`rajni_tpu.run.make_preprocess_stage`) applied before the patch
+    embed, so e.g. uint8 ``--preprocess device`` batches normalize on-chip.
+    Array batches only — the ``device-full`` canvas-tuple mode is not wired
+    through the pipeline's pad/reshape.
     """
     schedule = normalize_schedule(schedule, config.depth)
     n_stages = mesh.shape["pipe"]
@@ -540,7 +554,9 @@ def pipeline_forward(
         )
     placed = place_pipeline_params(params, mesh)
     logits_fn = jax.jit(
-        _pipeline_logits_fn(config, schedule, mesh, n_micro, impl, False)
+        _pipeline_logits_fn(
+            config, schedule, mesh, n_micro, impl, False, stage=stage
+        )
     )
 
     n_data = mesh.shape["data"]
@@ -550,10 +566,12 @@ def pipeline_forward(
         b = images.shape[0]
         pad = (-b) % group
         if pad:
-            images = np.concatenate(
-                [np.asarray(images),
-                 np.zeros((pad,) + tuple(images.shape[1:]),
-                          np.asarray(images).dtype)],
+            # keep device batches on device (the eval harness prefetches
+            # H2D in the untimed region; a np round-trip would undo that)
+            xp = np if isinstance(images, np.ndarray) else jnp
+            images = xp.concatenate(
+                [images,
+                 xp.zeros((pad,) + tuple(images.shape[1:]), images.dtype)],
                 axis=0,
             )
         mb = images.reshape((n_micro, -1) + tuple(images.shape[1:]))
@@ -561,6 +579,9 @@ def pipeline_forward(
         return out.reshape(-1, out.shape[-1])[:b]
 
     apply.n_micro = n_micro
+    # advertised so rajni_tpu.eval's prefetcher scatters H2D untimed; the
+    # jit reshards rows to the (microbatch, data) layout on-device
+    apply.input_sharding = NamedSharding(mesh, P("data"))
     return apply
 
 

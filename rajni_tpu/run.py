@@ -14,6 +14,10 @@ extensions:
     on disk.
   * ``--data_parallel``: shard the batch across all local devices on a 1-D
     mesh (see :mod:`rajni_tpu.parallel`).
+  * ``--tensor_parallel N`` / ``--pipeline_parallel N``: Megatron TP over a
+    ``model`` mesh axis and GPipe PP over a ``pipe`` axis; they compose into
+    a ``(data, pipe, model)`` mesh, with the leftover devices data-parallel
+    (see :mod:`rajni_tpu.parallel.mesh` / :mod:`rajni_tpu.parallel.pipeline`).
 
 The reference's schedule-key bug (str JSON keys never matching int block
 indices, run.py:118-119 vs model.py:14 — so its CLI silently never pruned) is
@@ -76,6 +80,25 @@ def get_args(argv=None):
                         help="Use N synthetic batches instead of --data_path")
     parser.add_argument("--data_parallel", action="store_true",
                         help="Shard batches across all local devices")
+    parser.add_argument("--tensor_parallel", type=int, default=1,
+                        metavar="N",
+                        help="Megatron tensor parallelism: shard heads/"
+                             "hidden over an N-wide `model` mesh axis; the "
+                             "remaining devices form the `data` axis "
+                             "(rajni_tpu.parallel.mesh — works on both "
+                             "kernel backends, incl. --quantize)")
+    parser.add_argument("--pipeline_parallel", type=int, default=1,
+                        metavar="N",
+                        help="GPipe pipeline parallelism: stage the blocks "
+                             "over an N-wide `pipe` mesh axis for over-HBM "
+                             "models; composes with --tensor_parallel into "
+                             "a (data, pipe, model) mesh "
+                             "(rajni_tpu.parallel.pipeline — XLA-ops "
+                             "backend, plain bf16/f32 params)")
+    parser.add_argument("--microbatch", type=int, default=None, metavar="M",
+                        help="With --pipeline_parallel: in-flight GPipe "
+                             "microbatches (default 2*pipe); utilization "
+                             "is M/(M+pipe-1)")
     parser.add_argument("--distributed", action="store_true",
                         help="Multi-HOST (DCN) data parallelism: join the "
                              "JAX multi-controller runtime, shard the "
@@ -180,7 +203,8 @@ def make_preprocess_stage(preprocess, config, dtype=jnp.bfloat16):
 
 def make_model_fn(params, config, schedule, data_parallel=False,
                   kernels="auto", preprocess="host", dtype=jnp.bfloat16,
-                  act_scales=None):
+                  act_scales=None, tensor_parallel=1, pipeline_parallel=1,
+                  microbatch=None):
     """Jitted logits fn closed over params; optionally batch-sharded.
 
     ``kernels="auto"`` is passed through and resolved per-batch at trace
@@ -188,9 +212,38 @@ def make_model_fn(params, config, schedule, data_parallel=False,
     prepends the on-device stage matching the loader's output mode
     (:func:`make_preprocess_stage`); it composes with ``--data_parallel``
     on both kernel backends. ``act_scales`` (``--calibrate``) selects the
-    calibrated static-scale int8 path (static jit arg)."""
+    calibrated static-scale int8 path (static jit arg).
+
+    ``pipeline_parallel > 1`` routes through the GPipe pipeline over a
+    ``(data, pipe[, model])`` mesh (:mod:`rajni_tpu.parallel.pipeline`);
+    ``tensor_parallel > 1`` alone routes through Megatron TP over a
+    ``(data, model)`` mesh (:func:`rajni_tpu.parallel.mesh.sharded_forward`).
+    Either way the leftover devices form the ``data`` axis, so
+    ``data_parallel`` is implied."""
     impl = kernels
     stage = make_preprocess_stage(preprocess, config, dtype)
+
+    if pipeline_parallel > 1:
+        from .parallel.pipeline import make_pipe_mesh, pipeline_forward
+
+        mesh = make_pipe_mesh(
+            pipe=pipeline_parallel, model=tensor_parallel
+        )
+        # the pipeline's lax.switch stage programs are XLA-ops by design
+        # (kernels are per-chip programs; see parallel/pipeline.py)
+        return pipeline_forward(
+            params, config, schedule, mesh, microbatch=microbatch,
+            impl="xla", stage=stage,
+        )
+
+    if tensor_parallel > 1:
+        from .parallel.mesh import make_mesh, sharded_forward
+
+        mesh = make_mesh(model=tensor_parallel)
+        return sharded_forward(
+            params, config, schedule, mesh, impl=impl, stage=stage,
+            act_scales=act_scales,
+        )
 
     if data_parallel:
         from .parallel.mesh import data_parallel_forward
@@ -218,6 +271,31 @@ def main(argv=None):
     print("\nArgs:")
     for k, v in vars(args).items():
         print(f"  {k}: {v}")
+
+    if args.tensor_parallel > 1 or args.pipeline_parallel > 1:
+        if args.distributed:
+            raise ValueError(
+                "--tensor_parallel/--pipeline_parallel are single-"
+                "controller (ICI) meshes; --distributed shards data over "
+                "hosts (DCN) — TP/PP across DCN is not supported"
+            )
+    if args.pipeline_parallel > 1:
+        if args.quantize:
+            raise ValueError(
+                "--pipeline_parallel supports plain bf16/f32 params; int8 "
+                "is not wired — PP exists for models whose bf16 weights "
+                "exceed a chip, use --quantize to *avoid* PP instead"
+            )
+        if args.preprocess == "device-full":
+            raise ValueError(
+                "--preprocess device-full (canvas tuples) is not wired "
+                "through --pipeline_parallel; use host or device"
+            )
+        if args.kernels == "pallas":
+            print("NOTE: --pipeline_parallel stage programs are XLA-ops "
+                  "by design; ignoring --kernels pallas")
+    elif args.microbatch:
+        print("NOTE: --microbatch has no effect without --pipeline_parallel")
 
     if args.distributed:
         # must run before the first jax.devices() — joining the
@@ -459,7 +537,10 @@ def main(argv=None):
             )
         fn = make_model_fn(params, config, sched, args.data_parallel,
                            kernels, args.preprocess, dtype,
-                           act_scales=act_scales)
+                           act_scales=act_scales,
+                           tensor_parallel=args.tensor_parallel,
+                           pipeline_parallel=args.pipeline_parallel,
+                           microbatch=args.microbatch)
         return evaluate_model(
             fn, loader, device=device,
             warmup=args.warmup, max_batches=args.max_batches,

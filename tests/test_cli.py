@@ -236,3 +236,85 @@ def test_calibrate_save_scales_export_pipeline(tmp_path, capsys):
     out = load_exported(str(art))(jnp.zeros((2, 224, 224, 3), jnp.float32))
     assert out.shape == (2, cfg.num_classes)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_main_tensor_parallel_synthetic(tmp_path):
+    """CLI --tensor_parallel 2 end-to-end: Megatron TP over a (data=4,
+    model=2) mesh on the 8-device CPU mesh (rajni_tpu.parallel.mesh)."""
+    sched = tmp_path / "s.json"
+    sched.write_text(json.dumps({"3": {"keep_ratio": 0.9}}))
+    result = main([
+        "--synthetic", "2", "--batch_size", "8", "--max_batches", "1",
+        "--model", "vit_small_patch16_224", "--schedule", str(sched),
+        "--warmup", "0", "--dtype", "float32", "--kernels", "xla",
+        "--tensor_parallel", "2",
+    ])
+    assert "rajni" in result
+
+
+def test_main_pipeline_parallel_synthetic(tmp_path, capsys):
+    """CLI --pipeline_parallel 2 end-to-end: GPipe over a (data=4, pipe=2)
+    mesh, and the 3-D composition with --tensor_parallel 2 (data=2)."""
+    sched = tmp_path / "s.json"
+    sched.write_text(json.dumps({"3": {"keep_ratio": 0.9}}))
+    base_args = [
+        "--synthetic", "2", "--batch_size", "8", "--max_batches", "1",
+        "--schedule", str(sched), "--warmup", "0", "--dtype", "float32",
+    ]
+    result = main(base_args + [
+        "--model", "vit_tiny_patch16_224", "--pipeline_parallel", "2",
+    ])
+    assert "rajni" in result
+
+    result = main(base_args + [
+        "--model", "vit_small_patch16_224", "--pipeline_parallel", "2",
+        "--tensor_parallel", "2",
+    ])
+    assert "rajni" in result
+
+
+def test_main_pipeline_preprocess_device_matches_host(tmp_path):
+    """--preprocess device composes with --pipeline_parallel: the uint8
+    batch normalizes in-graph inside the pipelined program. The pipeline
+    is bit-exact vs single-device and device-normalize is bit-exact vs
+    host, so accuracy matches the plain host run exactly."""
+    import numpy as np
+    from PIL import Image
+
+    data = tmp_path / "data"
+    rng = np.random.default_rng(1)
+    for cls in ("a", "b"):
+        d = data / cls
+        d.mkdir(parents=True)
+        for i in range(2):
+            arr = rng.integers(0, 256, (280, 250, 3), dtype=np.uint8)
+            Image.fromarray(arr, "RGB").save(d / f"{i}.png")
+    sched = tmp_path / "s.json"
+    sched.write_text(json.dumps({"3": {"keep_ratio": 0.9}}))
+    common = [
+        "--data_path", str(data), "--batch_size", "4",
+        "--model", "vit_tiny_patch16_224", "--schedule", str(sched),
+        "--warmup", "0", "--dtype", "float32", "--num_workers", "1",
+    ]
+    host_acc = main(common + ["--preprocess", "host"])["rajni"][0]
+    pp_acc = main(common + [
+        "--preprocess", "device", "--pipeline_parallel", "2",
+    ])["rajni"][0]
+    assert pp_acc == host_acc
+
+
+def test_main_parallel_flag_validation(tmp_path):
+    """TP/PP flag interplay rejections (each before any heavy work)."""
+    sched = tmp_path / "s.json"
+    sched.write_text(json.dumps({"3": {"keep_ratio": 0.9}}))
+    base = ["--synthetic", "1", "--schedule", str(sched),
+            "--model", "vit_tiny_patch16_224"]
+    with pytest.raises(ValueError, match="not supported"):
+        main(base + ["--distributed", "--tensor_parallel", "2"])
+    with pytest.raises(ValueError, match="not supported"):
+        main(base + ["--distributed", "--pipeline_parallel", "2"])
+    with pytest.raises(ValueError, match="plain bf16/f32"):
+        main(base + ["--quantize", "--pipeline_parallel", "2"])
+    with pytest.raises(ValueError, match="device-full"):
+        main(base + ["--preprocess", "device-full",
+                     "--pipeline_parallel", "2"])
