@@ -93,6 +93,39 @@ def repack_qkv_heads(params: Any) -> Any:
     return out
 
 
+def unrepack_qkv_heads(params: Any) -> Any:
+    """Inverse of :func:`repack_qkv_heads`: back to the packed ``[C, 3C]``
+    kernel / ``[3C]`` bias checkpoint layout (pure reshape — element order
+    is unchanged). The forward consumes either layout, but checkpoints are
+    kept canonical so they interchange with the converter and the torch
+    oracles."""
+
+    def unrepack_block(block):
+        b = dict(block)
+        attn = dict(block["attn"])
+        qkv = dict(attn["qkv"])
+        k = qkv["kernel"]
+        if isinstance(k, dict):  # quantized record
+            if k["int8"].ndim == 3:
+                C = k["int8"].shape[0]
+                k = dict(k)
+                k["int8"] = k["int8"].reshape(C, 3 * C)
+                k["scale"] = k["scale"].reshape(3 * C)
+                qkv["kernel"] = k
+        elif k.ndim == 3:
+            C = k.shape[0]
+            qkv["kernel"] = k.reshape(C, 3 * C)
+        if qkv["bias"].ndim == 2:
+            qkv["bias"] = qkv["bias"].reshape(-1)
+        attn["qkv"] = qkv
+        b["attn"] = attn
+        return b
+
+    out = dict(params)
+    out["blocks"] = [unrepack_block(b) for b in params["blocks"]]
+    return out
+
+
 def _maybe_quantized_spec(kernel, spec):
     """Match a PartitionSpec to a plain kernel or an int8 record's leaves.
 

@@ -119,7 +119,31 @@ def main(argv=None):
                         "address (pods autodetect)")
     p.add_argument("--num_processes", type=int, default=None)
     p.add_argument("--process_id", type=int, default=None)
+    p.add_argument("--pipeline_parallel", type=int, default=1, metavar="N",
+                   help="GPipe pipeline training: stage the blocks over an "
+                        "N-wide `pipe` mesh axis for over-HBM models "
+                        "(rajni_tpu.parallel.pipeline); the leftover "
+                        "devices form the `data` axis")
+    p.add_argument("--tensor_parallel", type=int, default=1, metavar="N",
+                   help="With --pipeline_parallel: Megatron TP inside each "
+                        "stage — 3-D (data, pipe, model) mesh")
+    p.add_argument("--microbatch", type=int, default=None, metavar="M",
+                   help="With --pipeline_parallel: in-flight GPipe "
+                        "microbatches (default 2*pipe)")
     args = p.parse_args(argv)
+
+    if args.pipeline_parallel > 1 and args.distributed:
+        raise ValueError(
+            "--pipeline_parallel is a single-controller (ICI) mesh; "
+            "--distributed shards data over hosts (DCN) — PP across DCN "
+            "is not supported"
+        )
+    if args.tensor_parallel > 1 and args.pipeline_parallel <= 1:
+        raise ValueError(
+            "--tensor_parallel on the train CLI requires "
+            "--pipeline_parallel (TP-only training is a library-level "
+            "composition — see docs/PARALLELISM.md)"
+        )
 
     mesh = None
     if args.distributed:
@@ -150,9 +174,49 @@ def main(argv=None):
     else:
         params = init_params(jax.random.key(args.seed), config, dtype)
 
-    state, tx = create_train_state(params, args.lr, args.weight_decay)
-    step_fn = jax.jit(make_train_step(config, schedule, tx),
-                      donate_argnums=(0,))
+    pp_mesh = None
+    if args.pipeline_parallel > 1:
+        from .parallel.pipeline import (
+            make_pipe_mesh,
+            make_pipeline_train_step,
+            place_pipeline_params,
+            stack_params,
+        )
+
+        pp_mesh = make_pipe_mesh(
+            pipe=args.pipeline_parallel, model=args.tensor_parallel
+        )
+        n_micro = args.microbatch or 2 * args.pipeline_parallel
+        group = n_micro * pp_mesh.shape["data"]
+        if args.batch_size % group:
+            raise ValueError(
+                f"--batch_size {args.batch_size} must be a multiple of "
+                f"microbatch*data = {n_micro}*{pp_mesh.shape['data']} = "
+                f"{group} (the GPipe train step does no padding)"
+            )
+        # optimizer state is built on the STACKED, placed tree so each
+        # chip's Adam moments cover only its stage's (shard of) weights
+        tx = optax.adamw(args.lr, weight_decay=args.weight_decay)
+        stacked = place_pipeline_params(
+            stack_params(params, args.pipeline_parallel,
+                         args.tensor_parallel),
+            pp_mesh,
+        )
+        del params  # over-HBM models must not keep the unstacked copy
+        state = TrainState(stacked, tx.init(stacked),
+                           jnp.zeros((), jnp.int32))
+        step_fn = jax.jit(
+            make_pipeline_train_step(config, schedule, pp_mesh, tx,
+                                     microbatch=args.microbatch),
+            donate_argnums=(0,),
+        )
+        print(f"Pipeline training: mesh {dict(pp_mesh.shape)}, "
+              f"M={n_micro} microbatches "
+              f"(utilization {n_micro / (n_micro + args.pipeline_parallel - 1):.2f})")
+    else:
+        state, tx = create_train_state(params, args.lr, args.weight_decay)
+        step_fn = jax.jit(make_train_step(config, schedule, tx),
+                          donate_argnums=(0,))
 
     local_batch = args.batch_size
     if args.distributed:
@@ -242,8 +306,21 @@ def main(argv=None):
     from .params.io import save_params
 
     if not args.distributed or jax.process_index() == 0:
+        out_params = state.params
+        if pp_mesh is not None:
+            # back to the canonical checkpoint layout: gather the stacked
+            # per-stage shards to host, un-stack the depth axis, and (with
+            # TP) un-repack the head-aligned QKV — so the output loads
+            # into the eval CLI / converter / oracles unchanged
+            from .parallel.pipeline import unstack_params
+
+            out_params = unstack_params(jax.device_get(out_params))
+            if args.tensor_parallel > 1:
+                from .parallel.mesh import unrepack_qkv_heads
+
+                out_params = unrepack_qkv_heads(out_params)
         # params are fully replicated — one copy on disk is the checkpoint
-        save_params(args.output, state.params)
+        save_params(args.output, out_params)
         print(f"saved fine-tuned params -> {args.output}")
     return state
 

@@ -92,3 +92,72 @@ def test_train_cli_synthetic(tmp_path, capsys):
     assert "loss" in capsys.readouterr().out
     reloaded = load_params(str(out))
     assert len(reloaded["blocks"]) == 12
+
+
+def test_train_cli_pipeline_parallel(tmp_path, capsys):
+    """--pipeline_parallel (+ --tensor_parallel) on the train CLI: GPipe
+    training over the 8-device CPU mesh; the saved checkpoint comes back
+    in the canonical (unstacked, packed-QKV) layout and loads into the
+    plain eval forward."""
+    import json as _json
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from rajni_tpu.models.vit import get_config, vit_forward
+    from rajni_tpu.params.io import load_params
+    from rajni_tpu.train import main
+
+    sched = tmp_path / "s.json"
+    sched.write_text(_json.dumps({"1": {"keep_ratio": 0.6}}))
+
+    out = tmp_path / "pp.msgpack"
+    state = main([
+        "--synthetic", "--model", "vit_tiny_patch16_224",
+        "--schedule", str(sched), "--steps", "2", "--batch_size", "16",
+        "--output", str(out), "--log_every", "1",
+        "--pipeline_parallel", "2",
+    ])
+    assert int(state.step) == 2
+    assert "Pipeline training" in capsys.readouterr().out
+    p = load_params(str(out))
+    assert len(p["blocks"]) == 12
+    assert p["blocks"][0]["attn"]["qkv"]["kernel"].ndim == 2  # canonical
+    cfg = get_config("vit_tiny_patch16_224")
+    logits = vit_forward(
+        p, jnp.zeros((1, 224, 224, 3), jnp.float32), cfg, None
+    )
+    assert np.isfinite(np.asarray(logits)).all()
+
+    # 3-D: TP inside each stage; saved checkpoint un-repacks the QKV
+    out3 = tmp_path / "pp_tp.msgpack"
+    main([
+        "--synthetic", "--model", "vit_small_patch16_224",
+        "--schedule", str(sched), "--steps", "1", "--batch_size", "8",
+        "--output", str(out3), "--log_every", "1",
+        "--pipeline_parallel", "2", "--tensor_parallel", "2",
+        "--microbatch", "4",
+    ])
+    p3 = load_params(str(out3))
+    assert p3["blocks"][0]["attn"]["qkv"]["kernel"].ndim == 2
+    assert p3["blocks"][0]["attn"]["qkv"]["bias"].ndim == 1
+
+
+def test_train_cli_pipeline_flag_validation(tmp_path):
+    import json as _json
+
+    import pytest
+
+    from rajni_tpu.train import main
+
+    sched = tmp_path / "s.json"
+    sched.write_text(_json.dumps({"1": {"keep_ratio": 0.6}}))
+    base = ["--synthetic", "--model", "vit_tiny_patch16_224",
+            "--schedule", str(sched), "--steps", "1"]
+    with pytest.raises(ValueError, match="not supported"):
+        main(base + ["--distributed", "--pipeline_parallel", "2"])
+    with pytest.raises(ValueError, match="requires"):
+        main(base + ["--tensor_parallel", "2"])
+    with pytest.raises(ValueError, match="multiple of"):
+        main(base + ["--pipeline_parallel", "2", "--batch_size", "6"])
