@@ -26,7 +26,7 @@ from rajni_tpu.utils.schedule import normalize_schedule
 
 def main():
     n = len(jax.devices())
-    pipe = 4 if n % 4 == 0 else 2
+    pipe = 4 if n % 4 == 0 else (2 if n % 2 == 0 else 1)
     mesh = make_pipe_mesh(pipe=pipe)
     print(f"devices={n} mesh=(data={n // pipe}, pipe={pipe})")
 

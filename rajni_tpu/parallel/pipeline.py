@@ -238,13 +238,10 @@ def place_pipeline_params(ptree: Any, mesh: Mesh) -> Any:
 
 
 def _entry_counts(config: ViTConfig, schedule) -> list[int]:
-    """Token count entering each block, plus the final exit count
-    (length ``depth + 1``)."""
-    trace = token_count_trace(config.num_tokens, schedule)
-    last = trace[-1]
-    if schedule[-1] is not None:
-        last = keep_count(schedule[-1].keep_ratio, last) + 1
-    return trace + [last]
+    """Token count entering each block (only stage-start entries are ever
+    indexed — the padded inter-stage payload is sliced back to the true
+    count at each stage's first block)."""
+    return token_count_trace(config.num_tokens, schedule)
 
 
 def _tp_block(x, scores, block, spec, config: ViTConfig, tp: int):
@@ -385,12 +382,14 @@ def _pipeline_logits_fn(
         raise ValueError(f"depth={depth} % pipe={n_stages} != 0")
     n_local = depth // n_stages
     tp = _mesh_tp(mesh)
+    if impl != "xla":
+        raise NotImplementedError(
+            "the pipeline's lax.switch stage programs are XLA-ops only "
+            "(Pallas kernels are per-chip custom calls whose outputs "
+            "carry no varying-mesh-axes metadata — they cannot type "
+            "against the scan carry / psum chain here); pass impl='xla'"
+        )
     if tp > 1:
-        if impl != "xla":
-            raise NotImplementedError(
-                "TP-inside-a-stage is XLA-ops only (like the pipeline "
-                "itself — kernels are per-chip programs)"
-            )
         if config.num_heads % tp:
             raise ValueError(
                 f"model axis {tp} must divide num_heads={config.num_heads}"
@@ -455,16 +454,17 @@ def _pipeline_logits_fn(
             x_out, s_out = compute(ptree["blocks"], buf_x, buf_s)
 
             # extract: the last stage's output of tick t is microbatch
-            # t-(S-1)'s final activations
-            logits = classifier_head(
-                x_out, ptree["head"], config, None, impl
-            ).astype(jnp.float32)
+            # t-(S-1)'s final activations. Only the CLS row is banked —
+            # the final norm is per-token and the head reads CLS only, so
+            # classifier_head runs ONCE on the banked rows after the scan
+            # instead of as a discarded matmul on every stage every tick.
             o_idx = t - (n_stages - 1)
             valid = jnp.logical_and(s_idx == n_stages - 1, o_idx >= 0)
+            cls_row = x_out[:, 0, :]
             safe = jnp.maximum(o_idx, 0)
             cur = jax.lax.dynamic_slice_in_dim(out, safe, 1, 0)
             out = jax.lax.dynamic_update_slice_in_dim(
-                out, jnp.where(valid, logits[None], cur), safe, 0
+                out, jnp.where(valid, cls_row[None], cur), safe, 0
             )
 
             # shift stage s → s+1 on the ICI ring (absent sources yield 0)
@@ -481,23 +481,32 @@ def _pipeline_logits_fn(
                 jnp.zeros((b_micro, n0, config.embed_dim), dtype),
                 jnp.zeros((b_micro, n0), jnp.float32),
                 jnp.zeros(
-                    (n_micro, b_micro, config.num_classes), jnp.float32
+                    (n_micro, b_micro, config.embed_dim), dtype
                 ),
             ),
         )
         (_, _, out), _ = jax.lax.scan(
             tick, carry, jnp.arange(n_ticks, dtype=jnp.int32)
         )
-        # only the last stage wrote logits; everyone else holds zeros.
-        # With TP every model shard of the last stage holds the SAME
-        # logits (x is replicated over ``model`` after each psum), so the
-        # joint psum overcounts by exactly tp — the 1/tp rescale restores
-        # them (linear, so the train step's transpose stays exact), and
+        # only the last stage banked CLS rows; everyone else holds zeros,
+        # so the psum over ``pipe`` is exact (zeros + the real rows). With
+        # TP every model shard of the last stage holds the SAME rows (x is
+        # replicated over ``model`` after each psum), so the joint psum
+        # overcounts by exactly tp — the 1/tp rescale restores them
+        # (linear, so the train step's transpose stays exact), and
         # reducing over ``model`` demotes the manual-axes type so the
         # replicated out_spec holds.
         if tp > 1:
-            return jax.lax.psum(out, ("pipe", "model")) * (1.0 / tp)
-        return jax.lax.psum(out, "pipe")
+            out = jax.lax.psum(out, ("pipe", "model")) * (1.0 / tp)
+        else:
+            out = jax.lax.psum(out, "pipe")
+        # ONE head pass over all banked CLS rows (replicated compute after
+        # the reduction — the same operands as single-device, so the 2-D
+        # pipeline stays bit-exact)
+        return classifier_head(
+            out.reshape(n_micro * b_micro, 1, config.embed_dim),
+            ptree["head"], config, None, impl,
+        ).astype(jnp.float32).reshape(n_micro, b_micro, -1)
 
     pspecs = None  # resolved per-call below (tree shape needs the params)
 

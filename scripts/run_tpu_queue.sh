@@ -11,7 +11,10 @@
 # (append /root/.axon_site if PYTHONPATH is already set — CLAUDE.md.)
 set -u
 cd "$(dirname "$0")/.."
-export PYTHONPATH="${PYTHONPATH:-/root/.axon_site}"
+case ":${PYTHONPATH:-}:" in
+  *:/root/.axon_site:*) ;;  # already present
+  *) export PYTHONPATH="${PYTHONPATH:+$PYTHONPATH:}/root/.axon_site" ;;
+esac
 LOG=${TPU_QUEUE_LOG:-/tmp/tpu_queue.log}
 : >"$LOG"
 
