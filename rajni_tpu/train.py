@@ -15,10 +15,12 @@ jittable ``(state, images, labels) -> (state, metrics)`` suitable for
 
 from __future__ import annotations
 
+import os
 from typing import Any, NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 from .models.vit import ViTConfig, vit_forward
@@ -42,6 +44,73 @@ def create_train_state(
 ) -> tuple[TrainState, optax.GradientTransformation]:
     tx = optax.adamw(learning_rate, weight_decay=weight_decay)
     return TrainState(params, tx.init(params), jnp.zeros((), jnp.int32)), tx
+
+
+def save_train_state(path: str, state: TrainState) -> None:
+    """Atomically persist the FULL train state — params, optimizer moments,
+    step counter — for crash-safe mid-training checkpoints.
+
+    Capability extension: the reference persists nothing at all (SURVEY.md
+    §5 — weights re-fetched from timm's hub every run,
+    `/root/reference/rajni/run.py:89-92`). A production fine-tuning run needs
+    to survive preemption, so the optimizer state (Adam's first/second
+    moments) is saved alongside the params; restoring params alone would
+    restart the moment estimates and perturb the trajectory.
+
+    Written as ``path + ".tmp"`` then ``os.replace``d so a crash mid-write
+    never corrupts the previous good checkpoint.
+    """
+    from flax import serialization
+
+    host = jax.device_get(state)
+    tmp = f"{path}.tmp"
+    with open(tmp, "wb") as f:
+        f.write(serialization.to_bytes(host))
+    os.replace(tmp, path)
+
+
+def load_train_state(path: str, template: TrainState) -> TrainState:
+    """Restore a train state saved by :func:`save_train_state`.
+
+    Args:
+      path: the state file.
+      template: a freshly built :class:`TrainState` for the SAME model,
+        optimizer, and parallelism configuration. Its leaf shardings dictate
+        placement — a pipeline-stacked template restores straight onto the
+        ``pipe`` mesh — and its dtypes are authoritative (the restored values
+        are cast, so a run resumed under a different ``--dtype`` stays
+        consistent with its compiled program).
+
+    Raises:
+      ValueError: when a restored leaf's shape disagrees with the template —
+        the usual cause is resuming with different model/schedule/parallelism
+        flags than the run that saved the state.
+    """
+    from flax import serialization
+
+    with open(path, "rb") as f:
+        restored = serialization.from_bytes(template, f.read())
+
+    def _place(t, x):
+        if not isinstance(t, jax.Array):
+            return x
+        if tuple(t.shape) != tuple(np.shape(x)):
+            raise ValueError(
+                f"train-state leaf shape {np.shape(x)} does not match the "
+                f"template's {tuple(t.shape)} — was the state saved with "
+                f"different --model/--schedule/--pipeline_parallel/"
+                f"--tensor_parallel flags?"
+            )
+        if getattr(t, "committed", False):
+            # explicitly placed template leaf (e.g. pipeline-stacked params
+            # device_put onto the pipe mesh) — restore onto the same sharding
+            return jax.device_put(jnp.asarray(x, t.dtype), t.sharding)
+        # uncommitted leaf (fresh jnp array, like Adam's step counter):
+        # leave it uncommitted too, so jit stays free to place it — a forced
+        # single-device put here would conflict with mesh-sharded arguments
+        return jnp.asarray(x, t.dtype)
+
+    return jax.tree_util.tree_map(_place, template, restored)
 
 
 def make_train_step(
@@ -83,8 +152,6 @@ def main(argv=None):
     """
     import argparse
 
-    import numpy as np
-
     from .models.vit import get_config, init_params
     from .utils.schedule import load_schedule
 
@@ -107,6 +174,22 @@ def main(argv=None):
                    choices=["float32", "bfloat16"],
                    help="Param dtype (fp32 default: optimizer stability)")
     p.add_argument("--log_every", type=int, default=10)
+    p.add_argument("--save_state_every", type=int, default=0, metavar="N",
+                   help="Every N steps, atomically save the FULL train "
+                        "state (params + optimizer moments + step) for "
+                        "crash-safe resume; 0 disables. The final step "
+                        "always saves when this is on.")
+    p.add_argument("--state_path", type=str, default=None,
+                   help="Train-state file for --save_state_every/--resume "
+                        "(default: <output>.state)")
+    p.add_argument("--resume", type=str, default=None, metavar="STATE",
+                   help="Resume from a train state saved by "
+                        "--save_state_every. Requires the same model/"
+                        "schedule/optimizer/parallelism flags as the run "
+                        "that saved it; --steps is the TOTAL step budget, "
+                        "so a run resumed at step>=steps just re-saves. "
+                        "With --distributed the file must be readable on "
+                        "every host.")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--distributed", action="store_true",
                    help="Multi-HOST data-parallel training: join the JAX "
@@ -218,6 +301,15 @@ def main(argv=None):
         step_fn = jax.jit(make_train_step(config, schedule, tx),
                           donate_argnums=(0,))
 
+    start_step = 0
+    if args.resume:
+        # restore onto the freshly built template BEFORE any multi-host
+        # replication: the template's leaves are host-local here (or
+        # pipe-placed in the PP branch), so placement follows the template
+        state = load_train_state(args.resume, state)
+        start_step = int(jax.device_get(state.step))
+        print(f"resumed train state from {args.resume} at step {start_step}")
+
     local_batch = args.batch_size
     if args.distributed:
         from .parallel import multihost
@@ -288,7 +380,8 @@ def main(argv=None):
                         yield im, lb.astype(np.int32)
         batch_iter = batches()
 
-    for step in range(1, args.steps + 1):
+    state_path = args.state_path or f"{args.output}.state"
+    for step in range(start_step + 1, args.steps + 1):
         im, lb = next(batch_iter)
         if mesh is not None:
             from .parallel import multihost
@@ -302,6 +395,12 @@ def main(argv=None):
         if step % args.log_every == 0 or step == args.steps:
             print(f"step {step:6d}  loss {float(metrics['loss']):.4f}  "
                   f"acc {float(metrics['accuracy']):.3f}")
+        if args.save_state_every and (
+            step % args.save_state_every == 0 or step == args.steps
+        ) and (not args.distributed or jax.process_index() == 0):
+            # replicated/single-controller state is fully addressable, so
+            # process 0's device_get sees the whole tree
+            save_train_state(state_path, state)
 
     from .params.io import save_params
 

@@ -23,8 +23,10 @@ step() {
   "$@" >>"$LOG" 2>&1 || echo "FAILED (continuing): $*" | tee -a "$LOG"
 }
 
-# 0. tunnel probe — bail early (without wedging) if the backend is down
-python - <<'EOF' || { echo "axon backend unavailable — queue not run"; exit 1; }
+# 0. tunnel probe — bail early (without wedging) if the backend is down.
+# timeout-bounded: a wedged tunnel hangs jax.devices() forever inside the
+# plugin client init, so an unbounded probe would hang the whole queue.
+timeout 600 python - <<'EOF' || { echo "axon backend unavailable — queue not run"; exit 1; }
 import jax
 assert any(d.platform == "tpu" for d in jax.devices()), jax.devices()
 print("tunnel OK:", jax.devices())

@@ -161,3 +161,119 @@ def test_train_cli_pipeline_flag_validation(tmp_path):
         main(base + ["--tensor_parallel", "2"])
     with pytest.raises(ValueError, match="multiple of"):
         main(base + ["--pipeline_parallel", "2", "--batch_size", "6"])
+
+
+def test_save_load_train_state_roundtrip(tmp_path, rng):
+    """Full-state persistence: the optimizer moments survive, so a restored
+    state continues the EXACT trajectory of the live one (capability
+    extension — the reference persists nothing, SURVEY.md §5)."""
+    from rajni_tpu.train import load_train_state, save_train_state
+
+    params = init_params(jax.random.key(3), CFG)
+    state, tx = create_train_state(params, learning_rate=3e-3)
+    step = jax.jit(make_train_step(CFG, SCHED, tx))
+    x, y = _batch(rng)
+    for _ in range(2):
+        state, _ = step(state, x, y)
+
+    path = tmp_path / "t.state"
+    save_train_state(str(path), state)
+
+    # template with DIFFERENT values (seed 9) — restore must overwrite all
+    template, _ = create_train_state(
+        init_params(jax.random.key(9), CFG), learning_rate=3e-3
+    )
+    restored = load_train_state(str(path), template)
+    assert int(restored.step) == 2
+
+    s_live, m_live = step(state, x, y)
+    s_rest, m_rest = step(restored, x, y)
+    assert float(m_live["loss"]) == float(m_rest["loss"])
+    np.testing.assert_array_equal(
+        np.asarray(s_live.params["head"]["kernel"]),
+        np.asarray(s_rest.params["head"]["kernel"]),
+    )
+    # Adam moments came back too (not re-zeroed)
+    mu = jax.tree_util.tree_leaves(restored.opt_state)
+    assert any(np.abs(np.asarray(leaf)).max() > 0 for leaf in mu
+               if hasattr(leaf, "shape") and np.ndim(leaf) > 0)
+
+
+def test_load_train_state_shape_mismatch(tmp_path):
+    """Resuming with different model flags must fail loudly, not reshape."""
+    import pytest
+
+    from rajni_tpu.train import load_train_state, save_train_state
+
+    state, _ = create_train_state(init_params(jax.random.key(0), CFG))
+    path = tmp_path / "t.state"
+    save_train_state(str(path), state)
+
+    other_cfg = ViTConfig(
+        img_size=16, patch_size=8, embed_dim=48, depth=2, num_heads=4,
+        num_classes=4,
+    )
+    template, _ = create_train_state(
+        init_params(jax.random.key(0), other_cfg)
+    )
+    with pytest.raises(ValueError, match="does not match the template"):
+        load_train_state(str(path), template)
+
+
+def test_train_cli_resume(tmp_path):
+    """An interrupted run resumed from its saved state reproduces the
+    uninterrupted run exactly (same synthetic batch, same optimizer
+    trajectory — Adam moments included)."""
+    import json as _json
+
+    from rajni_tpu.params.io import load_params
+    from rajni_tpu.train import main
+
+    sched = tmp_path / "s.json"
+    sched.write_text(_json.dumps({"1": {"keep_ratio": 0.6}}))
+    base = ["--synthetic", "--model", "vit_tiny_patch16_224",
+            "--schedule", str(sched), "--batch_size", "2",
+            "--log_every", "1"]
+
+    # uninterrupted: 3 steps
+    out_a = tmp_path / "a.msgpack"
+    main(base + ["--steps", "3", "--output", str(out_a)])
+
+    # interrupted at step 1, resumed to 3
+    out_b = tmp_path / "b.msgpack"
+    st = tmp_path / "b.state"
+    main(base + ["--steps", "1", "--output", str(out_b),
+                 "--save_state_every", "1", "--state_path", str(st)])
+    assert st.exists() and not (tmp_path / "b.state.tmp").exists()
+    state = main(base + ["--steps", "3", "--output", str(out_b),
+                         "--resume", str(st)])
+    assert int(state.step) == 3
+
+    a = load_params(str(out_a))
+    b = load_params(str(out_b))
+    flat_a = jax.tree_util.tree_leaves(a)
+    flat_b = jax.tree_util.tree_leaves(b)
+    assert len(flat_a) == len(flat_b)
+    for la, lb in zip(flat_a, flat_b):
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+
+
+def test_train_cli_resume_pipeline(tmp_path):
+    """Resume restores onto a pipeline-stacked, pipe-sharded template: the
+    saved host tree device_puts back through the template's shardings."""
+    import json as _json
+
+    from rajni_tpu.train import main
+
+    sched = tmp_path / "s.json"
+    sched.write_text(_json.dumps({"1": {"keep_ratio": 0.6}}))
+    base = ["--synthetic", "--model", "vit_tiny_patch16_224",
+            "--schedule", str(sched), "--batch_size", "16",
+            "--log_every", "1", "--pipeline_parallel", "2",
+            "--output", str(tmp_path / "pp.msgpack")]
+
+    st = tmp_path / "pp.state"
+    main(base + ["--steps", "1", "--save_state_every", "1",
+                 "--state_path", str(st)])
+    state = main(base + ["--steps", "2", "--resume", str(st)])
+    assert int(jax.device_get(state.step)) == 2
