@@ -40,10 +40,47 @@ def cross_entropy(logits: jax.Array, labels: jax.Array) -> jax.Array:
 
 
 def create_train_state(
-    params: Any, learning_rate: float = 1e-4, weight_decay: float = 0.05
+    params: Any, learning_rate: Any = 1e-4, weight_decay: float = 0.05
 ) -> tuple[TrainState, optax.GradientTransformation]:
+    """``learning_rate`` may be a float or any optax schedule callable."""
     tx = optax.adamw(learning_rate, weight_decay=weight_decay)
     return TrainState(params, tx.init(params), jnp.zeros((), jnp.int32)), tx
+
+
+def build_optimizer(
+    learning_rate: float,
+    total_steps: int,
+    weight_decay: float = 0.05,
+    lr_schedule: str = "constant",
+    warmup_steps: int = 0,
+    grad_accum: int = 1,
+) -> optax.GradientTransformation:
+    """AdamW with the standard fine-tuning knobs.
+
+    - ``lr_schedule="cosine"``: linear warmup for ``warmup_steps`` then cosine
+      decay to 0 at ``total_steps``; ``"constant"``: optional linear warmup,
+      then flat. The schedule step lives in the optimizer state, so
+      :func:`load_train_state` resumes mid-schedule exactly.
+    - ``grad_accum=K`` wraps the update in ``optax.MultiSteps``: parameters
+      move once every K ``train_step`` calls on the mean of the K gradients —
+      a KB-sized effective batch without K× activation memory. The step
+      counter still counts micro-steps.
+    """
+    if lr_schedule == "cosine":
+        lr: Any = optax.warmup_cosine_decay_schedule(
+            init_value=0.0,
+            peak_value=learning_rate,
+            warmup_steps=warmup_steps,
+            decay_steps=max(total_steps, warmup_steps + 1),
+        )
+    elif warmup_steps > 0:
+        lr = optax.linear_schedule(0.0, learning_rate, warmup_steps)
+    else:
+        lr = learning_rate
+    tx = optax.adamw(lr, weight_decay=weight_decay)
+    if grad_accum > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=grad_accum)
+    return tx
 
 
 def save_train_state(path: str, state: TrainState) -> None:
@@ -169,6 +206,16 @@ def main(argv=None):
     p.add_argument("--steps", type=int, default=100)
     p.add_argument("--batch_size", type=int, default=64)
     p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--lr_schedule", type=str, default="constant",
+                   choices=["constant", "cosine"],
+                   help="cosine: linear warmup then cosine decay to 0 at "
+                        "--steps (the standard ViT fine-tuning recipe)")
+    p.add_argument("--warmup_steps", type=int, default=0,
+                   help="Linear LR warmup steps (0 disables)")
+    p.add_argument("--grad_accum", type=int, default=1, metavar="K",
+                   help="Accumulate K micro-batch gradients per optimizer "
+                        "update (optax.MultiSteps): K× effective batch at "
+                        "1× activation memory. --steps counts micro-steps.")
     p.add_argument("--weight_decay", type=float, default=0.05)
     p.add_argument("--dtype", type=str, default="float32",
                    choices=["float32", "bfloat16"],
@@ -279,7 +326,11 @@ def main(argv=None):
             )
         # optimizer state is built on the STACKED, placed tree so each
         # chip's Adam moments cover only its stage's (shard of) weights
-        tx = optax.adamw(args.lr, weight_decay=args.weight_decay)
+        tx = build_optimizer(
+            args.lr, args.steps, args.weight_decay,
+            lr_schedule=args.lr_schedule, warmup_steps=args.warmup_steps,
+            grad_accum=args.grad_accum,
+        )
         stacked = place_pipeline_params(
             stack_params(params, args.pipeline_parallel,
                          args.tensor_parallel),
@@ -297,7 +348,12 @@ def main(argv=None):
               f"M={n_micro} microbatches "
               f"(utilization {n_micro / (n_micro + args.pipeline_parallel - 1):.2f})")
     else:
-        state, tx = create_train_state(params, args.lr, args.weight_decay)
+        tx = build_optimizer(
+            args.lr, args.steps, args.weight_decay,
+            lr_schedule=args.lr_schedule, warmup_steps=args.warmup_steps,
+            grad_accum=args.grad_accum,
+        )
+        state = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
         step_fn = jax.jit(make_train_step(config, schedule, tx),
                           donate_argnums=(0,))
 

@@ -277,3 +277,89 @@ def test_train_cli_resume_pipeline(tmp_path):
                  "--state_path", str(st)])
     state = main(base + ["--steps", "2", "--resume", str(st)])
     assert int(jax.device_get(state.step)) == 2
+
+
+def test_cosine_schedule_resume_mid_schedule(tmp_path, rng):
+    """The LR-schedule step lives in the optimizer state, so a resumed run
+    continues the cosine decay exactly where it left off."""
+    from rajni_tpu.train import (
+        TrainState, build_optimizer, load_train_state, save_train_state,
+    )
+
+    params = init_params(jax.random.key(4), CFG)
+    tx = build_optimizer(3e-3, total_steps=6, lr_schedule="cosine",
+                         warmup_steps=2)
+    state = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
+    step = jax.jit(make_train_step(CFG, SCHED, tx))
+    x, y = _batch(rng)
+
+    # uninterrupted: 4 steps
+    live = state
+    for _ in range(4):
+        live, _ = step(live, x, y)
+
+    # interrupted at 2, saved, restored, continued to 4
+    half = state
+    for _ in range(2):
+        half, _ = step(half, x, y)
+    path = tmp_path / "c.state"
+    save_train_state(str(path), half)
+    template = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
+    resumed = load_train_state(str(path), template)
+    for _ in range(2):
+        resumed, _ = step(resumed, x, y)
+
+    np.testing.assert_array_equal(
+        np.asarray(live.params["head"]["kernel"]),
+        np.asarray(resumed.params["head"]["kernel"]),
+    )
+
+
+def test_grad_accum_matches_single_step(rng):
+    """K identical micro-batches under --grad_accum K produce exactly one
+    optimizer update equal to the plain single step (mean of K identical
+    gradients is the gradient); params must not move mid-accumulation."""
+    from rajni_tpu.train import TrainState, build_optimizer
+
+    params = init_params(jax.random.key(5), CFG)
+    x, y = _batch(rng)
+
+    tx_plain = build_optimizer(1e-3, total_steps=4)
+    s_plain = TrainState(params, tx_plain.init(params),
+                         jnp.zeros((), jnp.int32))
+    step_plain = jax.jit(make_train_step(CFG, SCHED, tx_plain))
+    s_plain, _ = step_plain(s_plain, x, y)
+
+    tx_acc = build_optimizer(1e-3, total_steps=4, grad_accum=2)
+    s_acc = TrainState(params, tx_acc.init(params), jnp.zeros((), jnp.int32))
+    step_acc = jax.jit(make_train_step(CFG, SCHED, tx_acc))
+
+    s_mid, _ = step_acc(s_acc, x, y)
+    np.testing.assert_array_equal(  # update deferred: params unchanged
+        np.asarray(s_mid.params["head"]["kernel"]),
+        np.asarray(params["head"]["kernel"]),
+    )
+    s_done, _ = step_acc(s_mid, x, y)
+    np.testing.assert_allclose(
+        np.asarray(s_done.params["head"]["kernel"]),
+        np.asarray(s_plain.params["head"]["kernel"]),
+        rtol=0, atol=1e-7,
+    )
+
+
+def test_train_cli_lr_schedule_flags(tmp_path):
+    """CLI smoke: cosine + warmup + grad_accum train end-to-end."""
+    import json as _json
+
+    from rajni_tpu.train import main
+
+    sched = tmp_path / "s.json"
+    sched.write_text(_json.dumps({"1": {"keep_ratio": 0.6}}))
+    state = main([
+        "--synthetic", "--model", "vit_tiny_patch16_224",
+        "--schedule", str(sched), "--steps", "4", "--batch_size", "2",
+        "--output", str(tmp_path / "ft.msgpack"), "--log_every", "2",
+        "--lr_schedule", "cosine", "--warmup_steps", "1",
+        "--grad_accum", "2",
+    ])
+    assert int(state.step) == 4
