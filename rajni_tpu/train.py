@@ -178,6 +178,31 @@ def make_train_step(
     return train_step
 
 
+def _eval_top1(fwd, params, loader, batch_size, max_batches=None):
+    """Top-1 accuracy over a validation loader, for in-training checkpoints.
+
+    Pads the ragged final batch up to ``batch_size`` so the jitted forward
+    compiles ONE shape; pad rows are sliced off before accounting. Same
+    denominator discipline as the reference harness
+    (`/root/reference/rajni/eval.py:73` — ``max(total, 1)``).
+    """
+    correct = total = 0
+    for i, (im, lb) in enumerate(loader):
+        if max_batches is not None and i >= max_batches:
+            break
+        im = np.asarray(im)
+        b = int(im.shape[0])
+        if b == 0:
+            continue
+        if b < batch_size:
+            pad = np.zeros((batch_size - b,) + im.shape[1:], im.dtype)
+            im = np.concatenate([im, pad])
+        logits = np.asarray(fwd(params, jnp.asarray(im)))[:b]
+        correct += int((logits.argmax(-1) == np.asarray(lb)[:b]).sum())
+        total += b
+    return 100.0 * correct / max(total, 1)
+
+
 def main(argv=None):
     """Fine-tuning CLI: adapt a ViT to its deployment pruning schedule.
 
@@ -221,6 +246,17 @@ def main(argv=None):
                    choices=["float32", "bfloat16"],
                    help="Param dtype (fp32 default: optimizer stability)")
     p.add_argument("--log_every", type=int, default=10)
+    p.add_argument("--eval_data", type=str, default=None,
+                   help="Validation ImageFolder root: run top-1 eval every "
+                        "--eval_every steps and after the last step; the "
+                        "best-so-far params are saved to <output>.best")
+    p.add_argument("--eval_every", type=int, default=0, metavar="N",
+                   help="Validation cadence in steps (0 = only after the "
+                        "final step); requires --eval_data")
+    p.add_argument("--eval_batches", type=int, default=None, metavar="M",
+                   help="Cap validation at M batches (default: full set)")
+    p.add_argument("--eval_batch_size", type=int, default=None,
+                   help="Validation batch size (default: --batch_size)")
     p.add_argument("--save_state_every", type=int, default=0, metavar="N",
                    help="Every N steps, atomically save the FULL train "
                         "state (params + optimizer moments + step) for "
@@ -273,6 +309,15 @@ def main(argv=None):
             "--tensor_parallel on the train CLI requires "
             "--pipeline_parallel (TP-only training is a library-level "
             "composition — see docs/PARALLELISM.md)"
+        )
+    if args.eval_every and not args.eval_data:
+        raise ValueError("--eval_every requires --eval_data")
+    if args.eval_data and (args.distributed or args.pipeline_parallel > 1):
+        raise ValueError(
+            "--eval_data composes with plain single-controller training "
+            "only; for distributed/pipeline runs evaluate saved checkpoints "
+            "with python -m rajni_tpu.run (--distributed / "
+            "--pipeline_parallel)"
         )
 
     mesh = None
@@ -436,7 +481,31 @@ def main(argv=None):
                         yield im, lb.astype(np.int32)
         batch_iter = batches()
 
+    run_eval = None
+    if args.eval_data:
+        from .data.pipeline import DataLoader, ImageFolder
+        from .params.io import save_params as _save_params
+
+        eb = args.eval_batch_size or args.batch_size
+        eval_loader = DataLoader(
+            ImageFolder(args.eval_data, img_size=config.img_size),
+            batch_size=eb,
+        )
+        eval_fwd = jax.jit(lambda p, x: vit_forward(p, x, config, schedule))
+        best_acc = -1.0
+
+        def run_eval(at_step):
+            nonlocal best_acc
+            acc = _eval_top1(eval_fwd, state.params, eval_loader, eb,
+                             args.eval_batches)
+            print(f"step {at_step:6d}  val_top1 {acc:.2f}%")
+            if acc > best_acc:
+                best_acc = acc
+                _save_params(f"{args.output}.best", state.params)
+                print(f"new best ({acc:.2f}%) -> {args.output}.best")
+
     state_path = args.state_path or f"{args.output}.state"
+    last_eval = None
     for step in range(start_step + 1, args.steps + 1):
         im, lb = next(batch_iter)
         if mesh is not None:
@@ -457,6 +526,14 @@ def main(argv=None):
             # replicated/single-controller state is fully addressable, so
             # process 0's device_get sees the whole tree
             save_train_state(state_path, state)
+        if run_eval is not None and args.eval_every and (
+            step % args.eval_every == 0
+        ):
+            run_eval(step)
+            last_eval = step
+
+    if run_eval is not None and last_eval != args.steps:
+        run_eval(args.steps)
 
     from .params.io import save_params
 

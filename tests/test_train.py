@@ -363,3 +363,59 @@ def test_train_cli_lr_schedule_flags(tmp_path):
         "--grad_accum", "2",
     ])
     assert int(state.step) == 4
+
+
+def test_train_cli_eval_during_training(tmp_path, capsys):
+    """--eval_data/--eval_every: periodic top-1 validation (ragged final
+    batch padded to one static shape) and best-checkpoint tracking."""
+    import json as _json
+
+    from PIL import Image
+
+    from rajni_tpu.params.io import load_params
+    from rajni_tpu.train import main
+
+    data = tmp_path / "val"
+    rng = np.random.default_rng(0)
+    for cls in ("a", "b"):
+        d = data / cls
+        d.mkdir(parents=True)
+        for i in range(2):
+            arr = rng.integers(0, 256, (240, 240, 3), dtype=np.uint8)
+            Image.fromarray(arr, "RGB").save(d / f"{i}.png")
+    sched = tmp_path / "s.json"
+    sched.write_text(_json.dumps({"1": {"keep_ratio": 0.6}}))
+
+    out = tmp_path / "ft.msgpack"
+    main([
+        "--synthetic", "--model", "vit_tiny_patch16_224",
+        "--schedule", str(sched), "--steps", "2", "--batch_size", "2",
+        "--output", str(out), "--log_every", "1",
+        "--eval_data", str(data), "--eval_every", "2",
+        "--eval_batch_size", "3",  # 4 images -> batches of 3 + 1 (pad path)
+    ])
+    printed = capsys.readouterr().out
+    assert "val_top1" in printed
+    best = tmp_path / "ft.msgpack.best"
+    assert best.exists()
+    assert len(load_params(str(best))["blocks"]) == 12
+
+
+def test_train_cli_eval_flag_validation(tmp_path):
+    import json as _json
+
+    import pytest
+
+    from rajni_tpu.train import main
+
+    sched = tmp_path / "s.json"
+    sched.write_text(_json.dumps({"1": {"keep_ratio": 0.6}}))
+    base = ["--synthetic", "--model", "vit_tiny_patch16_224",
+            "--schedule", str(sched), "--steps", "1"]
+    with pytest.raises(ValueError, match="requires --eval_data"):
+        main(base + ["--eval_every", "5"])
+    with pytest.raises(ValueError, match="single-controller"):
+        main(base + ["--eval_data", str(tmp_path), "--distributed"])
+    with pytest.raises(ValueError, match="single-controller"):
+        main(base + ["--eval_data", str(tmp_path),
+                     "--pipeline_parallel", "2", "--batch_size", "8"])
