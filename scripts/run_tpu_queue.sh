@@ -43,6 +43,8 @@ step python scripts/bench_suite.py --only vit_b16_384_int8 --merge BENCH_SUITE.j
 # 5. re-measure ViT-B int8 rows (stock static row predates the
 #    vector-operand fold rework — docs/QUANTIZATION.md footnote)
 step python scripts/bench_suite.py --only vit_b16_schedulejson_int8 --merge BENCH_SUITE.json
+# 6. first training-step throughput rows (fwd+bwd+adamw, bf16 batch 128)
+step python scripts/bench_train.py --out BENCH_TRAIN.json
 
 echo "queue done — full log at $LOG"
 grep -h '"config"\|"metric"' "$LOG" | tail -20
