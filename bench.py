@@ -49,28 +49,17 @@ def main() -> None:
     quant = os.environ.get("RAJNI_BENCH_QUANT", "0") == "1"
     calibrate = os.environ.get("RAJNI_BENCH_CALIBRATE", "0") == "1"
 
-    # Backend-init watchdog: the TPU tunnel can wedge in a state where
-    # jax.devices() hangs forever inside the plugin's client init (CLAUDE.md
-    # "axon tunnel wedge") — which would hang the whole driver run. Probe in
-    # a throwaway subprocess with a bound first, so a dead tunnel fails this
-    # script cleanly instead. RAJNI_BENCH_PROBE_TIMEOUT=0 disables.
-    probe_s = int(os.environ.get("RAJNI_BENCH_PROBE_TIMEOUT", "600"))
-    if probe_s:
-        import subprocess
+    # Backend-init watchdog: a wedged TPU tunnel hangs jax.devices() forever
+    # (CLAUDE.md "axon tunnel wedge") — fail the bench cleanly instead.
+    # RAJNI_BENCH_PROBE_TIMEOUT=0 disables.
+    from rajni_tpu.utils.backend_probe import probe_backend_init
 
-        try:
-            subprocess.run(
-                [sys.executable, "-c", "import jax; jax.devices()"],
-                timeout=probe_s, check=True, capture_output=True,
-            )
-        except subprocess.TimeoutExpired:
-            log(f"FATAL: jax backend init did not complete within {probe_s}s "
-                "— device tunnel down or wedged; refusing to hang the bench")
-            sys.exit(2)
-        except subprocess.CalledProcessError as e:
-            log("FATAL: jax backend init failed:\n"
-                + e.stderr.decode(errors="replace")[-2000:])
-            sys.exit(2)
+    err = probe_backend_init(
+        int(os.environ.get("RAJNI_BENCH_PROBE_TIMEOUT", "600"))
+    )
+    if err:
+        log(f"FATAL: {err}")
+        sys.exit(2)
 
     log(f"devices: {jax.devices()}")
     config = get_config(model)

@@ -47,6 +47,20 @@ def create_train_state(
     return TrainState(params, tx.init(params), jnp.zeros((), jnp.int32)), tx
 
 
+def _schedule_ticks(
+    total_steps: int, warmup_steps: int, grad_accum: int
+) -> tuple[int, int]:
+    """Convert micro-step horizons to optimizer-update ticks (the unit the
+    LR schedule actually counts in under ``optax.MultiSteps``, which commits
+    the inner state — including the schedule count — once per
+    ``grad_accum`` micro-steps)."""
+    if grad_accum <= 1:
+        return total_steps, warmup_steps
+    decay = max(1, total_steps // grad_accum)
+    warm = max(1, warmup_steps // grad_accum) if warmup_steps > 0 else 0
+    return decay, warm
+
+
 def build_optimizer(
     learning_rate: float,
     total_steps: int,
@@ -63,18 +77,25 @@ def build_optimizer(
       :func:`load_train_state` resumes mid-schedule exactly.
     - ``grad_accum=K`` wraps the update in ``optax.MultiSteps``: parameters
       move once every K ``train_step`` calls on the mean of the K gradients —
-      a KB-sized effective batch without K× activation memory. The step
-      counter still counts micro-steps.
+      a K× effective batch without K× activation memory. The step counter
+      still counts micro-steps. ``total_steps``/``warmup_steps`` are ALSO
+      micro-step-denominated: MultiSteps advances the inner schedule count
+      only on real updates (once per K micro-steps), so the horizons are
+      converted to update ticks here — without the conversion a cosine run
+      with K=4 would end at ~0.9·peak instead of 0.
     """
+    decay_ticks, warm_ticks = _schedule_ticks(
+        total_steps, warmup_steps, grad_accum
+    )
     if lr_schedule == "cosine":
         lr: Any = optax.warmup_cosine_decay_schedule(
             init_value=0.0,
             peak_value=learning_rate,
-            warmup_steps=warmup_steps,
-            decay_steps=max(total_steps, warmup_steps + 1),
+            warmup_steps=warm_ticks,
+            decay_steps=max(decay_ticks, warm_ticks + 1),
         )
-    elif warmup_steps > 0:
-        lr = optax.linear_schedule(0.0, learning_rate, warmup_steps)
+    elif warm_ticks > 0:
+        lr = optax.linear_schedule(0.0, learning_rate, warm_ticks)
     else:
         lr = learning_rate
     tx = optax.adamw(lr, weight_decay=weight_decay)
@@ -349,6 +370,13 @@ def main(argv=None):
     else:
         params = init_params(jax.random.key(args.seed), config, dtype)
 
+    # one optimizer for both branches — tx depends only on the flags
+    tx = build_optimizer(
+        args.lr, args.steps, args.weight_decay,
+        lr_schedule=args.lr_schedule, warmup_steps=args.warmup_steps,
+        grad_accum=args.grad_accum,
+    )
+
     pp_mesh = None
     if args.pipeline_parallel > 1:
         from .parallel.pipeline import (
@@ -371,11 +399,6 @@ def main(argv=None):
             )
         # optimizer state is built on the STACKED, placed tree so each
         # chip's Adam moments cover only its stage's (shard of) weights
-        tx = build_optimizer(
-            args.lr, args.steps, args.weight_decay,
-            lr_schedule=args.lr_schedule, warmup_steps=args.warmup_steps,
-            grad_accum=args.grad_accum,
-        )
         stacked = place_pipeline_params(
             stack_params(params, args.pipeline_parallel,
                          args.tensor_parallel),
@@ -393,11 +416,6 @@ def main(argv=None):
               f"M={n_micro} microbatches "
               f"(utilization {n_micro / (n_micro + args.pipeline_parallel - 1):.2f})")
     else:
-        tx = build_optimizer(
-            args.lr, args.steps, args.weight_decay,
-            lr_schedule=args.lr_schedule, warmup_steps=args.warmup_steps,
-            grad_accum=args.grad_accum,
-        )
         state = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
         step_fn = jax.jit(make_train_step(config, schedule, tx),
                           donate_argnums=(0,))
@@ -481,6 +499,20 @@ def main(argv=None):
                         yield im, lb.astype(np.int32)
         batch_iter = batches()
 
+        if start_step:
+            # --resume reproduces the uninterrupted trajectory including
+            # the DATA stream: fast-forward the cyclic loader (decode-only,
+            # no training) to where step start_step+1 would have read.
+            # Each host skips within its OWN shard, matching what its
+            # uninterrupted generator would have been yielding.
+            bpe = len(dataset) // local_batch  # full batches per pass
+            skip = start_step % max(bpe, 1)
+            if skip:
+                print(f"resume: fast-forwarding the data stream {skip} "
+                      f"batches (decode-only)")
+                for _ in range(skip):
+                    next(batch_iter)
+
     run_eval = None
     if args.eval_data:
         from .data.pipeline import DataLoader, ImageFolder
@@ -493,6 +525,18 @@ def main(argv=None):
         )
         eval_fwd = jax.jit(lambda p, x: vit_forward(p, x, config, schedule))
         best_acc = -1.0
+        if args.resume and os.path.exists(f"{args.output}.best"):
+            # don't let a resumed run clobber a better pre-interruption
+            # checkpoint: re-score the existing .best to seed the bar
+            from .params.io import load_params as _load_params
+
+            best_acc = _eval_top1(
+                eval_fwd,
+                _load_params(f"{args.output}.best", dtype=dtype),
+                eval_loader, eb, args.eval_batches,
+            )
+            print(f"seeded best val_top1 {best_acc:.2f}% from existing "
+                  f"{args.output}.best")
 
         def run_eval(at_step):
             nonlocal best_acc

@@ -27,7 +27,6 @@ from __future__ import annotations
 import argparse
 import json
 import os
-import subprocess
 import sys
 import time
 
@@ -54,21 +53,12 @@ def main() -> None:
                    help="backend-init watchdog seconds (0 disables)")
     args = p.parse_args()
 
-    if args.probe_timeout:
-        # a wedged tunnel hangs jax.devices() forever — fail clean instead
-        try:
-            subprocess.run(
-                [sys.executable, "-c", "import jax; jax.devices()"],
-                timeout=args.probe_timeout, check=True, capture_output=True,
-            )
-        except subprocess.TimeoutExpired:
-            log(f"FATAL: backend init exceeded {args.probe_timeout}s — "
-                "tunnel down/wedged")
-            sys.exit(2)
-        except subprocess.CalledProcessError as e:
-            log("FATAL: backend init failed:\n"
-                + e.stderr.decode(errors="replace")[-2000:])
-            sys.exit(2)
+    from rajni_tpu.utils.backend_probe import probe_backend_init
+
+    err = probe_backend_init(args.probe_timeout)
+    if err:
+        log(f"FATAL: {err}")
+        sys.exit(2)
 
     import jax
     import jax.numpy as jnp

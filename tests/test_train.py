@@ -231,7 +231,7 @@ def test_train_cli_resume(tmp_path):
 
     sched = tmp_path / "s.json"
     sched.write_text(_json.dumps({"1": {"keep_ratio": 0.6}}))
-    base = ["--synthetic", "--model", "vit_tiny_patch16_224",
+    base = ["--synthetic", "--model", "vit_tiny_patch16_64",
             "--schedule", str(sched), "--batch_size", "2",
             "--log_every", "1"]
 
@@ -267,7 +267,7 @@ def test_train_cli_resume_pipeline(tmp_path):
 
     sched = tmp_path / "s.json"
     sched.write_text(_json.dumps({"1": {"keep_ratio": 0.6}}))
-    base = ["--synthetic", "--model", "vit_tiny_patch16_224",
+    base = ["--synthetic", "--model", "vit_tiny_patch16_64",
             "--schedule", str(sched), "--batch_size", "16",
             "--log_every", "1", "--pipeline_parallel", "2",
             "--output", str(tmp_path / "pp.msgpack")]
@@ -356,7 +356,7 @@ def test_train_cli_lr_schedule_flags(tmp_path):
     sched = tmp_path / "s.json"
     sched.write_text(_json.dumps({"1": {"keep_ratio": 0.6}}))
     state = main([
-        "--synthetic", "--model", "vit_tiny_patch16_224",
+        "--synthetic", "--model", "vit_tiny_patch16_64",
         "--schedule", str(sched), "--steps", "4", "--batch_size", "2",
         "--output", str(tmp_path / "ft.msgpack"), "--log_every", "2",
         "--lr_schedule", "cosine", "--warmup_steps", "1",
@@ -388,7 +388,7 @@ def test_train_cli_eval_during_training(tmp_path, capsys):
 
     out = tmp_path / "ft.msgpack"
     main([
-        "--synthetic", "--model", "vit_tiny_patch16_224",
+        "--synthetic", "--model", "vit_tiny_patch16_64",
         "--schedule", str(sched), "--steps", "2", "--batch_size", "2",
         "--output", str(out), "--log_every", "1",
         "--eval_data", str(data), "--eval_every", "2",
@@ -419,3 +419,121 @@ def test_train_cli_eval_flag_validation(tmp_path):
     with pytest.raises(ValueError, match="single-controller"):
         main(base + ["--eval_data", str(tmp_path),
                      "--pipeline_parallel", "2", "--batch_size", "8"])
+
+
+def test_schedule_ticks_grad_accum_conversion():
+    """LR-schedule horizons are micro-step-denominated flags but MultiSteps
+    advances the inner schedule once per K micro-steps — the conversion must
+    land the cosine's end exactly at the last real update."""
+    from rajni_tpu.train import _schedule_ticks
+
+    assert _schedule_ticks(1000, 200, 1) == (1000, 200)
+    assert _schedule_ticks(1000, 200, 4) == (250, 50)
+    assert _schedule_ticks(10, 0, 4) == (2, 0)
+    assert _schedule_ticks(3, 2, 4) == (1, 1)  # floors keep a ramp
+
+
+def test_cosine_grad_accum_decays_to_zero():
+    """With --grad_accum, the cosine must still reach ~0 LR by the last
+    update (the bug this pins: micro-step horizons fed to an update-tick
+    schedule left the LR at ~0.9·peak)."""
+    import optax
+
+    from rajni_tpu.train import build_optimizer
+
+    peak = 3e-3
+    tx = build_optimizer(peak, total_steps=40, lr_schedule="cosine",
+                         warmup_steps=8, grad_accum=4)
+    # MultiSteps commits the inner (chained) state once per 4 micro-steps:
+    # 40 micro-steps = 10 updates. Inspect the schedule via the inner
+    # optimizer's injected hyperparams by stepping a scalar problem.
+    params = {"w": jnp.ones(())}
+    opt_state = tx.init(params)
+    grads = {"w": jnp.ones(())}
+    moved = []
+    for _ in range(40):
+        updates, opt_state = tx.update(grads, opt_state, params)
+        moved.append(abs(float(updates["w"])))
+        params = optax.apply_updates(params, updates)
+    # the final committed update must be ~LR 0 (cosine fully decayed):
+    # compare the last real update's magnitude to the mid-schedule one
+    real = [m for m in moved if m > 0]
+    assert real, "no updates committed"
+    assert real[-1] < 0.05 * max(real), (
+        f"cosine did not decay: last real update {real[-1]:.2e} vs "
+        f"max {max(real):.2e}"
+    )
+
+
+def test_train_cli_resume_real_data_exact(tmp_path):
+    """Resume on a REAL dataset reproduces the uninterrupted run exactly:
+    the optimizer state restores and the data stream fast-forwards to the
+    interruption point (decode-only)."""
+    import json as _json
+
+    from PIL import Image
+
+    from rajni_tpu.params.io import load_params
+    from rajni_tpu.train import main
+
+    data = tmp_path / "train"
+    rng = np.random.default_rng(1)
+    for cls in ("a", "b"):
+        d = data / cls
+        d.mkdir(parents=True)
+        for i in range(3):
+            arr = rng.integers(0, 256, (80, 80, 3), dtype=np.uint8)
+            Image.fromarray(arr, "RGB").save(d / f"{i}.png")
+    sched = tmp_path / "s.json"
+    sched.write_text(_json.dumps({"1": {"keep_ratio": 0.6}}))
+    # 6 images, batch 2 -> 3 full batches/pass; 4 steps wraps the epoch
+    base = ["--model", "vit_tiny_patch16_64", "--data_path", str(data),
+            "--schedule", str(sched), "--batch_size", "2", "--log_every", "1"]
+
+    out_a = tmp_path / "a.msgpack"
+    main(base + ["--steps", "4", "--output", str(out_a)])
+
+    out_b = tmp_path / "b.msgpack"
+    st = tmp_path / "b.state"
+    main(base + ["--steps", "2", "--output", str(out_b),
+                 "--save_state_every", "2", "--state_path", str(st)])
+    main(base + ["--steps", "4", "--output", str(out_b),
+                 "--resume", str(st)])
+
+    for la, lb in zip(
+        jax.tree_util.tree_leaves(load_params(str(out_a))),
+        jax.tree_util.tree_leaves(load_params(str(out_b))),
+    ):
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+
+
+def test_train_cli_resume_seeds_best_from_disk(tmp_path, capsys):
+    """A resumed run must not clobber a pre-interruption .best with worse
+    params: the existing .best is re-scored to seed the bar."""
+    import json as _json
+
+    from PIL import Image
+
+    from rajni_tpu.train import main
+
+    data = tmp_path / "val"
+    rng = np.random.default_rng(2)
+    for cls in ("a", "b"):
+        d = data / cls
+        d.mkdir(parents=True)
+        arr = rng.integers(0, 256, (80, 80, 3), dtype=np.uint8)
+        Image.fromarray(arr, "RGB").save(d / "0.png")
+    sched = tmp_path / "s.json"
+    sched.write_text(_json.dumps({"1": {"keep_ratio": 0.6}}))
+    out = tmp_path / "ft.msgpack"
+    st = tmp_path / "ft.state"
+    base = ["--synthetic", "--model", "vit_tiny_patch16_64",
+            "--schedule", str(sched), "--batch_size", "2", "--log_every", "1",
+            "--output", str(out), "--eval_data", str(data),
+            "--eval_batch_size", "2"]
+
+    main(base + ["--steps", "1", "--save_state_every", "1",
+                 "--state_path", str(st)])
+    assert (tmp_path / "ft.msgpack.best").exists()
+    main(base + ["--steps", "2", "--resume", str(st)])
+    assert "seeded best val_top1" in capsys.readouterr().out
