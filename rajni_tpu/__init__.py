@@ -36,6 +36,7 @@ from .utils.schedule import (
     schedule_to_dict,
     token_count_trace,
 )
+from .utils.schedule_search import predict_speedup, propose_schedule
 
 __version__ = "0.1.0"
 
@@ -64,6 +65,8 @@ __all__ = [
     "load_schedule",
     "model_stats",
     "normalize_schedule",
+    "predict_speedup",
+    "propose_schedule",
     "pruned_attention",
     "schedule_to_dict",
     "select_tokens",

@@ -134,3 +134,71 @@ def test_flops_per_block_pairing():
     last_prune = flops_per_image(cfg, [197] * 12, final_count=120)
     stock = flops_per_image(cfg)
     assert last_prune < stock
+
+
+# ---------------------------------------------------------------------------
+# Schedule designer (rajni_tpu.utils.schedule_search)
+# ---------------------------------------------------------------------------
+
+
+def test_propose_schedule_meets_target():
+    from rajni_tpu.models.vit import get_config
+    from rajni_tpu.utils.schedule_search import (
+        predict_speedup, propose_schedule,
+    )
+
+    cfg = get_config("vit_base_patch16_224")
+    sched, info = propose_schedule(cfg, 1.22)
+    assert info["reachable"]
+    assert info["achieved"] >= 1.22
+    assert 0.5 <= info["keep_ratio"] < 1.0
+    assert sorted(sched) == [3, 4, 5, 6, 7]  # the reference sample's span
+    # gentlest: a slightly larger uniform ratio must MISS the target
+    higher = {b: {"keep_ratio": info["keep_ratio"] + 0.02} for b in sched}
+    assert predict_speedup(cfg, higher) < 1.22
+    # the returned schedule round-trips through the normal machinery
+    from rajni_tpu.utils.schedule import normalize_schedule, token_count_trace
+    norm = normalize_schedule(sched, cfg.depth)
+    assert token_count_trace(cfg.num_tokens, norm) == info["token_counts"]
+
+
+def test_propose_schedule_unreachable_clamps():
+    from rajni_tpu.models.vit import get_config
+    from rajni_tpu.utils.schedule_search import propose_schedule
+
+    cfg = get_config("vit_base_patch16_224")
+    sched, info = propose_schedule(cfg, 10.0, min_ratio=0.5)
+    assert not info["reachable"]
+    assert info["keep_ratio"] == 0.5
+    assert all(v["keep_ratio"] == 0.5 for v in sched.values())
+
+
+def test_propose_schedule_validation():
+    import pytest
+
+    from rajni_tpu.models.vit import get_config
+    from rajni_tpu.utils.schedule_search import propose_schedule
+
+    cfg = get_config("vit_base_patch16_224")
+    with pytest.raises(ValueError, match=">= 1.0"):
+        propose_schedule(cfg, 0.9)
+    with pytest.raises(ValueError, match="out of range"):
+        propose_schedule(cfg, 1.2, blocks=[11, 12])
+    with pytest.raises(ValueError, match="non-empty"):
+        propose_schedule(cfg, 1.2, blocks=[])
+
+
+def test_schedule_search_cli_round_trip(tmp_path, capsys):
+    from rajni_tpu.utils.schedule import load_schedule
+    from rajni_tpu.utils.schedule_search import main
+
+    out = tmp_path / "proposed.json"
+    main(["--model", "vit_base_patch16_224", "--target", "1.3",
+          "--blocks", "2-8", "--out", str(out)])
+    printed = capsys.readouterr().out
+    assert "analytic speedup" in printed and "UNREACHABLE" not in printed
+    # the written file (string keys, like any JSON) loads through the
+    # int-normalizing loader and prunes blocks 2..8
+    sched = load_schedule(str(out), 12)
+    pruned = [i for i, s in enumerate(sched) if s is not None]
+    assert pruned == list(range(2, 9))
