@@ -75,13 +75,15 @@ def main(argv=None):
         print("no images given; exiting")
         return
     n = len(crops)
-    if not serve.dynamic_batch:
+    if getattr(serve, "buckets", None):
+        pass  # multi-bucket artifact: pads/chunks internally, slices back
+    elif not serve.dynamic_batch:
         spec_batch = serve.input_spec.shape[0]
         if len(crops) > spec_batch:
             raise SystemExit(
                 f"artifact was exported with batch {spec_batch}; got "
-                f"{len(crops)} images — re-export with a larger --batch "
-                "or with --batch dynamic"
+                f"{len(crops)} images — re-export with a larger --batch, "
+                "a bucket list (--batch 8,32,256), or --batch dynamic"
             )
         while len(crops) < spec_batch:  # pad to the baked batch, slice below
             crops.append(np.zeros_like(crops[0]))

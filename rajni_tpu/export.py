@@ -21,6 +21,8 @@ this is TPU-native surface beyond parity.
 from __future__ import annotations
 
 import functools
+import json
+import struct
 
 import jax
 import jax.numpy as jnp
@@ -29,13 +31,18 @@ from jax import export as _jexport
 from .models.vit import ViTConfig, vit_forward
 from .utils.schedule import Schedule, normalize_schedule
 
+#: container magic for multi-bucket artifacts (single-program artifacts are
+#: the raw jax.export serialization, headerless — format-compatible back to
+#: the first export_model)
+_BUCKET_MAGIC = b"RAJNI-BUCKETS\x01"
+
 
 def export_model(
     path: str,
     params,
     config: ViTConfig,
     schedule: Schedule | None = None,
-    batch: int | str = 256,
+    batch: int | str | list | tuple = 256,
     dtype: jnp.dtype = jnp.bfloat16,
     impl: str = "auto",
     platform: str = "tpu",
@@ -61,8 +68,46 @@ def export_model(
     XLA-path only: ``impl="auto"`` resolves to xla and ``impl="pallas"``
     raises — export a fixed-batch pallas artifact for the peak-throughput
     fixed-shape tier and a dynamic xla artifact for the long tail.
+
+    ``batch=[8, 32, 256]`` (a list) exports a MULTI-BUCKET artifact: one
+    file carrying one pre-lowered program per bucket. The loader pads each
+    request to the smallest sufficient bucket (chunking by the largest when
+    the request exceeds it) and slices the logits back — pad-to-nearest
+    instead of pad-to-256, so small requests stop paying full-batch latency
+    while big batches keep the fused-kernel tier (``impl="auto"`` resolves
+    PER BUCKET: small buckets get xla, MXU-saturating ones pallas).
     """
     schedule = normalize_schedule(schedule, config.depth)
+    if isinstance(batch, (list, tuple)):
+        buckets = sorted(set(int(b) for b in batch))
+        if not buckets or buckets[0] < 1:
+            raise ValueError(f"bucket batches must be positive ints: {batch}")
+        blobs = [
+            _export_bytes(params, config, schedule, b, dtype, impl,
+                          platform, act_scales)
+            for b in buckets
+        ]
+        header = json.dumps(
+            {"batches": buckets, "lengths": [len(x) for x in blobs]}
+        ).encode()
+        with open(path, "wb") as f:
+            f.write(_BUCKET_MAGIC)
+            f.write(struct.pack(">I", len(header)))
+            f.write(header)
+            for blob in blobs:
+                f.write(blob)
+        return
+    blob = _export_bytes(params, config, schedule, batch, dtype, impl,
+                         platform, act_scales)
+    with open(path, "wb") as f:
+        f.write(blob)
+
+
+def _export_bytes(
+    params, config, schedule, batch, dtype, impl, platform, act_scales
+) -> bytes:
+    """Lower ONE (batch|dynamic) program and return its serialization
+    (the validation/impl-resolution core of :func:`export_model`)."""
     dynamic = batch == "dynamic"
     if not dynamic and not isinstance(batch, int):
         raise ValueError(f"batch must be an int or 'dynamic', got {batch!r}")
@@ -128,8 +173,7 @@ def export_model(
         shape = (batch, config.img_size, config.img_size, 3)
     spec = jax.ShapeDtypeStruct(shape, dtype)
     exported = _jexport.export(fn, platforms=[platform])(spec)
-    with open(path, "wb") as f:
-        f.write(exported.serialize())
+    return exported.serialize()
 
 
 def load_exported(path: str):
@@ -143,9 +187,57 @@ def load_exported(path: str):
     batch size directly — fixed-batch artifacts accept exactly their baked
     ``(batch, H, W, 3)`` shape, so callers with fewer images pad up to it
     and slice the logits (see ``examples/serve.py``).
+
+    Multi-bucket artifacts (``export_model(batch=[8, 32, 256])``) come back
+    with ``buckets`` set (ascending list); the callable then accepts ANY
+    leading batch size — each request is padded to the smallest sufficient
+    bucket (chunked by the largest when it exceeds it) and the logits are
+    sliced back to the request size. Single-program artifacts have
+    ``buckets = None``.
     """
     with open(path, "rb") as f:
-        exported = _jexport.deserialize(f.read())
+        raw = f.read()
+
+    if raw.startswith(_BUCKET_MAGIC):
+        off = len(_BUCKET_MAGIC)
+        (hlen,) = struct.unpack(">I", raw[off:off + 4])
+        off += 4
+        header = json.loads(raw[off:off + hlen].decode())
+        off += hlen
+        batches, fns, avals = header["batches"], [], []
+        for blen in header["lengths"]:
+            exported = _jexport.deserialize(raw[off:off + blen])
+            off += blen
+            fns.append(jax.jit(exported.call))
+            avals.append(exported.in_avals[0])
+        largest = batches[-1]
+
+        def serve(images):
+            b = int(images.shape[0])
+            if b <= largest:
+                for cap, fn in zip(batches, fns):
+                    if b <= cap:
+                        if b < cap:
+                            pad = jnp.zeros(
+                                (cap - b,) + tuple(images.shape[1:]),
+                                images.dtype,
+                            )
+                            images = jnp.concatenate(
+                                [jnp.asarray(images), pad]
+                            )
+                        return fn(images)[:b]
+            out = [
+                serve(images[i:i + largest])
+                for i in range(0, b, largest)
+            ]
+            return jnp.concatenate(out)
+
+        serve.input_spec = avals[-1]
+        serve.dynamic_batch = False
+        serve.buckets = list(batches)
+        return serve
+
+    exported = _jexport.deserialize(raw)
     jitted = jax.jit(exported.call)
 
     def serve(images):
@@ -155,6 +247,7 @@ def load_exported(path: str):
     serve.dynamic_batch = not isinstance(
         exported.in_avals[0].shape[0], int
     )
+    serve.buckets = None
     return serve
 
 
@@ -173,8 +266,10 @@ def main(argv=None) -> None:
     p.add_argument("--model", default="vit_base_patch16_224")
     p.add_argument("--schedule", default=None, help="pruning schedule JSON")
     p.add_argument("--batch", default="256",
-                   help="fixed batch size, or 'dynamic' for a "
-                        "batch-polymorphic artifact (xla kernels only)")
+                   help="fixed batch size; 'dynamic' for a batch-"
+                        "polymorphic artifact (xla kernels only); or a "
+                        "comma list '8,32,256' for a multi-bucket artifact "
+                        "(requests pad to the smallest sufficient bucket)")
     p.add_argument("--dtype", default="bfloat16",
                    choices=["bfloat16", "float32"])
     p.add_argument("--quantize", action="store_true",
@@ -208,7 +303,12 @@ def main(argv=None) -> None:
     schedule = (
         load_schedule(args.schedule, config.depth) if args.schedule else None
     )
-    batch = args.batch if args.batch == "dynamic" else int(args.batch)
+    if args.batch == "dynamic":
+        batch: int | str | list = args.batch
+    elif "," in args.batch:
+        batch = [int(x) for x in args.batch.split(",") if x]
+    else:
+        batch = int(args.batch)
     export_model(args.output, params, config, schedule, batch, dtype,
                  args.kernels, args.platform, act_scales=act_scales)
     import os

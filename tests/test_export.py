@@ -206,3 +206,61 @@ def test_export_with_static_act_scales(tmp_path, rng):
         )
     )
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_export_multi_bucket_round_trip(tmp_path, rng):
+    """batch=[2,4,8]: every request size runs — exact-bucket, padded,
+    and chunked — and matches the live forward on the real rows."""
+    params = init_params(jax.random.key(7), CFG, jnp.float32)
+    path = str(tmp_path / "buckets.rajni")
+    export_model(path, params, CFG, SCHED, batch=[8, 2, 4],
+                 dtype=jnp.float32, platform="cpu")
+
+    serve = load_exported(path)
+    assert serve.buckets == [2, 4, 8]  # sorted + deduped
+    assert serve.dynamic_batch is False
+    assert serve.input_spec.shape[0] == 8  # largest bucket
+
+    norm = normalize_schedule(SCHED, CFG.depth)
+    for b in (1, 2, 3, 4, 7, 8, 11):  # pad, exact, and chunk (11 = 8+3)
+        x = jnp.asarray(rng.standard_normal((b, 16, 16, 3)), jnp.float32)
+        got = np.asarray(serve(x))
+        assert got.shape == (b, CFG.num_classes), b
+        want = np.asarray(vit_forward(params, x, CFG, norm))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6,
+                                   err_msg=f"batch {b}")
+
+
+def test_export_single_artifact_has_no_buckets(tmp_path):
+    params = init_params(jax.random.key(8), CFG, jnp.float32)
+    path = str(tmp_path / "single.rajni")
+    export_model(path, params, CFG, None, batch=2, dtype=jnp.float32,
+                 platform="cpu")
+    serve = load_exported(path)
+    assert serve.buckets is None
+
+
+def test_export_multi_bucket_validation(tmp_path):
+    import pytest
+
+    params = init_params(jax.random.key(9), CFG, jnp.float32)
+    with pytest.raises(ValueError, match="positive"):
+        export_model(str(tmp_path / "x.rajni"), params, CFG, None,
+                     batch=[0, 4], dtype=jnp.float32, platform="cpu")
+
+
+def test_export_cli_bucket_list(tmp_path, capsys):
+    """--batch 2,4 on the CLI produces a bucket artifact."""
+    from rajni_tpu.export import main
+    from rajni_tpu.models.vit import get_config
+    from rajni_tpu.params.io import save_params
+
+    cfg = get_config("vit_tiny_patch16_64")  # grammar-parsed, 17 tokens
+    params = init_params(jax.random.key(10), cfg, jnp.float32)
+    ckpt = str(tmp_path / "p.msgpack")
+    save_params(ckpt, params)
+    out = str(tmp_path / "m.rajni")
+    main([ckpt, out, "--model", "vit_tiny_patch16_64", "--batch", "2,4",
+          "--dtype", "float32", "--kernels", "xla", "--platform", "cpu"])
+    assert "exported" in capsys.readouterr().out
+    assert load_exported(out).buckets == [2, 4]
