@@ -312,8 +312,10 @@ def main(argv=None):
                         "(rajni_tpu.parallel.pipeline); the leftover "
                         "devices form the `data` axis")
     p.add_argument("--tensor_parallel", type=int, default=1, metavar="N",
-                   help="With --pipeline_parallel: Megatron TP inside each "
-                        "stage — 3-D (data, pipe, model) mesh")
+                   help="Megatron TP over a (data, model) mesh (leftover "
+                        "devices form the data axis — DP implied); with "
+                        "--pipeline_parallel it moves inside each stage "
+                        "(3-D (data, pipe, model) mesh)")
     p.add_argument("--microbatch", type=int, default=None, metavar="M",
                    help="With --pipeline_parallel: in-flight GPipe "
                         "microbatches (default 2*pipe)")
@@ -325,20 +327,21 @@ def main(argv=None):
             "--distributed shards data over hosts (DCN) — PP across DCN "
             "is not supported"
         )
-    if args.tensor_parallel > 1 and args.pipeline_parallel <= 1:
+    if args.tensor_parallel > 1 and args.distributed:
         raise ValueError(
-            "--tensor_parallel on the train CLI requires "
-            "--pipeline_parallel (TP-only training is a library-level "
-            "composition — see docs/PARALLELISM.md)"
+            "--tensor_parallel shards over ICI within one controller; "
+            "--distributed shards data over hosts (DCN) — compose TP with "
+            "DP on the in-host mesh instead"
         )
     if args.eval_every and not args.eval_data:
         raise ValueError("--eval_every requires --eval_data")
-    if args.eval_data and (args.distributed or args.pipeline_parallel > 1):
+    if args.eval_data and (args.distributed or args.pipeline_parallel > 1
+                           or args.tensor_parallel > 1):
         raise ValueError(
             "--eval_data composes with plain single-controller training "
-            "only; for distributed/pipeline runs evaluate saved checkpoints "
-            "with python -m rajni_tpu.run (--distributed / "
-            "--pipeline_parallel)"
+            "only (the in-training eval forward reads the canonical param "
+            "layout); for distributed/pipeline/TP runs evaluate saved "
+            "checkpoints with python -m rajni_tpu.run"
         )
 
     mesh = None
@@ -378,6 +381,7 @@ def main(argv=None):
     )
 
     pp_mesh = None
+    tp_mesh = None
     if args.pipeline_parallel > 1:
         from .parallel.pipeline import (
             make_pipe_mesh,
@@ -415,6 +419,30 @@ def main(argv=None):
         print(f"Pipeline training: mesh {dict(pp_mesh.shape)}, "
               f"M={n_micro} microbatches "
               f"(utilization {n_micro / (n_micro + args.pipeline_parallel - 1):.2f})")
+    elif args.tensor_parallel > 1:
+        # DP x Megatron TP over a (data, model) mesh (the library recipe in
+        # docs/PARALLELISM.md, now CLI-wired): shard_params head-aligns the
+        # QKV and places every weight; the optimizer state initialized from
+        # the SHARDED tree inherits the shardings, gradients follow them,
+        # and XLA inserts the Megatron psums (audited in tests/test_parallel)
+        from .parallel.mesh import batch_sharding, make_mesh, shard_params
+
+        tp_mesh = make_mesh(model=args.tensor_parallel)
+        if args.batch_size % tp_mesh.shape["data"]:
+            raise ValueError(
+                f"--batch_size {args.batch_size} must be a multiple of the "
+                f"data axis ({tp_mesh.shape['data']}) — the train step does "
+                "no padding"
+            )
+        sharded = shard_params(params, tp_mesh)
+        del params
+        state = TrainState(sharded, tx.init(sharded),
+                           jnp.zeros((), jnp.int32))
+        step_fn = jax.jit(make_train_step(config, schedule, tx),
+                          donate_argnums=(0,))
+        tp_batch_sharding = batch_sharding(tp_mesh)
+        print(f"TP training: mesh {dict(tp_mesh.shape)} "
+              f"(data-parallel batch x Megatron tensor parallelism)")
     else:
         state = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
         step_fn = jax.jit(make_train_step(config, schedule, tx),
@@ -559,6 +587,14 @@ def main(argv=None):
                 (np.asarray(im), np.asarray(lb).astype(np.int32)), mesh
             )
             state, metrics = step_fn(state, im, lb)
+        elif tp_mesh is not None:
+            # place the batch over the data axis in the untimed host loop
+            # (leading-dim sharding fits images [B,H,W,3] and labels [B])
+            state, metrics = step_fn(
+                state,
+                jax.device_put(jnp.asarray(im), tp_batch_sharding),
+                jax.device_put(jnp.asarray(lb), tp_batch_sharding),
+            )
         else:
             state, metrics = step_fn(state, jnp.asarray(im), jnp.asarray(lb))
         if step % args.log_every == 0 or step == args.steps:
@@ -595,6 +631,12 @@ def main(argv=None):
                 from .parallel.mesh import unrepack_qkv_heads
 
                 out_params = unrepack_qkv_heads(out_params)
+        elif tp_mesh is not None:
+            # gather the model-axis shards and undo the head-aligned QKV
+            # repack so the checkpoint is the canonical single-device layout
+            from .parallel.mesh import unrepack_qkv_heads
+
+            out_params = unrepack_qkv_heads(jax.device_get(out_params))
         # params are fully replicated — one copy on disk is the checkpoint
         save_params(args.output, out_params)
         print(f"saved fine-tuned params -> {args.output}")

@@ -157,8 +157,8 @@ def test_train_cli_pipeline_flag_validation(tmp_path):
             "--schedule", str(sched), "--steps", "1"]
     with pytest.raises(ValueError, match="not supported"):
         main(base + ["--distributed", "--pipeline_parallel", "2"])
-    with pytest.raises(ValueError, match="requires"):
-        main(base + ["--tensor_parallel", "2"])
+    with pytest.raises(ValueError, match="ICI"):
+        main(base + ["--tensor_parallel", "2", "--distributed"])
     with pytest.raises(ValueError, match="multiple of"):
         main(base + ["--pipeline_parallel", "2", "--batch_size", "6"])
 
@@ -537,3 +537,70 @@ def test_train_cli_resume_seeds_best_from_disk(tmp_path, capsys):
     assert (tmp_path / "ft.msgpack.best").exists()
     main(base + ["--steps", "2", "--resume", str(st)])
     assert "seeded best val_top1" in capsys.readouterr().out
+
+
+def test_train_cli_tensor_parallel(tmp_path, capsys):
+    """TP-only training on the CLI: (data, model) mesh over the 8-device
+    CPU mesh; the loss trajectory matches the plain single-jit run
+    (tolerance — psum reduction order) and the saved checkpoint comes back
+    canonical (un-repacked QKV) and loads into the plain eval forward."""
+    import json as _json
+    import re
+
+    from rajni_tpu.models.vit import get_config, vit_forward
+    from rajni_tpu.params.io import load_params
+    from rajni_tpu.train import main
+
+    sched = tmp_path / "s.json"
+    sched.write_text(_json.dumps({"1": {"keep_ratio": 0.6}}))
+    # deit_small: 6 heads / 1536 hidden — model=2 divides both
+    base = ["--synthetic", "--model", "deit_small_patch16_64",
+            "--schedule", str(sched), "--steps", "2", "--batch_size", "8",
+            "--log_every", "1", "--lr", "1e-3"]
+
+    def losses(text):
+        return [float(m) for m in re.findall(r"loss (\d+\.\d+)", text)]
+
+    out_plain = tmp_path / "plain.msgpack"
+    main(base + ["--output", str(out_plain)])
+    plain = losses(capsys.readouterr().out)
+
+    out_tp = tmp_path / "tp.msgpack"
+    state = main(base + ["--output", str(out_tp), "--tensor_parallel", "2"])
+    printed = capsys.readouterr().out
+    assert "TP training" in printed
+    tp = losses(printed)
+    assert int(state.step) == 2
+
+    assert len(plain) == len(tp) == 2
+    for a, b in zip(plain, tp):
+        assert abs(a - b) < 5e-3 * max(1.0, abs(a)), (plain, tp)
+
+    p = load_params(str(out_tp))
+    assert p["blocks"][0]["attn"]["qkv"]["kernel"].ndim == 2  # canonical
+    cfg = get_config("deit_small_patch16_64")
+    logits = vit_forward(
+        p, jnp.zeros((1, 64, 64, 3), jnp.float32), cfg, None
+    )
+    assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_train_cli_tensor_parallel_resume(tmp_path):
+    """Resume restores onto the TP-sharded template (committed NamedSharding
+    leaves place back onto the (data, model) mesh)."""
+    import json as _json
+
+    from rajni_tpu.train import main
+
+    sched = tmp_path / "s.json"
+    sched.write_text(_json.dumps({"1": {"keep_ratio": 0.6}}))
+    base = ["--synthetic", "--model", "deit_small_patch16_64",
+            "--schedule", str(sched), "--batch_size", "8",
+            "--log_every", "1", "--tensor_parallel", "2",
+            "--output", str(tmp_path / "tp.msgpack")]
+
+    st = tmp_path / "tp.state"
+    main(base + ["--steps", "1", "--save_state_every", "1",
+                 "--state_path", str(st)])
+    state = main(base + ["--steps", "2", "--resume", str(st)])
+    assert int(jax.device_get(state.step)) == 2
