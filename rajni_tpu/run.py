@@ -76,6 +76,15 @@ def get_args(argv=None):
                         help="Params checkpoint: native msgpack/orbax, or a "
                              "raw torch .pth/.pt (timm state_dict, converted "
                              "on the fly incl. pos-embed resampling)")
+    parser.add_argument("--artifact", type=str, default=None, metavar="FILE",
+                        help="Evaluate an exported .rajni serving artifact "
+                             "(rajni_tpu.export) with the full harness — "
+                             "same accounting as a live model. Weights, "
+                             "schedule, kernels, and dtype are baked into "
+                             "the artifact, so --checkpoint/--schedule/"
+                             "--quantize/--kernels/parallelism flags are "
+                             "rejected; batch size follows the artifact "
+                             "(fixed artifacts pad the ragged final batch)")
     parser.add_argument("--synthetic", type=int, default=None, metavar="N",
                         help="Use N synthetic batches instead of --data_path")
     parser.add_argument("--data_parallel", action="store_true",
@@ -265,6 +274,88 @@ def make_model_fn(params, config, schedule, data_parallel=False,
     )
 
 
+def _eval_artifact(args, device):
+    """Evaluate an exported serving artifact with the reference harness.
+
+    Closes the deploy loop: the exact program a server will run
+    (``rajni_tpu.export`` StableHLO, weights/schedule/kernels baked) gets
+    the same top-1/throughput accounting as a live model. Fixed-batch
+    artifacts drive the loader at their baked batch and pad the ragged
+    final batch on device (logits sliced back — accounting unchanged);
+    bucket/dynamic artifacts take ``--batch_size`` as-is.
+    """
+    from .export import load_exported
+
+    rejected = {
+        "--checkpoint": args.checkpoint,
+        "--schedule": args.schedule,
+        "--quantize": args.quantize,
+        "--calibrate": args.calibrate,
+        "--load_scales": args.load_scales,
+        "--save_scales": args.save_scales,
+        "--compare_base": args.compare_base,
+        "--data_parallel": args.data_parallel,
+        "--distributed": args.distributed,
+        "--tensor_parallel": args.tensor_parallel > 1,
+        "--pipeline_parallel": args.pipeline_parallel > 1,
+    }
+    bad = [k for k, v in rejected.items() if v]
+    if bad:
+        raise ValueError(
+            f"--artifact evaluates a baked program; {', '.join(bad)} "
+            "cannot apply — set them at export time (rajni_tpu.export)"
+        )
+    if args.preprocess != "host":
+        raise ValueError(
+            "--artifact expects normalized float inputs (the exported "
+            "program starts at the model); use --preprocess host"
+        )
+
+    serve = load_exported(args.artifact)
+    img_size = int(serve.input_spec.shape[1])
+    in_dtype = serve.input_spec.dtype
+    fixed = not serve.dynamic_batch and not serve.buckets
+    batch = int(serve.input_spec.shape[0]) if fixed else args.batch_size
+    kind = ("fixed" if fixed
+            else f"buckets {serve.buckets}" if serve.buckets else "dynamic")
+    print(f"\nArtifact {args.artifact}: {img_size}px, batch {kind}, "
+          f"{jnp.dtype(in_dtype).name}")
+    if fixed and batch != args.batch_size:
+        print(f"NOTE: loader batch follows the artifact ({batch}), "
+              f"not --batch_size ({args.batch_size})")
+
+    if args.synthetic is not None:
+        loader = SyntheticLoader(
+            num_batches=args.synthetic, batch_size=batch,
+            img_size=img_size, seed=args.seed,
+        )
+        print(f"Using {args.synthetic} synthetic batches of {batch} "
+              "(accuracy not meaningful)")
+    else:
+        if args.data_path is None:
+            raise ValueError("provide --data_path or --synthetic N")
+        dataset = ImageFolder(args.data_path, img_size=img_size)
+        loader = DataLoader(dataset, batch_size=batch,
+                            num_workers=args.num_workers)
+        print(f"Loaded validation set: {len(dataset)} images, "
+              f"{len(dataset.classes)} classes")
+
+    def fn(x):
+        x = jnp.asarray(x, in_dtype)
+        if fixed and x.shape[0] != batch:
+            pad = jnp.zeros((batch - x.shape[0],) + tuple(x.shape[1:]),
+                            x.dtype)
+            return serve(jnp.concatenate([x, pad]))[: x.shape[0]]
+        return serve(x)
+
+    acc, throughput = evaluate_model(
+        fn, loader, device=device,
+        warmup=args.warmup, max_batches=args.max_batches,
+    )
+    print(f"\nArtifact model: top-1 {acc:.3f}% | {throughput:.1f} img/s")
+    return acc, throughput
+
+
 def main(argv=None):
     args = get_args(argv)
 
@@ -322,6 +413,9 @@ def main(argv=None):
     else:
         device = jax.devices()[0]
     print(f"\nJAX devices: {jax.devices()} (using {device})")
+
+    if args.artifact:
+        return _eval_artifact(args, device)
 
     # --kernels auto must honor the *target* device, not the default
     # backend: on a TPU host, --device cpu would otherwise resolve to

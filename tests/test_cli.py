@@ -318,3 +318,75 @@ def test_main_parallel_flag_validation(tmp_path):
     with pytest.raises(ValueError, match="device-full"):
         main(base + ["--preprocess", "device-full",
                      "--pipeline_parallel", "2"])
+
+
+def test_main_artifact_eval(tmp_path, capsys):
+    """--artifact: the exported serving program gets the full harness —
+    real ImageFolder, ragged final batch padded on device, same accounting.
+    The artifact numbers must match evaluating the SAME params live."""
+    import numpy as np
+    from PIL import Image
+
+    import jax
+    import jax.numpy as jnp
+
+    from rajni_tpu.export import export_model
+    from rajni_tpu.models.vit import get_config, init_params
+    from rajni_tpu.params.io import save_params
+    from rajni_tpu.run import main
+
+    data = tmp_path / "data"
+    rng = np.random.default_rng(3)
+    for cls in ("a", "b"):
+        d = data / cls
+        d.mkdir(parents=True)
+        for i in range(2):
+            arr = rng.integers(0, 256, (90, 80, 3), dtype=np.uint8)
+            Image.fromarray(arr, "RGB").save(d / f"{i}.png")
+
+    cfg = get_config("vit_tiny_patch16_64")
+    params = init_params(jax.random.key(0), cfg, jnp.float32)
+    sched = {3: {"keep_ratio": 0.7}}
+    art = tmp_path / "m.rajni"
+    export_model(str(art), params, cfg, sched, batch=3,  # 4 imgs -> pad path
+                 dtype=jnp.float32, platform="cpu")
+
+    acc_art, _ = main(["--artifact", str(art), "--data_path", str(data),
+                       "--warmup", "1", "--preprocess", "host"])
+    printed = capsys.readouterr().out
+    assert "Artifact model: top-1" in printed
+    assert "loader batch follows the artifact (3)" in printed
+
+    # live evaluation of the same params/schedule for the accuracy anchor
+    import json as _json
+
+    ckpt = tmp_path / "p.msgpack"
+    save_params(str(ckpt), params)
+    sj = tmp_path / "s.json"
+    sj.write_text(_json.dumps({"3": {"keep_ratio": 0.7}}))
+    main(["--data_path", str(data), "--checkpoint", str(ckpt),
+          "--model", "vit_tiny_patch16_64", "--schedule", str(sj),
+          "--dtype", "float32", "--kernels", "xla", "--warmup", "1",
+          "--batch_size", "3"])
+    live = capsys.readouterr().out
+    import re
+
+    live_acc = float(
+        re.search(r"RAJNI - Accuracy: (\d+\.\d+)%", live).group(1)
+    )
+    assert abs(acc_art - live_acc) < 1e-6
+
+
+def test_main_artifact_flag_rejections(tmp_path):
+    import pytest
+
+    from rajni_tpu.run import main
+
+    art = tmp_path / "x.rajni"
+    art.write_bytes(b"not read before validation")
+    with pytest.raises(ValueError, match="baked program"):
+        main(["--artifact", str(art), "--schedule", "s.json",
+              "--synthetic", "1"])
+    with pytest.raises(ValueError, match="normalized float"):
+        main(["--artifact", str(art), "--synthetic", "1",
+              "--preprocess", "device"])
