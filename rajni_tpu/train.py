@@ -104,7 +104,9 @@ def build_optimizer(
     return tx
 
 
-def save_train_state(path: str, state: TrainState) -> None:
+def save_train_state(
+    path: str, state: TrainState, backend: str = "msgpack"
+) -> None:
     """Atomically persist the FULL train state — params, optimizer moments,
     step counter — for crash-safe mid-training checkpoints.
 
@@ -117,7 +119,21 @@ def save_train_state(path: str, state: TrainState) -> None:
 
     Written as ``path + ".tmp"`` then ``os.replace``d so a crash mid-write
     never corrupts the previous good checkpoint.
+
+    ``backend="orbax"`` writes an Orbax checkpoint DIRECTORY instead:
+    sharded arrays stream per-array instead of staging the whole tree
+    through one host buffer — required for over-HBM pipeline states, whose
+    params + two Adam moments can exceed host memory as a single msgpack
+    blob. (Orbax's atomicity is its own finalize step.)
     """
+    if backend == "orbax":
+        import orbax.checkpoint as ocp
+
+        with ocp.StandardCheckpointer() as ckptr:
+            ckptr.save(os.path.abspath(path), state, force=True)
+        return
+    if backend != "msgpack":
+        raise ValueError(f"unknown train-state backend {backend!r}")
     from flax import serialization
 
     host = jax.device_get(state)
@@ -143,7 +159,31 @@ def load_train_state(path: str, template: TrainState) -> TrainState:
       ValueError: when a restored leaf's shape disagrees with the template —
         the usual cause is resuming with different model/schedule/parallelism
         flags than the run that saved the state.
+
+    Directories (Orbax saves, ``backend="orbax"``) are auto-detected;
+    Orbax restores sharded leaves straight to their template placements,
+    never staging the full tree on one host.
     """
+    if os.path.isdir(path):
+        import orbax.checkpoint as ocp
+
+        with ocp.StandardCheckpointer() as ckptr:
+            abstract = jax.tree_util.tree_map(
+                lambda t: (
+                    jax.ShapeDtypeStruct(t.shape, t.dtype, sharding=t.sharding)
+                    if isinstance(t, jax.Array) else t
+                ),
+                template,
+            )
+            restored = ckptr.restore(os.path.abspath(path), abstract)
+
+        def _uncommit(t, x):
+            # mirror the msgpack path's committedness semantics (see below)
+            if isinstance(t, jax.Array) and not getattr(t, "committed", False):
+                return jnp.asarray(np.asarray(x), t.dtype)
+            return x
+
+        return jax.tree_util.tree_map(_uncommit, template, restored)
     from flax import serialization
 
     with open(path, "rb") as f:
@@ -286,6 +326,12 @@ def main(argv=None):
     p.add_argument("--state_path", type=str, default=None,
                    help="Train-state file for --save_state_every/--resume "
                         "(default: <output>.state)")
+    p.add_argument("--state_backend", type=str, default="msgpack",
+                   choices=["msgpack", "orbax"],
+                   help="orbax: per-array streaming checkpoint DIRECTORY — "
+                        "use for over-HBM (pipeline-sharded) states whose "
+                        "tree would not fit host memory as one msgpack "
+                        "blob; --resume auto-detects either")
     p.add_argument("--resume", type=str, default=None, metavar="STATE",
                    help="Resume from a train state saved by "
                         "--save_state_every. Requires the same model/"
@@ -605,7 +651,7 @@ def main(argv=None):
         ) and (not args.distributed or jax.process_index() == 0):
             # replicated/single-controller state is fully addressable, so
             # process 0's device_get sees the whole tree
-            save_train_state(state_path, state)
+            save_train_state(state_path, state, backend=args.state_backend)
         if run_eval is not None and args.eval_every and (
             step % args.eval_every == 0
         ):
