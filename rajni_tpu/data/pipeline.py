@@ -238,8 +238,7 @@ class DataLoader:
     def __len__(self) -> int:
         return -(-len(self.dataset) // self.batch_size)
 
-    def _load_batch(self, indices: Sequence[int]):
-        out = [self.dataset.load(i) for i in indices]
+    def _assemble(self, out):
         labels = np.array([o[1] for o in out], np.int64)
         if isinstance(out[0][0], tuple):  # canvas mode: (canvas, (h, w))
             images = (
@@ -258,22 +257,32 @@ class DataLoader:
         ]
         if self.num_workers <= 1:
             for b in batches:
-                yield self._load_batch(b)
+                yield self._assemble([self.dataset.load(i) for i in b])
             return
-        # Bounded look-ahead: submit `prefetch` batches ahead of consumption.
+        # Bounded look-ahead, PER-IMAGE parallelism: submit every image of
+        # the next `prefetch+1` batches as its own pool task. Per-batch
+        # granularity (one thread decoding a whole batch serially) caps
+        # throughput at single-thread decode speed regardless of
+        # num_workers; per-image tasks keep all workers busy — decode and
+        # the native resampler both release the GIL. Futures preserve
+        # submission order, so batches assemble in dataset order.
         with concurrent.futures.ThreadPoolExecutor(self.num_workers) as pool:
             pending = []
             it = iter(batches)
+
+            def submit(b):
+                return [pool.submit(self.dataset.load, i) for i in b]
+
             for _ in range(self.prefetch + 1):
                 b = next(it, None)
                 if b is not None:
-                    pending.append(pool.submit(self._load_batch, b))
+                    pending.append(submit(b))
             while pending:
-                fut = pending.pop(0)
+                futs = pending.pop(0)
                 b = next(it, None)
                 if b is not None:
-                    pending.append(pool.submit(self._load_batch, b))
-                yield fut.result()
+                    pending.append(submit(b))
+                yield self._assemble([f.result() for f in futs])
 
 
 class SyntheticLoader:

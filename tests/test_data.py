@@ -111,3 +111,15 @@ def test_resize_long_side_truncates_like_torchvision(rng):
     want = want.crop((left, top, left + 224, top + 224))
     want = (np.asarray(want, np.float32) / 255.0 - IMAGENET_MEAN) / IMAGENET_STD
     np.testing.assert_array_equal(got, want)
+
+
+def test_dataloader_parallel_matches_serial(folder):
+    """Per-image pool tasks must preserve dataset order exactly: the
+    parallel loader's batches are byte-identical to the serial path."""
+    ds = ImageFolder(folder)
+    serial = list(DataLoader(ds, batch_size=4, num_workers=1))
+    para = list(DataLoader(ds, batch_size=4, num_workers=4))
+    assert len(serial) == len(para)
+    for (si, sl), (pi, pl) in zip(serial, para):
+        np.testing.assert_array_equal(si, pi)
+        np.testing.assert_array_equal(sl, pl)
