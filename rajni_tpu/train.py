@@ -341,6 +341,9 @@ def main(argv=None):
                         "With --distributed the file must be readable on "
                         "every host.")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--profile", type=str, default=None, metavar="DIR",
+                   help="Capture a jax.profiler trace of the training loop "
+                        "(same surface as the eval CLI's --profile)")
     p.add_argument("--distributed", action="store_true",
                    help="Multi-HOST data-parallel training: join the JAX "
                         "multi-controller runtime; each process feeds its "
@@ -622,6 +625,13 @@ def main(argv=None):
                 _save_params(f"{args.output}.best", state.params)
                 print(f"new best ({acc:.2f}%) -> {args.output}.best")
 
+    if args.profile:
+        # start/stop (not the context manager) so the long loop body keeps
+        # its indentation; stopped right after the loop, before the final
+        # checkpoint IO, so the trace covers compute only
+        jax.profiler.start_trace(args.profile)
+        print(f"Profiling to {args.profile}")
+
     state_path = args.state_path or f"{args.output}.state"
     last_eval = None
     for step in range(start_step + 1, args.steps + 1):
@@ -657,6 +667,9 @@ def main(argv=None):
         ):
             run_eval(step)
             last_eval = step
+
+    if args.profile:
+        jax.profiler.stop_trace()
 
     if run_eval is not None and last_eval != args.steps:
         run_eval(args.steps)
