@@ -14,6 +14,14 @@ compiled XLA program. Token pruning composes — per-stage token counts are
 compile-time constants of the schedule.
 """
 
+import os
+import sys
+
+# allow running straight from a checkout: python examples/pipeline_inference.py
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
 import numpy as np
 
 import jax

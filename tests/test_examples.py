@@ -1,0 +1,75 @@
+"""Smoke tests for the examples/ scripts — run each as a real subprocess
+(hermetic CPU env) so the documented entry points cannot rot."""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _env(extra=None):
+    env = dict(
+        os.environ,
+        JAX_PLATFORMS="cpu",
+        PALLAS_AXON_POOL_IPS="",  # hermetic: never init the tunnel plugin
+        XLA_FLAGS="--xla_force_host_platform_device_count=8",
+    )
+    env.update(extra or {})
+    return env
+
+
+def _imgs(tmp_path, n=2, px=100):
+    from PIL import Image
+
+    rng = np.random.default_rng(0)
+    paths = []
+    for i in range(n):
+        p = tmp_path / f"img{i}.png"
+        Image.fromarray(
+            rng.integers(0, 256, (px, px, 3), dtype=np.uint8), "RGB"
+        ).save(p)
+        paths.append(str(p))
+    return paths
+
+
+def test_example_classify(tmp_path):
+    import json
+
+    sched = tmp_path / "s.json"
+    sched.write_text(json.dumps({"3": {"keep_ratio": 0.9}}))
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "examples", "classify.py"),
+         "--model", "vit_tiny_patch16_64", "--schedule", str(sched)]
+        + _imgs(tmp_path),
+        capture_output=True, text=True, env=_env(), cwd=REPO, timeout=560,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "img0.png" in out.stdout
+
+
+def test_example_pipeline_inference():
+    out = subprocess.run(
+        [sys.executable,
+         os.path.join(REPO, "examples", "pipeline_inference.py")],
+        capture_output=True, text=True, env=_env(), cwd=REPO, timeout=560,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "mesh" in out.stdout
+
+
+def test_example_serve_demo(tmp_path):
+    art = tmp_path / "demo.rajni"
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "examples", "serve.py"),
+         str(art), "--demo"] + _imgs(tmp_path),
+        capture_output=True, text=True, env=_env(), cwd=REPO, timeout=560,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert art.exists()
+    assert "top-5 classes" in out.stdout
