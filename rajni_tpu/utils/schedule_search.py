@@ -132,8 +132,11 @@ def main(argv=None) -> None:
 
     p = argparse.ArgumentParser("RAJNI schedule designer")
     p.add_argument("--model", default="vit_base_patch16_224")
-    p.add_argument("--target", type=float, required=True,
+    p.add_argument("--target", type=float, default=None,
                    help="desired token-work speedup, e.g. 1.3")
+    p.add_argument("--sweep", action="store_true",
+                   help="print the keep_ratio -> analytic-speedup table "
+                        "for the block span instead of solving one target")
     p.add_argument("--blocks", type=str, default=None, metavar="A-B",
                    help="inclusive block range allowed to prune "
                         "(default: depth//4 .. 2*depth//3-1)")
@@ -150,6 +153,23 @@ def main(argv=None) -> None:
     if args.blocks:
         a, _, b = args.blocks.partition("-")
         blocks = range(int(a), int(b or a) + 1)
+
+    if args.sweep:
+        span = (sorted(blocks) if blocks
+                else list(range(config.depth // 4, (2 * config.depth) // 3)))
+        print(f"model {args.model}, blocks {span}: "
+              "uniform keep_ratio -> analytic speedup (fused-path ceiling)")
+        for r100 in range(100, int(args.min_ratio * 100) - 1, -5):
+            r = r100 / 100.0
+            sched = {b: {"keep_ratio": r} for b in span}
+            norm = normalize_schedule(sched, config.depth)
+            s = predict_speedup(config, sched)
+            print(f"  {r:4.2f}  {s:6.3f}x  "
+                  f"trace {token_count_trace(config.num_tokens, norm)}")
+        return
+    if args.target is None:
+        raise SystemExit("provide --target SPEEDUP (or --sweep)")
+
     schedule, info = propose_schedule(
         config, args.target, blocks=blocks, min_ratio=args.min_ratio,
         update=not args.no_update,

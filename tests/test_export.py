@@ -264,3 +264,22 @@ def test_export_cli_bucket_list(tmp_path, capsys):
           "--dtype", "float32", "--kernels", "xla", "--platform", "cpu"])
     assert "exported" in capsys.readouterr().out
     assert load_exported(out).buckets == [2, 4]
+
+
+def test_export_multi_bucket_int8(tmp_path, rng):
+    """Buckets compose with int8-quantized params (xla route on CPU —
+    dynamic activation scales baked per bucket program)."""
+    from rajni_tpu.quant import quantize_params
+
+    params = quantize_params(init_params(jax.random.key(11), CFG, jnp.float32))
+    path = str(tmp_path / "q.rajni")
+    export_model(path, params, CFG, SCHED, batch=[2, 4],
+                 dtype=jnp.float32, platform="cpu")
+    serve = load_exported(path)
+    x = jnp.asarray(rng.standard_normal((3, 16, 16, 3)), jnp.float32)
+    got = np.asarray(serve(x))
+    assert got.shape == (3, CFG.num_classes)
+    want = np.asarray(vit_forward(
+        params, x, CFG, normalize_schedule(SCHED, CFG.depth)
+    ))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)

@@ -202,3 +202,11 @@ def test_schedule_search_cli_round_trip(tmp_path, capsys):
     sched = load_schedule(str(out), 12)
     pruned = [i for i, s in enumerate(sched) if s is not None]
     assert pruned == list(range(2, 9))
+
+
+def test_schedule_search_cli_sweep(capsys):
+    from rajni_tpu.utils.schedule_search import main
+
+    main(["--model", "vit_base_patch16_224", "--sweep"])
+    out = capsys.readouterr().out
+    assert "1.00" in out and "0.50" in out and "x" in out
