@@ -79,23 +79,44 @@ def export_model(
     """
     schedule = normalize_schedule(schedule, config.depth)
     if isinstance(batch, (list, tuple)):
+        import os
+        import shutil
+        import tempfile
+
         buckets = sorted(set(int(b) for b in batch))
         if not buckets or buckets[0] < 1:
             raise ValueError(f"bucket batches must be positive ints: {batch}")
-        blobs = [
-            _export_bytes(params, config, schedule, b, dtype, impl,
-                          platform, act_scales)
-            for b in buckets
-        ]
-        header = json.dumps(
-            {"batches": buckets, "lengths": [len(x) for x in blobs]}
-        ).encode()
-        with open(path, "wb") as f:
-            f.write(_BUCKET_MAGIC)
-            f.write(struct.pack(">I", len(header)))
-            f.write(header)
-            for blob in blobs:
-                f.write(blob)
+        # lower ONE bucket at a time, spooling each serialized program to a
+        # temp file: every blob embeds the full weights as constants
+        # (GB-scale for large models), so holding all buckets in memory at
+        # once would multiply peak host memory by the bucket count
+        out_dir = os.path.dirname(os.path.abspath(path)) or "."
+        lengths: list[int] = []
+        tmps: list[str] = []
+        try:
+            for b in buckets:
+                blob = _export_bytes(params, config, schedule, b, dtype,
+                                     impl, platform, act_scales)
+                fd, name = tempfile.mkstemp(dir=out_dir, suffix=".bkt")
+                with os.fdopen(fd, "wb") as tf:
+                    tf.write(blob)
+                lengths.append(len(blob))
+                tmps.append(name)
+                del blob
+            header = json.dumps(
+                {"batches": buckets, "lengths": lengths}
+            ).encode()
+            with open(path, "wb") as f:
+                f.write(_BUCKET_MAGIC)
+                f.write(struct.pack(">I", len(header)))
+                f.write(header)
+                for name in tmps:
+                    with open(name, "rb") as g:
+                        shutil.copyfileobj(g, f)
+        finally:
+            for name in tmps:
+                if os.path.exists(name):
+                    os.unlink(name)
         return
     blob = _export_bytes(params, config, schedule, batch, dtype, impl,
                          platform, act_scales)

@@ -298,6 +298,7 @@ def _eval_artifact(args, device):
         "--distributed": args.distributed,
         "--tensor_parallel": args.tensor_parallel > 1,
         "--pipeline_parallel": args.pipeline_parallel > 1,
+        "--kernels": args.kernels != "auto",
     }
     bad = [k for k, v in rejected.items() if v]
     if bad:
@@ -348,10 +349,17 @@ def _eval_artifact(args, device):
             return serve(jnp.concatenate([x, pad]))[: x.shape[0]]
         return serve(x)
 
-    acc, throughput = evaluate_model(
-        fn, loader, device=device,
-        warmup=args.warmup, max_batches=args.max_batches,
-    )
+    import contextlib
+
+    trace_cm = contextlib.nullcontext()
+    if args.profile:
+        trace_cm = jax.profiler.trace(args.profile)
+        print(f"Profiling to {args.profile}")
+    with trace_cm:
+        acc, throughput = evaluate_model(
+            fn, loader, device=device,
+            warmup=args.warmup, max_batches=args.max_batches,
+        )
     print(f"\nArtifact model: top-1 {acc:.3f}% | {throughput:.1f} img/s")
     return acc, throughput
 

@@ -384,6 +384,14 @@ def main(argv=None):
         )
     if args.eval_every and not args.eval_data:
         raise ValueError("--eval_every requires --eval_data")
+    if args.state_backend == "orbax" and args.distributed:
+        raise ValueError(
+            "--state_backend orbax is single-controller: saving multi-host "
+            "(non-fully-addressable) arrays is a collective write, but only "
+            "process 0 saves here — a process-0-only orbax save would "
+            "deadlock the other controllers. Use msgpack (the state is "
+            "replicated; one host's device_get covers it)."
+        )
     if args.eval_data and (args.distributed or args.pipeline_parallel > 1
                            or args.tensor_parallel > 1):
         raise ValueError(
@@ -634,42 +642,47 @@ def main(argv=None):
 
     state_path = args.state_path or f"{args.output}.state"
     last_eval = None
-    for step in range(start_step + 1, args.steps + 1):
-        im, lb = next(batch_iter)
-        if mesh is not None:
-            from .parallel import multihost
+    try:
+        for step in range(start_step + 1, args.steps + 1):
+            im, lb = next(batch_iter)
+            if mesh is not None:
+                from .parallel import multihost
 
-            im, lb = multihost.host_to_global(
-                (np.asarray(im), np.asarray(lb).astype(np.int32)), mesh
-            )
-            state, metrics = step_fn(state, im, lb)
-        elif tp_mesh is not None:
-            # place the batch over the data axis in the untimed host loop
-            # (leading-dim sharding fits images [B,H,W,3] and labels [B])
-            state, metrics = step_fn(
-                state,
-                jax.device_put(jnp.asarray(im), tp_batch_sharding),
-                jax.device_put(jnp.asarray(lb), tp_batch_sharding),
-            )
-        else:
-            state, metrics = step_fn(state, jnp.asarray(im), jnp.asarray(lb))
-        if step % args.log_every == 0 or step == args.steps:
-            print(f"step {step:6d}  loss {float(metrics['loss']):.4f}  "
-                  f"acc {float(metrics['accuracy']):.3f}")
-        if args.save_state_every and (
-            step % args.save_state_every == 0 or step == args.steps
-        ) and (not args.distributed or jax.process_index() == 0):
-            # replicated/single-controller state is fully addressable, so
-            # process 0's device_get sees the whole tree
-            save_train_state(state_path, state, backend=args.state_backend)
-        if run_eval is not None and args.eval_every and (
-            step % args.eval_every == 0
-        ):
-            run_eval(step)
-            last_eval = step
+                im, lb = multihost.host_to_global(
+                    (np.asarray(im), np.asarray(lb).astype(np.int32)), mesh
+                )
+                state, metrics = step_fn(state, im, lb)
+            elif tp_mesh is not None:
+                # place the batch over the data axis in the untimed host loop
+                # (leading-dim sharding fits images [B,H,W,3] and labels [B])
+                state, metrics = step_fn(
+                    state,
+                    jax.device_put(jnp.asarray(im), tp_batch_sharding),
+                    jax.device_put(jnp.asarray(lb), tp_batch_sharding),
+                )
+            else:
+                state, metrics = step_fn(state, jnp.asarray(im), jnp.asarray(lb))
+            if step % args.log_every == 0 or step == args.steps:
+                print(f"step {step:6d}  loss {float(metrics['loss']):.4f}  "
+                      f"acc {float(metrics['accuracy']):.3f}")
+            if args.save_state_every and (
+                step % args.save_state_every == 0 or step == args.steps
+            ) and (not args.distributed or jax.process_index() == 0):
+                # replicated/single-controller state is fully addressable, so
+                # process 0's device_get sees the whole tree
+                save_train_state(state_path, state, backend=args.state_backend)
+            if run_eval is not None and args.eval_every and (
+                step % args.eval_every == 0
+            ):
+                run_eval(step)
+                last_eval = step
 
-    if args.profile:
-        jax.profiler.stop_trace()
+
+    finally:
+        if args.profile:
+            # finalize even on a mid-run failure/interrupt — an
+            # unmatched start_trace loses the whole capture
+            jax.profiler.stop_trace()
 
     if run_eval is not None and last_eval != args.steps:
         run_eval(args.steps)

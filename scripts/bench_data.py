@@ -93,8 +93,13 @@ def main() -> None:
                     "img_per_s": round(best, 1),
                     "native": native and tier != "canvas",
                     # worker scaling is meaningless without cores to scale
-                    # onto — record the host so the artifact is honest
+                    # onto — record the host so the artifact is honest;
+                    # px/batch/images join the merge key below so rows
+                    # from different workloads never silently mix
                     "host_cores": os.cpu_count(),
+                    "px": args.px,
+                    "batch": args.batch,
+                    "images": args.images,
                 }
                 rows.append(row)
                 print(json.dumps(row))
@@ -104,9 +109,12 @@ def main() -> None:
         if os.path.exists(args.out):
             with open(args.out) as f:
                 old = json.load(f)
-        keys = {(r["tier"], r["workers"]) for r in rows}
-        merged = [r for r in old
-                  if (r.get("tier"), r.get("workers")) not in keys] + rows
+        def key(r):
+            return (r.get("tier"), r.get("workers"), r.get("px"),
+                    r.get("batch"), r.get("images"))
+
+        keys = {key(r) for r in rows}
+        merged = [r for r in old if key(r) not in keys] + rows
         tmp = args.out + ".tmp"
         with open(tmp, "w") as f:
             json.dump(merged, f, indent=1)

@@ -390,3 +390,15 @@ def test_main_artifact_flag_rejections(tmp_path):
     with pytest.raises(ValueError, match="normalized float"):
         main(["--artifact", str(art), "--synthetic", "1",
               "--preprocess", "device"])
+
+
+def test_main_artifact_rejects_kernels_override(tmp_path):
+    import pytest
+
+    from rajni_tpu.run import main
+
+    art = tmp_path / "x.rajni"
+    art.write_bytes(b"unread")
+    with pytest.raises(ValueError, match="baked program"):
+        main(["--artifact", str(art), "--synthetic", "1",
+              "--kernels", "xla"])

@@ -657,3 +657,18 @@ def test_train_cli_resume_orbax_pipeline(tmp_path):
     assert st.is_dir()
     state = main(base + ["--steps", "2", "--resume", str(st)])
     assert int(jax.device_get(state.step)) == 2
+
+
+def test_train_cli_orbax_distributed_rejected(tmp_path):
+    import json as _json
+
+    import pytest
+
+    from rajni_tpu.train import main
+
+    sched = tmp_path / "s.json"
+    sched.write_text(_json.dumps({"1": {"keep_ratio": 0.6}}))
+    with pytest.raises(ValueError, match="orbax is single-controller"):
+        main(["--synthetic", "--model", "vit_tiny_patch16_64",
+              "--schedule", str(sched), "--steps", "1",
+              "--distributed", "--state_backend", "orbax"])
