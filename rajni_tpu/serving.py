@@ -176,6 +176,22 @@ class BatchingEngine:
     def __exit__(self, *exc):
         self.stop()
 
+    def warmup(self) -> None:
+        """Pre-compile every device program the engine can dispatch (one
+        zeros batch per bucket / the fixed batch / ``max_batch`` for
+        polymorphic callables) so the first real request pays serving
+        latency, not jit-compile latency. Stats are not polluted."""
+        shape = self.image_shape or (224, 224, 3)
+        import jax.numpy as jnp
+
+        dtype = self._in_dtype if self._in_dtype is not None else jnp.float32
+        sizes = (
+            [int(b) for b in getattr(self._serve, "buckets", None) or []]
+            or [self._fixed or self.max_batch]
+        )
+        for b in sizes:
+            np.asarray(self._call(jnp.zeros((b,) + tuple(shape), dtype)))
+
     # -- request path ------------------------------------------------------
     def submit(self, image: np.ndarray) -> Future:
         """Enqueue one image; returns a Future of its ``[num_classes]``
@@ -266,19 +282,26 @@ class BatchingEngine:
 
 # -- HTTP front-end --------------------------------------------------------
 
-def make_server(engine: BatchingEngine, host: str = "127.0.0.1",
+def make_server(engine, host: str = "127.0.0.1",
                 port: int = 8000, top_k: int = 5):
-    """Build (without starting) a ``ThreadingHTTPServer`` over ``engine``.
+    """Build (without starting) a ``ThreadingHTTPServer`` over one
+    :class:`BatchingEngine` or a ``{name: engine}`` registry (multi-model:
+    e.g. a stock, a pruned, and an int8 tier sharing one chip — the
+    engines' device calls interleave naturally).
 
-    Endpoints:
+    Endpoints (``<m>`` = a registry name; omit the ``/models/<m>`` segment
+    to hit the default model — the single engine, or the registry's first):
 
-    * ``POST /v1/classify`` — body is an encoded image (``Content-Type:
-      image/*``; decoded + center-cropped host-side like the eval pipeline)
-      or a raw uint8 ``[H, W, 3]`` crop (``application/octet-stream`` with
-      the artifact's exact byte count). Response:
-      ``{"top_classes": [...], "top_logits": [...], "latency_ms": x}``.
-    * ``GET /healthz`` — liveness.
-    * ``GET /v1/stats`` — :meth:`ServingStats.snapshot`.
+    * ``POST /v1/classify`` | ``/v1/models/<m>/classify`` — body is an
+      encoded image (``Content-Type: image/*``; decoded + center-cropped
+      host-side like the eval pipeline) or a raw uint8 ``[H, W, 3]`` crop
+      (``application/octet-stream`` with the model's exact byte count).
+      Response: ``{"top_classes": [...], "top_logits": [...],
+      "latency_ms": x}``.
+    * ``GET /healthz`` — liveness; ``GET /v1/models`` — registry names.
+    * ``GET /v1/stats`` | ``/v1/models/<m>/stats`` —
+      :meth:`ServingStats.snapshot` (the bare form returns a
+      ``{name: snapshot}`` map when serving multiple models).
 
     Each connection thread blocks on its request's future, so concurrent
     clients coalesce into shared device batches — the server IS the load
@@ -286,10 +309,26 @@ def make_server(engine: BatchingEngine, host: str = "127.0.0.1",
     """
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
-    img_size = engine.image_shape[0] if engine.image_shape else 224
+    engines = (
+        dict(engine) if isinstance(engine, dict) else {"default": engine}
+    )
+    if not engines:
+        raise ValueError("make_server needs at least one engine")
+    default = next(iter(engines))
+    multi = isinstance(engine, dict) and len(engines) > 1
+
+    def resolve(path: str, leaf: str):
+        """``/v1/<leaf>`` → default engine; ``/v1/models/<m>/<leaf>`` →
+        registry lookup. Returns the engine or None."""
+        if path == f"/v1/{leaf}":
+            return engines[default]
+        prefix, suffix = "/v1/models/", f"/{leaf}"
+        if path.startswith(prefix) and path.endswith(suffix):
+            return engines.get(path[len(prefix):-len(suffix)])
+        return None
 
     class Handler(BaseHTTPRequestHandler):
-        # one engine for every connection; stats shared
+        # engines shared across every connection; stats per engine
         def _json(self, code: int, payload: dict) -> None:
             body = json.dumps(payload).encode()
             self.send_response(code)
@@ -301,13 +340,20 @@ def make_server(engine: BatchingEngine, host: str = "127.0.0.1",
         def do_GET(self):  # noqa: N802 — http.server API
             if self.path == "/healthz":
                 self._json(200, {"ok": True})
-            elif self.path == "/v1/stats":
-                self._json(200, engine.stats.snapshot())
+            elif self.path == "/v1/models":
+                self._json(200, {"models": list(engines)})
+            elif self.path == "/v1/stats" and multi:
+                self._json(200, {
+                    n: e.stats.snapshot() for n, e in engines.items()
+                })
+            elif (eng := resolve(self.path, "stats")) is not None:
+                self._json(200, eng.stats.snapshot())
             else:
                 self._json(404, {"error": f"unknown path {self.path}"})
 
         def do_POST(self):  # noqa: N802 — http.server API
-            if self.path != "/v1/classify":
+            eng = resolve(self.path, "classify")
+            if eng is None:
                 self._json(404, {"error": f"unknown path {self.path}"})
                 return
             length = int(self.headers.get("Content-Length", 0))
@@ -315,8 +361,8 @@ def make_server(engine: BatchingEngine, host: str = "127.0.0.1",
             ctype = self.headers.get("Content-Type", "")
             t0 = time.perf_counter()
             try:
-                crop = self._decode(body, ctype)
-                row = engine.submit(crop).result()
+                crop = self._decode(eng, body, ctype)
+                row = eng.submit(crop).result()
             except Exception as e:  # noqa: BLE001 — report to the client
                 self._json(400, {"error": str(e)})
                 return
@@ -327,9 +373,9 @@ def make_server(engine: BatchingEngine, host: str = "127.0.0.1",
                 "latency_ms": (time.perf_counter() - t0) * 1e3,
             })
 
-        def _decode(self, body: bytes, ctype: str) -> np.ndarray:
+        def _decode(self, eng, body: bytes, ctype: str) -> np.ndarray:
+            shape = eng.image_shape or (224, 224, 3)
             if ctype.startswith("application/octet-stream"):
-                shape = engine.image_shape or (img_size, img_size, 3)
                 n = int(np.prod(shape))
                 if len(body) != n:
                     raise ValueError(
@@ -344,7 +390,7 @@ def make_server(engine: BatchingEngine, host: str = "127.0.0.1",
             from .data.pipeline import preprocess_u8
 
             with Image.open(io.BytesIO(body)) as im:
-                return preprocess_u8(im.convert("RGB"), img_size)
+                return preprocess_u8(im.convert("RGB"), shape[0])
 
         def log_message(self, *args):  # quiet per-request stderr lines
             pass
@@ -353,11 +399,23 @@ def make_server(engine: BatchingEngine, host: str = "127.0.0.1",
 
 
 def main(argv=None) -> None:
-    """CLI: ``python -m rajni_tpu.serving model.rajni --port 8000``."""
+    """CLI: ``python -m rajni_tpu.serving model.rajni --port 8000``.
+
+    Several artifacts serve as a multi-model registry from one process
+    (``a.rajni b.rajni --names stock,pruned`` →
+    ``POST /v1/models/pruned/classify``; the first is also the default
+    model at ``/v1/classify``).
+    """
     import argparse
+    import os
 
     p = argparse.ArgumentParser("rajni-tpu dynamic-batching model server")
-    p.add_argument("artifact", help=".rajni export (rajni_tpu.export)")
+    p.add_argument("artifacts", nargs="+", metavar="artifact",
+                   help=".rajni export(s) (rajni_tpu.export); several "
+                        "serve as a multi-model registry")
+    p.add_argument("--names", default=None,
+                   help="comma list naming each artifact in request paths "
+                        "(default: the file stems)")
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8000)
     p.add_argument("--max_delay_ms", type=float, default=5.0,
@@ -367,31 +425,57 @@ def main(argv=None) -> None:
                    help="cap one device call (default: the artifact's "
                         "largest bucket / fixed batch)")
     p.add_argument("--top_k", type=int, default=5)
+    p.add_argument("--no_warmup", action="store_true",
+                   help="skip pre-compiling the device programs at startup "
+                        "(first requests then pay jit-compile latency)")
     args = p.parse_args(argv)
 
     from .export import load_exported
 
-    serve_fn = load_exported(args.artifact)
-    engine = BatchingEngine(
-        serve_fn, max_batch=args.max_batch, max_delay_ms=args.max_delay_ms
+    names = (
+        args.names.split(",") if args.names
+        else [os.path.splitext(os.path.basename(a))[0]
+              for a in args.artifacts]
     )
-    httpd = make_server(engine, args.host, args.port, args.top_k)
-    flavor = (
-        f"buckets {serve_fn.buckets}" if serve_fn.buckets
-        else "dynamic batch" if serve_fn.dynamic_batch
-        else f"fixed batch {serve_fn.input_spec.shape[0]}"
+    if len(names) != len(args.artifacts) or len(set(names)) != len(names):
+        raise ValueError(
+            f"--names needs {len(args.artifacts)} distinct entries, "
+            f"got {names}"
+        )
+    engines: dict[str, BatchingEngine] = {}
+    for name, path in zip(names, args.artifacts):
+        serve_fn = load_exported(path)
+        engines[name] = eng = BatchingEngine(
+            serve_fn, max_batch=args.max_batch,
+            max_delay_ms=args.max_delay_ms,
+        )
+        if not args.no_warmup:
+            t0 = time.perf_counter()
+            eng.warmup()
+            print(f"warmup[{name}]: device programs compiled in "
+                  f"{time.perf_counter() - t0:.1f}s")
+        flavor = (
+            f"buckets {serve_fn.buckets}" if serve_fn.buckets
+            else "dynamic batch" if serve_fn.dynamic_batch
+            else f"fixed batch {serve_fn.input_spec.shape[0]}"
+        )
+        print(f"model {name!r}: {path} ({flavor}, "
+              f"max_batch={eng.max_batch})")
+    httpd = make_server(
+        engines if len(engines) > 1 else engines[names[0]],
+        args.host, args.port, args.top_k,
     )
-    print(f"serving {args.artifact} ({flavor}) on "
+    print(f"serving {len(engines)} model(s) on "
           f"http://{args.host}:{httpd.server_address[1]} "
-          f"[max_batch={engine.max_batch}, "
-          f"delay={args.max_delay_ms}ms]")
+          f"[delay={args.max_delay_ms}ms]")
     try:
         httpd.serve_forever()
     except KeyboardInterrupt:
         pass
     finally:
         httpd.server_close()
-        engine.stop()
+        for eng in engines.values():
+            eng.stop()
 
 
 if __name__ == "__main__":

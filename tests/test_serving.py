@@ -99,6 +99,25 @@ def test_engine_multi_bucket(tmp_path, rng):
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
 
 
+def test_engine_warmup_compiles_all_buckets(tmp_path, rng):
+    serve = _artifact(tmp_path, batch=[2, 4], name="w.rajni")
+    calls = []
+    inner = serve
+
+    def spy(x):
+        calls.append(int(x.shape[0]))
+        return inner(x)
+
+    spy.buckets = inner.buckets
+    spy.dynamic_batch = inner.dynamic_batch
+    spy.input_spec = inner.input_spec
+    with BatchingEngine(spy, max_delay_ms=1.0) as eng:
+        eng.warmup()
+        assert calls == [2, 4]  # one zeros batch per bucket program
+        assert eng.stats.snapshot()["requests"] == 0  # stats unpolluted
+        eng.classify(_crops(rng, 1)[0])  # still serves afterwards
+
+
 def test_engine_validates_requests(tmp_path, rng):
     serve = _artifact(tmp_path, batch=2)
     with BatchingEngine(serve) as eng:
@@ -138,6 +157,58 @@ def test_engine_failed_batch_recovers(rng):
     assert ok.result(timeout=30).shape == (6,)
     eng.stop()
     assert calls[0] == 2
+
+
+def test_http_multi_model_registry(tmp_path, rng):
+    """Two artifacts behind one server: per-model routing, default model,
+    registry listing, per-model + aggregate stats."""
+    pruned = _artifact(tmp_path, batch=2, name="pruned.rajni")
+    params = init_params(jax.random.key(0), CFG, jnp.float32)
+    stock_path = str(tmp_path / "stock.rajni")
+    export_model(stock_path, params, CFG, None, batch=2,
+                 dtype=jnp.float32, platform="cpu")
+    stock = load_exported(stock_path)
+
+    engines = {
+        "pruned": BatchingEngine(pruned, max_delay_ms=2.0),
+        "stock": BatchingEngine(stock, max_delay_ms=2.0),
+    }
+    httpd = make_server(engines, port=0)
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+        conn.request("GET", "/v1/models")
+        assert json.loads(conn.getresponse().read()) == {
+            "models": ["pruned", "stock"]
+        }
+
+        crop = rng.integers(0, 256, (16, 16, 3), np.uint8)
+        outs = {}
+        for path in ("/v1/classify",  # default = first registry entry
+                     "/v1/models/pruned/classify",
+                     "/v1/models/stock/classify"):
+            conn.request("POST", path, body=crop.tobytes(),
+                         headers={"Content-Type":
+                                  "application/octet-stream"})
+            outs[path] = json.loads(conn.getresponse().read())["top_logits"]
+        assert outs["/v1/classify"] == outs["/v1/models/pruned/classify"]
+        # same weights, different schedule -> different logits
+        assert outs["/v1/models/stock/classify"] != outs["/v1/classify"]
+
+        conn.request("POST", "/v1/models/nope/classify", body=b"")
+        assert conn.getresponse().status == 404
+
+        conn.request("GET", "/v1/models/stock/stats")
+        assert json.loads(conn.getresponse().read())["requests"] == 1
+        conn.request("GET", "/v1/stats")  # multi-model: per-name map
+        agg = json.loads(conn.getresponse().read())
+        assert agg["pruned"]["requests"] == 2 and agg["stock"]["requests"] == 1
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
+        for e in engines.values():
+            e.stop()
 
 
 def test_http_server_roundtrip(tmp_path, rng):
