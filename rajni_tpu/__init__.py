@@ -13,6 +13,7 @@ from .models.wrapper import RAJNIViT
 from .models.vit import (
     VARIANTS,
     ViTConfig,
+    adapt_config_to_params,
     get_config,
     init_params,
     model_stats,
@@ -59,6 +60,7 @@ __all__ = [
     "save_fixture",
     "vit_activations",
     "gather_tokens",
+    "adapt_config_to_params",
     "get_config",
     "init_params",
     "keep_count",

@@ -60,6 +60,19 @@ class ViTConfig:
     qkv_bias: bool = True
     use_layer_scale: bool = False
     layer_scale_init: float = 1e-5
+    # -- extended timm-variant surface (beyond the classic ViT the reference
+    # was written against; the reference CLI forwards ANY timm name,
+    # run.py:28-29, so these checkpoints are in its nominal scope — it would
+    # run them subtly wrong: qk-norm silently dropped in pruned blocks
+    # (attention.py:8-12 steals only qkv/proj), registers ranked as if they
+    # were patches, pooled heads read as CLS (model.py:65-66). Here they are
+    # modeled correctly, with the pruning semantics generalized: the
+    # *prefix* (CLS + registers) is always kept and never ranked. --
+    reg_tokens: int = 0  # DINOv2-style register tokens after CLS
+    no_embed_class: bool = False  # pos-embed covers patches only (timm flag)
+    qk_norm: bool = False  # per-head LayerNorm on q and k (ViT-22B style)
+    global_pool: str = "token"  # "token" (CLS head) or "avg" (patch mean)
+    use_fc_norm: bool | None = None  # None → (global_pool == "avg"), timm rule
 
     @property
     def grid_size(self) -> int:
@@ -70,9 +83,42 @@ class ViTConfig:
         return self.grid_size * self.grid_size
 
     @property
+    def num_prefix_tokens(self) -> int:
+        """Always-kept leading tokens: CLS + registers (timm naming)."""
+        return 1 + self.reg_tokens
+
+    @property
     def num_tokens(self) -> int:
-        """Patches + CLS (197 for ViT-B/16 @ 224; 577 @ 384)."""
-        return self.num_patches + 1
+        """Patches + prefix (197 for ViT-B/16 @ 224; 577 @ 384)."""
+        return self.num_patches + self.num_prefix_tokens
+
+    @property
+    def pos_embed_len(self) -> int:
+        """Rows in ``pos_embed``: patches only under ``no_embed_class``
+        (timm applies the pos-embed before prefix concat then), else the
+        full token count."""
+        return self.num_patches if self.no_embed_class else self.num_tokens
+
+    @property
+    def fc_norm_resolved(self) -> bool:
+        """timm's ``use_fc_norm`` default: follows ``global_pool == 'avg'``
+        unless explicitly set. True → the final norm moves *after* pooling
+        (params carry ``fc_norm`` instead of ``norm``)."""
+        if self.use_fc_norm is None:
+            return self.global_pool == "avg"
+        return self.use_fc_norm
+
+    @property
+    def kernel_path_supported(self) -> bool:
+        """Whether the fused Pallas block kernels implement this config.
+
+        The kernels hard-code the classic reference semantics (single CLS
+        prefix, no qk-norm); extended configs transparently demote
+        ``impl="pallas"`` to the XLA ops path in :func:`vit_forward` —
+        correctness over speed, same rule as the per-kernel VMEM refusals.
+        Pooled heads are fine (the head is XLA on every path).
+        """
+        return self.reg_tokens == 0 and not self.qk_norm
 
     @property
     def head_dim(self) -> int:
@@ -105,6 +151,21 @@ VARIANTS: dict[str, ViTConfig] = {
     "vit_huge_patch14_224": ViTConfig(
         patch_size=14, embed_dim=1280, depth=32, num_heads=16
     ),
+    # DINOv2 + registers (timm vit_*_patch14_reg4_dinov2): 518px, 4 register
+    # tokens, patch-only pos-embed, LayerScale. (The giant variant uses a
+    # SwiGLU MLP — not modeled; small/base/large are plain-MLP.)
+    "vit_small_patch14_reg4_dinov2": ViTConfig(
+        img_size=518, patch_size=14, embed_dim=384, depth=12, num_heads=6,
+        reg_tokens=4, no_embed_class=True, use_layer_scale=True,
+    ),
+    "vit_base_patch14_reg4_dinov2": ViTConfig(
+        img_size=518, patch_size=14, embed_dim=768, depth=12, num_heads=12,
+        reg_tokens=4, no_embed_class=True, use_layer_scale=True,
+    ),
+    "vit_large_patch14_reg4_dinov2": ViTConfig(
+        img_size=518, patch_size=14, embed_dim=1024, depth=24, num_heads=16,
+        reg_tokens=4, no_embed_class=True, use_layer_scale=True,
+    ),
 }
 
 
@@ -124,18 +185,25 @@ _SIZE_WORDS: dict[str, tuple[int, int, int, float]] = {
 
 
 def _parse_model_name(name: str) -> ViTConfig | None:
-    """`vit_large_patch14_336` → ViTConfig, for names not in VARIANTS."""
+    """`vit_large_patch14_336` → ViTConfig, for names not in VARIANTS.
+
+    An optional ``_reg{R}`` segment after the patch size (timm register
+    convention, e.g. ``vit_base_patch16_reg4_224``) sets ``reg_tokens=R``
+    with a patch-only pos-embed (``no_embed_class=True`` — what every timm
+    register config uses).
+    """
     import re
 
     m = re.fullmatch(
-        r"(vit|deit|deit3)_([a-z]+)_patch(\d+)_(\d+)", name
+        r"(vit|deit|deit3)_([a-z]+)_patch(\d+)(?:_reg(\d+))?_(\d+)", name
     )
     if m is None or m.group(2) not in _SIZE_WORDS:
         return None
     dim, depth, heads, mlp_ratio = _SIZE_WORDS[m.group(2)]
-    patch, img = int(m.group(3)), int(m.group(4))
+    patch, img = int(m.group(3)), int(m.group(5))
     if img % patch:
         return None
+    reg = int(m.group(4)) if m.group(4) else 0
     return ViTConfig(
         img_size=img,
         patch_size=patch,
@@ -143,6 +211,8 @@ def _parse_model_name(name: str) -> ViTConfig | None:
         depth=depth,
         num_heads=heads,
         mlp_ratio=mlp_ratio,
+        reg_tokens=reg,
+        no_embed_class=reg > 0,
         # deit3 trains with LayerScale (timm init_values=1e-6); the actual
         # gammas come from the checkpoint, this only shapes init_params.
         use_layer_scale=m.group(1) == "deit3",
@@ -160,8 +230,36 @@ def get_config(name: str) -> ViTConfig:
         return parsed
     raise ValueError(
         f"unknown model {name!r}; known: {sorted(VARIANTS)} or any "
-        "'{vit|deit|deit3}_{size}_patch{P}_{res}' timm name"
+        "'{vit|deit|deit3}_{size}_patch{P}[_reg{R}]_{res}' timm name"
     )
+
+
+def adapt_config_to_params(config: ViTConfig, params: Params) -> ViTConfig:
+    """Flip the extended-variant config flags from a loaded parameter tree.
+
+    A timm model *name* does not encode ``qk_norm`` / pooled heads /
+    registers (timm sets them per pretrained tag), but a converted
+    checkpoint does — by which leaves it carries. The CLIs call this after
+    ``load_params`` so ``--model vit_base_patch16_224`` plus (say) an
+    MAE-finetuned checkpoint runs with the checkpoint's actual head
+    semantics instead of failing shape checks mid-forward.
+
+    State-dict-side twin: :func:`rajni_tpu.params.convert.adapt_config`.
+    """
+    kw: dict[str, Any] = {}
+    if params["blocks"] and "q_norm" in params["blocks"][0]["attn"]:
+        kw["qk_norm"] = True
+    if "fc_norm" in params and "norm" not in params:
+        kw["global_pool"] = "avg"
+        kw["use_fc_norm"] = True
+    if "reg_token" in params:
+        kw["reg_tokens"] = int(params["reg_token"].shape[1])
+        kw["no_embed_class"] = True
+    cfg = dataclasses.replace(config, **kw) if kw else config
+    rows = int(params["pos_embed"].shape[1])
+    if not cfg.reg_tokens and rows == cfg.num_patches != cfg.pos_embed_len:
+        cfg = dataclasses.replace(cfg, no_embed_class=True)
+    return cfg
 
 
 # --------------------------------------------------------------------------
@@ -203,12 +301,22 @@ def init_params(
         "patch_embed": dense(next(keys), P * P * config.in_chans, C),
         "cls_token": jnp.zeros((1, 1, C), dtype),
         "pos_embed": (
-            jax.random.normal(next(keys), (1, config.num_tokens, C), dtype) * 0.02
+            jax.random.normal(next(keys), (1, config.pos_embed_len, C), dtype)
+            * 0.02
         ),
         "blocks": [],
-        "norm": norm(),
         "head": dense(next(keys), C, config.num_classes),
     }
+    # Pooled-head configs move the final norm after pooling (timm fc_norm;
+    # the pre-pool `norm` is Identity there and carries no weights).
+    params["fc_norm" if config.fc_norm_resolved else "norm"] = norm()
+    if config.reg_tokens:
+        params["reg_token"] = jnp.zeros((1, config.reg_tokens, C), dtype)
+
+    def head_norm():
+        D = config.head_dim
+        return {"scale": jnp.ones((D,), dtype), "bias": jnp.zeros((D,), dtype)}
+
     for _ in range(config.depth):
         block = {
             "norm1": norm(),
@@ -222,6 +330,9 @@ def init_params(
                 "fc2": dense(next(keys), H, C),
             },
         }
+        if config.qk_norm:
+            block["attn"]["q_norm"] = head_norm()
+            block["attn"]["k_norm"] = head_norm()
         if config.use_layer_scale:
             block["ls1"] = jnp.full((C,), config.layer_scale_init, dtype)
             block["ls2"] = jnp.full((C,), config.layer_scale_init, dtype)
@@ -345,13 +456,13 @@ def _dequant_attn(attn_params: Params, dtype) -> Params:
 
     if not is_quantized(attn_params["qkv"]["kernel"]):
         return attn_params
-    return {
-        name: {
+    out = dict(attn_params)  # keep q_norm/k_norm (never quantized)
+    for name in ("qkv", "proj"):
+        out[name] = {
             "kernel": dequantize_weight(attn_params[name]["kernel"], dtype),
             "bias": attn_params[name]["bias"],
         }
-        for name in ("qkv", "proj")
-    }
+    return out
 
 
 def stock_block(
@@ -365,6 +476,7 @@ def stock_block(
         config.num_heads,
         config.attn_scale,
         impl,
+        norm_eps=config.layer_norm_eps,
     )
     x = x + _layer_scale(out, block, "ls1")
     return _mlp_branch(x, block, config, impl)
@@ -431,18 +543,37 @@ def vit_forward(
     schedule = normalize_schedule(schedule, config.depth)
     B = images.shape[0]
     impl = resolve_impl(impl, B)
+    if impl == "pallas" and not config.kernel_path_supported:
+        # The fused kernels hard-code the classic semantics (CLS-only
+        # prefix, no qk-norm); extended variants take the XLA ops path —
+        # same correctness-over-speed rule as the per-kernel VMEM refusals.
+        impl = "xla"
+    n_prefix = config.num_prefix_tokens
     dtype = params["cls_token"].dtype
     x = patch_embed(images.astype(dtype), params["patch_embed"], config)
-    cls = jnp.broadcast_to(params["cls_token"], (B, 1, config.embed_dim))
-    x = jnp.concatenate([cls, x], axis=1)
-    # pos_embed sliced to the live sequence length (reference model.py:37).
-    x = x + params["pos_embed"][:, : x.shape[1]]
+    if config.no_embed_class:
+        # timm no_embed_class: pos-embed covers patches only, applied
+        # BEFORE the prefix concat (DINOv2 / register variants).
+        x = x + params["pos_embed"][:, : x.shape[1]]
+    prefix = [jnp.broadcast_to(params["cls_token"], (B, 1, config.embed_dim))]
+    if config.reg_tokens:
+        prefix.append(
+            jnp.broadcast_to(
+                params["reg_token"],
+                (B, config.reg_tokens, config.embed_dim),
+            )
+        )
+    x = jnp.concatenate(prefix + [x], axis=1)
+    if not config.no_embed_class:
+        # pos_embed sliced to the live sequence length (reference
+        # model.py:37).
+        x = x + params["pos_embed"][:, : x.shape[1]]
 
     scores: jax.Array | None = None
     for blk_i, (spec, block) in enumerate(zip(schedule, params["blocks"])):
         if spec is not None:
             n = x.shape[1]
-            keep = keep_count(spec.keep_ratio, n)
+            keep = keep_count(spec.keep_ratio, n, n_prefix)
             # per-block calibrated static scales (a_qkv, a_proj, a_fc1,
             # a_fc2) — each int8 pallas route below that supports them
             # picks its sites from this tuple (act_scales implies
@@ -657,6 +788,8 @@ def vit_forward(
                     spec.update,
                     scores,
                     impl,
+                    num_prefix=n_prefix,
+                    norm_eps=config.layer_norm_eps,
                 )
                 # Residual-stream compaction BEFORE the residual add
                 # (reference model.py:55-56).
@@ -760,18 +893,45 @@ def classifier_head(
     act_scales=None,
     impl: str = "xla",
 ) -> jax.Array:
-    """Final norm + head on the CLS token only (reference model.py:65-66).
+    """Final norm + pooling + head (reference model.py:65-66 reads CLS
+    only; extended pooled-head variants follow timm's ``forward_head``).
 
     Shared by :func:`vit_forward` and the tensor-parallel composition
     (:func:`rajni_tpu.parallel.mesh.tp_pallas_forward`) so the head
     semantics — CLS-only norm, int8/static-quantize rules, output dtype —
     cannot drift between the two entry points.
+
+    Pooling modes (timm ``global_pool`` × ``use_fc_norm``):
+      * ``token`` (classic, the reference's semantics): final ``norm``
+        then the CLS row.
+      * ``avg`` + ``fc_norm`` (MAE-finetuned style): mean over the
+        surviving *patch* tokens (prefix excluded), then ``fc_norm``.
+      * ``avg`` without ``fc_norm``: ``norm`` over the full sequence,
+        then the patch mean.
+    With pruning active, the avg pool runs over the tokens that survived —
+    the natural generalization (dropped tokens vanish from the residual
+    stream entirely, reference model.py:55-56).
     """
-    # LayerNorm is per-token, so norm(x)[:, 0] ≡ norm(x[:, 0:1])[:, 0] —
-    # normalizing just the CLS row skips a full-sequence pass bit-exactly.
-    cls_out = layer_norm(
-        x[:, 0:1], params["norm"], config.layer_norm_eps
-    )[:, 0]
+    eps = config.layer_norm_eps
+    n_prefix = config.num_prefix_tokens
+    if config.fc_norm_resolved:
+        if config.global_pool == "avg":
+            pooled = jnp.mean(
+                x[:, n_prefix:], axis=1, dtype=jnp.float32
+            ).astype(x.dtype)
+        else:
+            pooled = x[:, 0]
+        cls_out = layer_norm(pooled, params["fc_norm"], eps)
+    elif config.global_pool == "avg":
+        y = layer_norm(x, params["norm"], eps)
+        cls_out = jnp.mean(
+            y[:, n_prefix:], axis=1, dtype=jnp.float32
+        ).astype(x.dtype)
+    else:
+        # LayerNorm is per-token, so norm(x)[:, 0] ≡ norm(x[:, 0:1])[:, 0] —
+        # normalizing just the CLS row skips a full-sequence pass
+        # bit-exactly.
+        cls_out = layer_norm(x[:, 0:1], params["norm"], eps)[:, 0]
     head = params["head"]
     from ..quant import is_quantized
 
@@ -831,4 +991,8 @@ def model_stats(config: ViTConfig, schedule: Schedule | None = None) -> dict:
     Token counts are static in this framework, so stats need no forward pass.
     """
     schedule = normalize_schedule(schedule, config.depth)
-    return {"token_counts": token_count_trace(config.num_tokens, schedule)}
+    return {
+        "token_counts": token_count_trace(
+            config.num_tokens, schedule, config.num_prefix_tokens
+        )
+    }

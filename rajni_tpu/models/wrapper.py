@@ -43,6 +43,12 @@ class RAJNIViT:
         self.schedule = normalize_schedule(schedule, self.config.depth)
         if params is None:
             params = init_params(jax.random.key(seed), self.config, dtype)
+        else:
+            # extended-variant checkpoints (qk-norm / pooled head /
+            # registers) carry their semantics in the tree, not the name
+            from .vit import adapt_config_to_params
+
+            self.config = adapt_config_to_params(self.config, params)
         self.params = params
         # "auto" resolves per-batch at trace time (vit.resolve_impl).
         self.impl = kernels

@@ -59,12 +59,49 @@ def _qkv_projection(x: jax.Array, params: AttnParams) -> jax.Array:
     return x @ k + qkv["bias"]
 
 
+def _head_layer_norm(
+    x: jax.Array, params: AttnParams, eps: float
+) -> jax.Array:
+    """Per-head LayerNorm over the head dim (timm ``qk_norm``): ``x`` is
+    ``[..., D]``, ``params`` carries ``scale``/``bias`` of shape ``[D]``.
+    Statistics in fp32, like :func:`rajni_tpu.models.vit.layer_norm`."""
+    dtype = x.dtype
+    x32 = x.astype(jnp.float32)
+    mean = x32.mean(axis=-1, keepdims=True)
+    var = x32.var(axis=-1, keepdims=True)
+    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    y = y * params["scale"].astype(jnp.float32) + params["bias"].astype(
+        jnp.float32
+    )
+    return y.astype(dtype)
+
+
+def apply_qk_norm(
+    q: jax.Array, k: jax.Array, params: AttnParams, eps: float
+) -> tuple[jax.Array, jax.Array]:
+    """Apply the block's per-head q/k LayerNorms when present (timm
+    ``qk_norm=True`` variants; ViT-22B style). ``q``/``k`` are ``[..., D]``;
+    no-op for classic checkpoints (no ``q_norm`` key).
+
+    The reference would silently *drop* these in pruned blocks (its
+    RAJNIAttention steals only ``qkv``/``proj``, attention.py:8-12, noted in
+    SURVEY.md §2/C2) — modeled correctly here instead, on every path the
+    real attention takes.
+    """
+    if "q_norm" not in params:
+        return q, k
+    q = _head_layer_norm(q, params["q_norm"], eps)
+    k = _head_layer_norm(k, params["k_norm"], eps)
+    return q, k
+
+
 def _sdpa(
     qkv: jax.Array,
     num_heads: int,
     scale: float,
     *,
     softmax_dtype: jnp.dtype = jnp.float32,
+    qk_norm: tuple[AttnParams, float] | None = None,
 ) -> jax.Array:
     """Unfused softmax SDPA on packed QKV ``[B, Np, 3C] -> [B, Np, C]``.
 
@@ -84,6 +121,8 @@ def _sdpa(
     D = C // num_heads
     qkv = qkv.reshape(B, Np, 3, num_heads, D)
     q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # [B, Np, H, D]
+    if qk_norm is not None:
+        q, k = apply_qk_norm(q, k, *qk_norm)
 
     attn = jnp.einsum("bqhd,bkhd->bhqk", q, k) * scale
     attn = jax.nn.softmax(attn.astype(softmax_dtype), axis=-1).astype(v.dtype)
@@ -92,12 +131,16 @@ def _sdpa(
 
 
 def _dispatch_sdpa(
-    qkv: jax.Array, num_heads: int, scale: float, impl: str
+    qkv: jax.Array, num_heads: int, scale: float, impl: str,
+    qk_norm: tuple[AttnParams, float] | None = None,
 ) -> jax.Array:
     """Select the SDPA implementation: ``"xla"`` (lax reference) or
-    ``"pallas"`` (:func:`rajni_tpu.kernels.attention.fused_sdpa`)."""
-    if impl == "xla":
-        return _sdpa(qkv, num_heads, scale)
+    ``"pallas"`` (:func:`rajni_tpu.kernels.attention.fused_sdpa`). qk-normed
+    variants always take the lax path (the fused kernel does not implement
+    the per-head norms; :func:`rajni_tpu.models.vit.vit_forward` demotes the
+    whole block anyway)."""
+    if impl == "xla" or qk_norm is not None:
+        return _sdpa(qkv, num_heads, scale, qk_norm=qk_norm)
     if impl == "pallas":
         from ..kernels.attention import fused_sdpa
 
@@ -111,10 +154,15 @@ def attention(
     num_heads: int,
     scale: float,
     impl: str = "xla",
+    norm_eps: float = 1e-6,
 ) -> jax.Array:
-    """Stock (un-pruned) multi-head self-attention on ``[B, N, C]``."""
+    """Stock (un-pruned) multi-head self-attention on ``[B, N, C]``.
+
+    Applies the per-head q/k LayerNorms when ``params`` carries them
+    (timm ``qk_norm`` variants; ``norm_eps`` is their eps)."""
     qkv = _qkv_projection(x, params)
-    out = _dispatch_sdpa(qkv, num_heads, scale, impl)
+    qk = (params, norm_eps) if "q_norm" in params else None
+    out = _dispatch_sdpa(qkv, num_heads, scale, impl, qk_norm=qk)
     proj = params["proj"]
     return out @ proj["kernel"] + proj["bias"]
 
@@ -128,6 +176,8 @@ def pruned_attention(
     update: bool,
     prev_scores: jax.Array | None,
     impl: str = "xla",
+    num_prefix: int = 1,
+    norm_eps: float = 1e-6,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Score → select → prune → attend (reference attention.py:17-60).
 
@@ -141,29 +191,38 @@ def pruned_attention(
         None`` (attention.py:25-28). Static.
       prev_scores: ``[B, N]`` scores surviving from the previous pruned block,
         or ``None``.
+      num_prefix: always-kept leading tokens (1 = the reference's CLS-only
+        semantics; CLS + registers for extended timm variants).
+      norm_eps: eps of the per-head q/k LayerNorms, applied when ``params``
+        carries them (timm ``qk_norm`` variants; both the real attention and
+        the importance scorer's CLS row see the normed q/k — the scorer
+        follows the attention the model actually computes).
 
     Returns:
       ``(out, keep_idx, next_scores)`` with shapes ``[B, K, C]``, ``[B, K]``,
-      ``[B, K]`` where ``K = keep + 1`` (CLS included).
+      ``[B, K]`` where ``K = keep + num_prefix`` (prefix included).
     """
     qkv = _qkv_projection(x, params)  # full N (attention.py:22)
+    qk = (params, norm_eps) if "q_norm" in params else None
 
     if update or prev_scores is None:
-        scores = compute_importance(qkv, num_heads)
+        scores = compute_importance(qkv, num_heads, qk_norm=qk)
     else:
         scores = prev_scores
 
-    if impl == "pallas":
+    if impl == "pallas" and qk is None:
         # Sort-free selection + one-hot MXU gather: ~5x faster than XLA's
         # top_k/sort + dynamic-slice gather at these shapes, bit-identical
         # (see ops.pruning.select_tokens_dense / gather_tokens_matmul).
-        keep_idx, sel = select_tokens_dense(scores, keep, qkv.dtype)
+        keep_idx, sel = select_tokens_dense(
+            scores, keep, qkv.dtype, num_prefix
+        )
         qkv = gather_tokens_matmul(qkv, sel)
     else:
-        keep_idx = select_tokens(scores, keep)
+        keep_idx = select_tokens(scores, keep, num_prefix)
         qkv = gather_tokens(qkv, keep_idx)
 
-    out = _dispatch_sdpa(qkv, num_heads, scale, impl)
+    out = _dispatch_sdpa(qkv, num_heads, scale, impl, qk_norm=qk)
     proj = params["proj"]
     out = out @ proj["kernel"] + proj["bias"]
 

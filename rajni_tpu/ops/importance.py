@@ -38,6 +38,7 @@ def compute_importance(
     eps: float = 1e-6,
     *,
     compute_dtype: jnp.dtype | None = jnp.float32,
+    qk_norm=None,
 ) -> jax.Array:
     """Per-token importance from a block's full (unpruned) QKV projection.
 
@@ -50,6 +51,13 @@ def compute_importance(
         attention row plus token statistics — fp32 costs nothing and keeps the
         top-k ranking stable under bf16 activations. ``None`` keeps the input
         dtype.
+      qk_norm: ``(attn_params, eps)`` for qk-normed variants (timm
+        ``qk_norm=True``) — the CLS attention row is then computed from the
+        per-head-LayerNormed q/k, i.e. from the attention the model actually
+        runs. The reference never modeled qk-norm (it steals only qkv/proj,
+        attention.py:8-12); for classic checkpoints (``None``) this is a
+        no-op and the reference semantics hold bit-for-bit. The value signal
+        always uses the raw v (qk-norm does not touch v in timm either).
 
     Returns:
       ``[B, N]`` importance scores in ``compute_dtype``.
@@ -71,6 +79,10 @@ def compute_importance(
     # ---- CLS attention signal (reference importance.py:18-21) ----
     q_cls = qkv[:, 0, 0].astype(compute_dtype)  # [B, H, D]
     k = qkv[:, :, 1]  # [B, N, H, D]
+    if qk_norm is not None:
+        from .attention import apply_qk_norm
+
+        q_cls, k = apply_qk_norm(q_cls, k, *qk_norm)
     logits = jnp.einsum(
         "bhd,bnhd->bhn", q_cls, k, preferred_element_type=compute_dtype
     ) / math.sqrt(D)

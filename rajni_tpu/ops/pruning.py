@@ -26,35 +26,50 @@ import jax
 import jax.numpy as jnp
 
 
-def keep_count(keep_ratio: float, num_tokens: int) -> int:
-    """Number of patch tokens kept by a pruned block (CLS excluded).
+def keep_count(
+    keep_ratio: float, num_tokens: int, num_prefix: int = 1
+) -> int:
+    """Number of patch tokens kept by a pruned block (prefix excluded).
 
     Mirrors reference attention.py:31-32: ``max(1, int(keep_ratio * (N-1)))``
     with ``int()`` truncation. Pure Python — evaluated at trace time so the
     result is a static shape.
+
+    ``num_prefix`` generalizes the reference's single always-kept CLS to the
+    CLS+registers prefix of extended timm variants (the ratio applies to the
+    *patch* count, exactly as the reference applies it to ``N - 1``).
     """
-    num_patches = num_tokens - 1
+    num_patches = num_tokens - num_prefix
     return max(1, int(keep_ratio * num_patches))
 
 
-def select_tokens(scores: jax.Array, keep: int) -> jax.Array:
-    """Pick the ``keep`` highest-scoring patch tokens, keep CLS, sort by index.
+def select_tokens(
+    scores: jax.Array, keep: int, num_prefix: int = 1
+) -> jax.Array:
+    """Pick the ``keep`` highest-scoring patch tokens, keep the prefix,
+    sort by index.
 
     Args:
-      scores: ``[B, N]`` importance scores (position 0 = CLS; its score is
-        ignored by ranking, reference attention.py:34).
+      scores: ``[B, N]`` importance scores (positions ``< num_prefix`` are
+        the CLS[+register] prefix; their scores are ignored by ranking,
+        reference attention.py:34).
       keep: static number of patch tokens to keep.
+      num_prefix: always-kept leading tokens (1 = the reference's CLS-only
+        semantics; CLS + registers for extended variants).
 
     Returns:
-      ``keep_idx``: ``[B, keep + 1]`` int32 gather indices into the token axis,
-      ascending, with index 0 (CLS) first (reference attention.py:35-39).
+      ``keep_idx``: ``[B, keep + num_prefix]`` int32 gather indices into the
+      token axis, ascending, with the prefix indices first (reference
+      attention.py:35-39).
     """
     B = scores.shape[0]
-    patch_scores = scores[:, 1:]
+    patch_scores = scores[:, num_prefix:]
     _, idx = jax.lax.top_k(patch_scores, keep)  # [B, keep]
     idx = jnp.sort(idx, axis=1)
-    cls_idx = jnp.zeros((B, 1), dtype=idx.dtype)
-    return jnp.concatenate([cls_idx, idx + 1], axis=1)
+    prefix_idx = jnp.broadcast_to(
+        jnp.arange(num_prefix, dtype=idx.dtype), (B, num_prefix)
+    )
+    return jnp.concatenate([prefix_idx, idx + num_prefix], axis=1)
 
 
 def gather_tokens(x: jax.Array, keep_idx: jax.Array) -> jax.Array:
@@ -69,7 +84,7 @@ def gather_tokens(x: jax.Array, keep_idx: jax.Array) -> jax.Array:
 
 
 def select_tokens_dense(
-    scores: jax.Array, keep: int, dtype=None
+    scores: jax.Array, keep: int, dtype=None, num_prefix: int = 1
 ) -> tuple[jax.Array, jax.Array]:
     """Sort-free selection: rank matrix + mask compaction (TPU fast path).
 
@@ -88,14 +103,20 @@ def select_tokens_dense(
          doubles as the one-hot gather operand (:func:`gather_tokens_matmul`),
          and ``keep_idx = sel @ iota`` recovers integer indices exactly.
 
+    ``num_prefix`` always-kept leading tokens (CLS + registers) generalize
+    the reference's CLS-only rule — they occupy the first ``num_prefix``
+    output slots and are never ranked.
+
     Returns:
-      ``(keep_idx [B, keep+1] int32, sel [B, keep+1, N] dtype)``.
+      ``(keep_idx [B, keep+num_prefix] int32, sel [B, keep+num_prefix, N]
+      dtype)``.
     """
     B, N = scores.shape
     if dtype is None:
         dtype = scores.dtype
-    p = scores[:, 1:].astype(jnp.float32)  # patch scores (CLS never ranked)
-    n = N - 1
+    # patch scores (the prefix is never ranked)
+    p = scores[:, num_prefix:].astype(jnp.float32)
+    n = N - num_prefix
 
     ahead = p[:, :, None] < p[:, None, :]  # [B, n(self), n(other)]
     iota_self = jax.lax.broadcasted_iota(jnp.int32, (1, n, n), 1)
@@ -104,11 +125,13 @@ def select_tokens_dense(
     rank = (ahead | ties_ahead).sum(axis=2)  # [B, n]
 
     keep_mask = jnp.concatenate(
-        [jnp.ones((B, 1), bool), rank < keep], axis=1
-    )  # [B, N] with CLS always kept
+        [jnp.ones((B, num_prefix), bool), rank < keep], axis=1
+    )  # [B, N] with the prefix always kept
     pos = jnp.cumsum(keep_mask.astype(jnp.int32), axis=1) - 1  # output slot
 
-    iota_k = jax.lax.broadcasted_iota(jnp.int32, (1, keep + 1, 1), 1)
+    iota_k = jax.lax.broadcasted_iota(
+        jnp.int32, (1, keep + num_prefix, 1), 1
+    )
     sel = (
         (pos[:, None, :] == iota_k) & keep_mask[:, None, :]
     ).astype(dtype)  # [B, keep+1, N]

@@ -200,20 +200,31 @@ def param_pspecs(params: Any) -> Any:
         if "ls1" in block:
             spec["ls1"] = P()
             spec["ls2"] = P()
+        if "q_norm" in block["attn"]:
+            # per-head q/k LayerNorms (qk-normed variants): [D] vectors,
+            # replicated — every head shard applies the same norm
+            spec["attn"]["q_norm"] = {"scale": P(), "bias": P()}
+            spec["attn"]["k_norm"] = {"scale": P(), "bias": P()}
         return spec
 
     head_kernel = params["head"]["kernel"]
-    return {
+    out = {
         "patch_embed": {"kernel": P(), "bias": P()},
         "cls_token": P(),
         "pos_embed": P(),
         "blocks": [block_spec(b) for b in params["blocks"]],
-        "norm": {"scale": P(), "bias": P()},
         "head": {
             "kernel": _maybe_quantized_spec(head_kernel, P()),
             "bias": P(),
         },
     }
+    # extended-variant leaves (pooled heads / registers): tiny, replicated
+    out["fc_norm" if "fc_norm" in params else "norm"] = {
+        "scale": P(), "bias": P()
+    }
+    if "reg_token" in params:
+        out["reg_token"] = P()
+    return out
 
 
 def shard_params(params: Any, mesh: Mesh) -> Any:
@@ -291,6 +302,13 @@ def sharded_forward(
         # for large serving batches, and "auto" must never silently build
         # interpret-mode Pallas kernels off-TPU
         impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if impl != "xla" and not config.kernel_path_supported:
+        # extended variants (registers / qk-norm) demote to the XLA path,
+        # same rule as vit_forward — in particular this keeps them off the
+        # manual per-chip Megatron composition (tp_pallas_forward), which
+        # hard-codes the classic semantics; the XLA TP route partitions
+        # whatever the forward computes, so it needs no special casing
+        impl = "xla"
 
     def forward(p, images):
         if stage is not None:

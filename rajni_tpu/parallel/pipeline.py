@@ -524,6 +524,25 @@ def _pipeline_logits_fn(
     return logits_fn
 
 
+def _check_classic(config: ViTConfig) -> None:
+    """The pipeline stage programs re-derive the classic block/head
+    semantics (lax.switch branches with static per-stage token counts,
+    CLS-only head bank) — extended variants (registers / qk-norm / pooled
+    heads) are rejected rather than silently mis-run; use DP or XLA TP
+    (``sharded_forward``), which route through ``vit_forward`` itself."""
+    if (
+        config.reg_tokens
+        or config.qk_norm
+        or config.global_pool != "token"
+        or config.fc_norm_resolved
+    ):
+        raise ValueError(
+            "pipeline parallelism supports classic ViT configs only "
+            "(no registers / qk-norm / pooled heads) — use data or "
+            "tensor parallelism for extended variants"
+        )
+
+
 def pipeline_forward(
     params: Any,
     config: ViTConfig,
@@ -550,6 +569,7 @@ def pipeline_forward(
     Array batches only — the ``device-full`` canvas-tuple mode is not wired
     through the pipeline's pad/reshape.
     """
+    _check_classic(config)
     schedule = normalize_schedule(schedule, config.depth)
     n_stages = mesh.shape["pipe"]
     tp = _mesh_tp(mesh)
@@ -617,6 +637,7 @@ def make_pipeline_train_step(
 
     from ..train import TrainState, cross_entropy
 
+    _check_classic(config)
     schedule = normalize_schedule(schedule, config.depth)
     n_micro = microbatch or 2 * mesh.shape["pipe"]
     logits_fn = _pipeline_logits_fn(

@@ -21,12 +21,13 @@ Layout transformations (timm torch → rajni-tpu JAX):
     (reference model.py:47-48 fallbacks).
   * ``cls_token [1,1,C]`` / ``pos_embed [1,N,C]`` pass through.
 
-Weights the converter deliberately ignores (inference-inert or unsupported by
-the reference semantics, documented in SURVEY.md §2/C2): ``attn.q_norm`` /
-``attn.k_norm`` when they are identity-shaped absences; any ``fc_norm`` /
-``global_pool`` heads (the reference reads only the CLS token,
-model.py:65-66). Their *presence with non-trivial values* raises, so a
-qk-normed variant cannot be silently mis-converted.
+Extended timm variants (beyond the classic ViT the reference was written
+against — it would run them subtly wrong, SURVEY.md §2/C2) are modeled, not
+dropped: ``attn.q_norm``/``attn.k_norm`` (qk-normed ViTs), ``fc_norm`` +
+pooled heads (MAE-finetuned style), ``reg_token`` registers (DINOv2 style).
+The target :class:`~rajni_tpu.models.vit.ViTConfig` must declare them —
+:func:`adapt_config` flips the config flags from the checkpoint's keys so
+callers never mis-convert silently.
 """
 
 from __future__ import annotations
@@ -166,24 +167,37 @@ def convert_timm_state_dict(
     sd = dict(state_dict)
     C, P = config.embed_dim, config.patch_size
 
-    # -- reject semantic-changing weights we do not model (SURVEY.md §2/C2) --
-    for key in sd:
-        if (".q_norm." in key or ".k_norm." in key) and sd[key] is not None:
-            arr = _to_numpy(sd[key])
-            trivial = (
-                np.allclose(arr, 1.0) if key.endswith("weight")
-                else np.allclose(arr, 0.0)
-            )
-            if not trivial:
-                raise ValueError(
-                    f"{key}: non-identity qk-norm weights are outside the "
-                    "reference semantics (SURVEY.md §2/C2) and unsupported"
-                )
-        if key.startswith("fc_norm."):
-            raise ValueError(
-                "fc_norm/global_pool checkpoints are token-pooled; the "
-                "reference head reads only CLS (model.py:65-66)"
-            )
+    # -- extended-variant weights need the matching config flags: a qk-norm
+    # LayerNorm normalizes even with identity affine weights, so presence of
+    # the keys (not their values) is what decides the forward semantics --
+    has_qk = any(".q_norm." in k or ".k_norm." in k for k in sd)
+    if has_qk and not config.qk_norm:
+        raise ValueError(
+            "checkpoint carries attn.q_norm/k_norm weights but the config "
+            "has qk_norm=False — convert with adapt_config(config, sd) so "
+            "the per-head norms are modeled (timm applies the "
+            "normalization regardless of affine values)"
+        )
+    if config.qk_norm and not has_qk:
+        raise ValueError(
+            "config has qk_norm=True but the checkpoint has no "
+            "attn.q_norm/k_norm weights"
+        )
+    has_fc_norm = any(k.startswith("fc_norm.") for k in sd)
+    if has_fc_norm != config.fc_norm_resolved:
+        raise ValueError(
+            "fc_norm presence mismatch: checkpoint "
+            f"{'has' if has_fc_norm else 'lacks'} fc_norm.* but the config "
+            f"resolves use_fc_norm={config.fc_norm_resolved} — pooled-head "
+            "checkpoints need global_pool='avg' (use adapt_config)"
+        )
+    has_reg = "reg_token" in sd
+    if has_reg != bool(config.reg_tokens):
+        raise ValueError(
+            f"register-token mismatch: checkpoint "
+            f"{'has' if has_reg else 'lacks'} reg_token but config "
+            f"reg_tokens={config.reg_tokens} (use adapt_config)"
+        )
 
     conv_w = _to_numpy(sd["patch_embed.proj.weight"])  # [C, 3, P, P]
     if conv_w.shape != (C, config.in_chans, P, P):
@@ -200,12 +214,17 @@ def convert_timm_state_dict(
         raise ValueError(
             f"pos_embed shape {pos_embed.shape} incompatible with C={C}"
         )
-    if pos_embed.shape[1] != config.num_tokens:
+    if pos_embed.shape[1] != config.pos_embed_len:
         # Resolution transfer: e.g. a 224-pretrained checkpoint (N=197)
         # loaded into a 384 config (N=577). timm does this inside
         # create_model (reference run.py:89 with any --model); here the
         # converter resamples explicitly with the same bicubic recipe.
-        pos_embed = resample_pos_embed(pos_embed, config.num_tokens)
+        # Under no_embed_class the table is patch-only (prefix 0 rows).
+        pos_embed = resample_pos_embed(
+            pos_embed,
+            config.pos_embed_len,
+            num_prefix=0 if config.no_embed_class else config.num_prefix_tokens,
+        )
 
     params: Params = {
         "patch_embed": {
@@ -215,9 +234,22 @@ def convert_timm_state_dict(
         "cls_token": _to_numpy(sd["cls_token"]),
         "pos_embed": pos_embed,
         "blocks": [],
-        "norm": _norm(sd, "norm"),
         "head": _dense(sd, "head"),
     }
+    # Pooled-head checkpoints store the post-pool norm as fc_norm (the
+    # pre-pool `norm` is Identity and absent from the state_dict).
+    if config.fc_norm_resolved:
+        params["fc_norm"] = _norm(sd, "fc_norm")
+    else:
+        params["norm"] = _norm(sd, "norm")
+    if config.reg_tokens:
+        reg = _to_numpy(sd["reg_token"])
+        if reg.shape != (1, config.reg_tokens, C):
+            raise ValueError(
+                f"reg_token shape {reg.shape} != "
+                f"{(1, config.reg_tokens, C)}"
+            )
+        params["reg_token"] = reg
 
     for i in range(config.depth):
         p = f"blocks.{i}"
@@ -237,6 +269,9 @@ def convert_timm_state_dict(
                 "fc2": _dense(sd, f"{p}.mlp.fc2"),
             },
         }
+        if config.qk_norm:
+            block["attn"]["q_norm"] = _norm(sd, f"{p}.attn.q_norm")
+            block["attn"]["k_norm"] = _norm(sd, f"{p}.attn.k_norm")
         # timm LayerScale stores a single `gamma` vector.
         if f"{p}.ls1.gamma" in sd:
             block["ls1"] = _to_numpy(sd[f"{p}.ls1.gamma"])
@@ -256,23 +291,27 @@ def convert_timm_state_dict(
     consumed = {
         "patch_embed.proj.weight", "patch_embed.proj.bias",
         "cls_token", "pos_embed",
-        "norm.weight", "norm.bias", "head.weight", "head.bias",
+        "head.weight", "head.bias",
     }
+    if config.fc_norm_resolved:
+        consumed |= {"fc_norm.weight", "fc_norm.bias"}
+    else:
+        consumed |= {"norm.weight", "norm.bias"}
+    if config.reg_tokens:
+        consumed.add("reg_token")
     for i in range(config.depth):
         p = f"blocks.{i}"
+        leaves = ["norm1", "norm2", "attn.qkv", "attn.proj",
+                  "mlp.fc1", "mlp.fc2"]
+        if config.qk_norm:
+            leaves += ["attn.q_norm", "attn.k_norm"]
         consumed |= {
             f"{p}.{leaf}.{wb}"
-            for leaf in ("norm1", "norm2", "attn.qkv", "attn.proj",
-                         "mlp.fc1", "mlp.fc2")
+            for leaf in leaves
             for wb in ("weight", "bias")
         }
         consumed |= {f"{p}.ls1.gamma", f"{p}.ls2.gamma"}
-    leftover = sorted(
-        k for k in sd
-        if k not in consumed
-        # trivial (identity) qk-norms were validated and ignored above
-        and ".q_norm." not in k and ".k_norm." not in k
-    )
+    leftover = sorted(k for k in sd if k not in consumed)
     if leftover:
         raise ValueError(
             "checkpoint contains weights this converter does not model "
@@ -281,6 +320,61 @@ def convert_timm_state_dict(
         )
 
     return _cast(params, dtype)
+
+
+def adapt_config(config: ViTConfig, state_dict: Mapping[str, Any]) -> ViTConfig:
+    """Flip the extended-variant config flags from a checkpoint's keys.
+
+    A timm name alone does not encode ``qk_norm`` / pooled heads (timm sets
+    them per pretrained tag); the state_dict does, unambiguously:
+
+      * ``attn.q_norm.*`` present → ``qk_norm=True`` (timm's LayerNorm
+        normalizes even with identity affine weights, so key *presence*
+        decides the semantics);
+      * ``fc_norm.*`` present → ``global_pool="avg"``, ``use_fc_norm=True``
+        (the MAE-finetune layout: Identity pre-pool norm, post-pool
+        fc_norm);
+      * ``reg_token`` present → ``reg_tokens=R`` from its shape, with
+        ``no_embed_class`` inferred from the pos-embed row count.
+
+    Returns a (possibly identical) config; pass the result to
+    :func:`convert_timm_state_dict`.
+
+    Not inferable from a state_dict: ``global_pool="avg"`` *without*
+    ``fc_norm`` (such a checkpoint is key-identical to a token-pooled
+    one) — declare that config explicitly.
+    """
+    import dataclasses
+
+    kw: dict[str, Any] = {}
+    if any(".q_norm." in k for k in state_dict):
+        kw["qk_norm"] = True
+    if any(k.startswith("fc_norm.") for k in state_dict):
+        kw["global_pool"] = "avg"
+        kw["use_fc_norm"] = True
+    if "reg_token" in state_dict:
+        kw["reg_tokens"] = int(_to_numpy(state_dict["reg_token"]).shape[1])
+        # every timm register config uses a patch-only pos-embed
+        kw["no_embed_class"] = True
+    cfg = dataclasses.replace(config, **kw) if kw else config
+
+    if "pos_embed" in state_dict and not cfg.reg_tokens:
+        # The pos-embed row count tells the two layouts apart on the
+        # checkpoint's own grid (which may differ from the config's
+        # resolution): a patch-only table has a perfect-square row count,
+        # a CLS-inclusive one has square + 1 — never both (x²+1 = y² has
+        # no positive solutions).
+        rows = int(_to_numpy(state_dict["pos_embed"]).shape[1])
+
+        def _square(v: int) -> bool:
+            r = int(round(v**0.5))
+            return r * r == v
+
+        if _square(rows) and not _square(rows - 1):
+            cfg = dataclasses.replace(cfg, no_embed_class=True)
+        elif _square(rows - 1):
+            cfg = dataclasses.replace(cfg, no_embed_class=False)
+    return cfg
 
 
 def _cast(params: Params, dtype: Any) -> Params:

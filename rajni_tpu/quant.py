@@ -101,7 +101,9 @@ def quantize_params(
             mlp[name] = layer
         b["mlp"] = mlp
         if attn:
-            a = {}
+            # dict-copy keeps non-projection leaves (q_norm/k_norm of
+            # qk-normed variants) un-quantized and present
+            a = dict(block["attn"])
             for name in ("qkv", "proj"):
                 layer = dict(block["attn"][name])
                 layer["kernel"] = quantize_weight(layer["kernel"])
@@ -205,6 +207,10 @@ def _calibration_forward(params, images, config, schedule):
     cls = jnp.broadcast_to(params["cls_token"], (B, 1, config.embed_dim))
     x = jnp.concatenate([cls, x], axis=1)
     x = x + params["pos_embed"][:, : x.shape[1]]
+    # Extended variants (registers / qk-norm) never reach this path:
+    # calibrate_act_scales rejects them up front (the fused int8 kernels
+    # the scales feed demote to XLA for those configs). Pooled heads ARE
+    # kernel-supported — mirrored below.
 
     amax = lambda v: jnp.max(jnp.abs(v.astype(jnp.float32)))  # noqa: E731
     scores = None
@@ -240,7 +246,21 @@ def _calibration_forward(params, images, config, schedule):
         x = x + _layer_scale(out2, block, "ls2")
         block_amax.append((a_qkv, a_proj, a_fc1, a_fc2))
 
-    cls_out = layer_norm(x[:, 0:1], params["norm"], eps)[:, 0]
+    if config.fc_norm_resolved:
+        if config.global_pool == "avg":
+            pooled = jnp.mean(x[:, 1:], axis=1, dtype=jnp.float32).astype(
+                x.dtype
+            )
+        else:
+            pooled = x[:, 0]
+        cls_out = layer_norm(pooled, params["fc_norm"], eps)
+    elif config.global_pool == "avg":
+        y = layer_norm(x, params["norm"], eps)
+        cls_out = jnp.mean(y[:, 1:], axis=1, dtype=jnp.float32).astype(
+            x.dtype
+        )
+    else:
+        cls_out = layer_norm(x[:, 0:1], params["norm"], eps)[:, 0]
     head_amax = amax(cls_out)
     logits = cls_out @ params["head"]["kernel"] + params["head"]["bias"]
     return block_amax, head_amax, logits
@@ -277,6 +297,12 @@ def calibrate_act_scales(
     if is_quantized(params["blocks"][0]["mlp"]["fc1"]["kernel"]):
         raise ValueError(
             "calibrate on unquantized params (before quantize_params)"
+        )
+    if not config.kernel_path_supported:
+        raise ValueError(
+            "static activation scales feed the fused int8 kernels, which "
+            "this config (registers / qk-norm) demotes to the XLA path — "
+            "use dynamic int8 (quantize_params without calibration)"
         )
     if hasattr(batches, "ndim"):
         batches = [batches]

@@ -509,10 +509,19 @@ def main(argv=None):
 
     # ---- Params ----
     if args.checkpoint:
+        from .models.vit import adapt_config_to_params
         from .params.io import load_checkpoint_auto
 
         params = load_checkpoint_auto(args.checkpoint, args.model, dtype=dtype)
         print(f"Loaded params from {args.checkpoint}")
+        # extended-variant checkpoints (qk-norm / pooled head / registers)
+        # carry their semantics in the tree, not the model name
+        adapted = adapt_config_to_params(config, params)
+        if adapted != config:
+            config = adapted
+            print("Adapted config to checkpoint variant: "
+                  f"qk_norm={config.qk_norm} global_pool={config.global_pool} "
+                  f"reg_tokens={config.reg_tokens}")
     else:
         params = init_params(jax.random.key(args.seed), config, dtype)
         print("WARNING: no --checkpoint given; using randomly initialized "

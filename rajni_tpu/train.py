@@ -424,9 +424,11 @@ def main(argv=None):
     dtype = jnp.float32 if args.dtype == "float32" else jnp.bfloat16
 
     if args.checkpoint:
+        from .models.vit import adapt_config_to_params
         from .params.io import load_params
 
         params = load_params(args.checkpoint, dtype=dtype)
+        config = adapt_config_to_params(config, params)
     else:
         params = init_params(jax.random.key(args.seed), config, dtype)
 

@@ -118,7 +118,9 @@ def schedule_to_dict(schedule: Schedule) -> dict[int, dict]:
     }
 
 
-def token_count_trace(num_tokens: int, schedule: Schedule) -> list[int]:
+def token_count_trace(
+    num_tokens: int, schedule: Schedule, num_prefix: int = 1
+) -> list[int]:
     """Token count at *entry* of each block (reference model.py:43).
 
     Because ``keep`` depends only on the static schedule and the incoming
@@ -126,13 +128,17 @@ def token_count_trace(num_tokens: int, schedule: Schedule) -> list[int]:
     compile-time constant; this reproduces the reference's per-forward
     ``get_last_stats()["token_counts"]`` without running the model
     (reference model.py:25-28, model.py:68).
+
+    ``num_prefix`` is the always-kept CLS[+registers] prefix (1 = the
+    reference's CLS-only semantics).
     """
     counts = []
     n = num_tokens
     for spec in schedule:
         counts.append(n)
         if spec is not None:
-            n = keep_count(spec.keep_ratio, n) + 1  # kept patches + CLS
+            # kept patches + prefix
+            n = keep_count(spec.keep_ratio, n, num_prefix) + num_prefix
     return counts
 
 
@@ -153,7 +159,9 @@ def main(argv=None) -> None:
 
     config = get_config(args.model)
     schedule = load_schedule(args.schedule, config.depth)
-    counts = token_count_trace(config.num_tokens, schedule)
+    counts = token_count_trace(
+        config.num_tokens, schedule, config.num_prefix_tokens
+    )
     print(_json.dumps({
         "model": args.model,
         "schedule": schedule_to_dict(schedule),

@@ -42,7 +42,7 @@ def predict_speedup(config: ViTConfig, schedule) -> float:
     """Analytic token-work speedup of ``schedule`` vs unpruned (≥1 for any
     real pruning schedule; the measured fused-path ceiling)."""
     norm = normalize_schedule(schedule, config.depth)
-    trace = token_count_trace(config.num_tokens, norm)
+    trace = token_count_trace(config.num_tokens, norm, config.num_prefix_tokens)
     return flops_per_image(config) / flops_per_image(config, trace)
 
 
@@ -119,7 +119,7 @@ def propose_schedule(
         "keep_ratio": r,
         "achieved": round(predict_speedup(config, schedule), 4),
         "reachable": reachable,
-        "token_counts": token_count_trace(config.num_tokens, norm),
+        "token_counts": token_count_trace(config.num_tokens, norm, config.num_prefix_tokens),
     }
     return schedule, info
 
@@ -165,7 +165,7 @@ def main(argv=None) -> None:
             norm = normalize_schedule(sched, config.depth)
             s = predict_speedup(config, sched)
             print(f"  {r:4.2f}  {s:6.3f}x  "
-                  f"trace {token_count_trace(config.num_tokens, norm)}")
+                  f"trace {token_count_trace(config.num_tokens, norm, config.num_prefix_tokens)}")
         return
     if args.target is None:
         raise SystemExit("provide --target SPEEDUP (or --sweep)")

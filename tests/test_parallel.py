@@ -271,3 +271,26 @@ def test_tp_pallas_int8_unfit_tail_falls_back(setup, monkeypatch):
     got = np.asarray(tp_apply(x))
     assert np.isfinite(got).all()
     assert np.abs(got - ref32).max() / np.abs(ref32).max() < 0.2
+
+
+def test_dp_tp_extended_variant_matches_single_device():
+    """Extended variants (registers + qk-norm + pooled head) shard: DP and
+    XLA TP both reproduce the single-device forward (param_pspecs carries
+    the fc_norm/reg_token/q_norm leaves; pallas demotes to XLA)."""
+    cfg = ViTConfig(
+        img_size=32, patch_size=16, embed_dim=32, depth=3, num_heads=4,
+        num_classes=10, reg_tokens=2, no_embed_class=True, qk_norm=True,
+        global_pool="avg",
+    )
+    params = init_params(jax.random.key(7), cfg)
+    x = jax.random.normal(jax.random.key(8), (16, 32, 32, 3))
+    want = np.asarray(vit_forward(params, x, cfg, SCHED))
+
+    for data, model, impl in [(8, 1, "xla"), (4, 2, "xla"), (8, 1, "pallas")]:
+        mesh = make_mesh(data=data, model=model)
+        apply = sharded_forward(params, cfg, SCHED, mesh, impl=impl)
+        got = np.asarray(apply(x))
+        np.testing.assert_allclose(
+            got, want, rtol=1e-4, atol=1e-5,
+            err_msg=f"data={data} model={model} impl={impl}",
+        )

@@ -34,32 +34,59 @@ CFG = ViTConfig(
 
 
 class TorchOracleViT(nn.Module):
-    """timm-layout ViT written from the L0 interface spec (SURVEY.md §1)."""
+    """timm-layout ViT written from the L0 interface spec (SURVEY.md §1).
+
+    Covers the extended-variant surface too, each following the documented
+    timm ``VisionTransformer`` semantics: ``qk_norm`` (per-head LayerNorm
+    on q/k before the score matmul), register tokens (prefix after CLS,
+    ``no_embed_class`` patch-only pos-embed applied before the prefix
+    concat), and the pooled heads (``global_pool='avg'`` over the
+    non-prefix tokens, ``fc_norm`` replacing the pre-pool norm)."""
 
     def __init__(self, cfg: ViTConfig, layer_scale: bool = False):
         super().__init__()
         C, P = cfg.embed_dim, cfg.patch_size
         self.cfg = cfg
         self.cls_token = nn.Parameter(torch.randn(1, 1, C) * 0.02)
-        self.pos_embed = nn.Parameter(torch.randn(1, cfg.num_tokens, C) * 0.02)
+        self.pos_embed = nn.Parameter(
+            torch.randn(1, cfg.pos_embed_len, C) * 0.02
+        )
+        if cfg.reg_tokens:
+            self.reg_token = nn.Parameter(
+                torch.randn(1, cfg.reg_tokens, C) * 0.02
+            )
         self.patch_embed = nn.ModuleDict(
             {"proj": nn.Conv2d(cfg.in_chans, C, P, stride=P)}
         )
         self.blocks = nn.ModuleList(
             [self._block(cfg, layer_scale) for _ in range(cfg.depth)]
         )
-        self.norm = nn.LayerNorm(C, eps=cfg.layer_norm_eps)
+        if cfg.fc_norm_resolved:
+            self.norm = nn.Identity()  # timm: no norm weights in the sd
+            self.fc_norm = nn.LayerNorm(C, eps=cfg.layer_norm_eps)
+        else:
+            self.norm = nn.LayerNorm(C, eps=cfg.layer_norm_eps)
         self.head = nn.Linear(C, cfg.num_classes)
 
     @staticmethod
     def _block(cfg, layer_scale):
         C, Hid = cfg.embed_dim, cfg.mlp_hidden
+        attn = nn.ModuleDict(
+            {"qkv": nn.Linear(C, 3 * C), "proj": nn.Linear(C, C)}
+        )
+        if cfg.qk_norm:
+            D = cfg.head_dim
+            attn["q_norm"] = nn.LayerNorm(D, eps=cfg.layer_norm_eps)
+            attn["k_norm"] = nn.LayerNorm(D, eps=cfg.layer_norm_eps)
+            # non-trivial affines so the test would catch a dropped norm
+            with torch.no_grad():
+                for m in (attn["q_norm"], attn["k_norm"]):
+                    m.weight.uniform_(0.5, 1.5)
+                    m.bias.uniform_(-0.2, 0.2)
         block = nn.ModuleDict(
             {
                 "norm1": nn.LayerNorm(C, eps=cfg.layer_norm_eps),
-                "attn": nn.ModuleDict(
-                    {"qkv": nn.Linear(C, 3 * C), "proj": nn.Linear(C, C)}
-                ),
+                "attn": attn,
                 "norm2": nn.LayerNorm(C, eps=cfg.layer_norm_eps),
                 "mlp": nn.ModuleDict(
                     {"fc1": nn.Linear(C, Hid), "fc2": nn.Linear(Hid, C)}
@@ -79,6 +106,9 @@ class TorchOracleViT(nn.Module):
         D = C // H
         qkv = block["attn"]["qkv"](x).reshape(B, N, 3, H, D).permute(2, 0, 3, 1, 4)
         q, k, v = qkv[0], qkv[1], qkv[2]
+        if "q_norm" in block["attn"]:
+            q = block["attn"]["q_norm"](q)
+            k = block["attn"]["k_norm"](k)
         attn = (q @ k.transpose(-2, -1)) * D**-0.5
         attn = attn.softmax(dim=-1)
         out = (attn @ v).transpose(1, 2).reshape(B, N, C)
@@ -86,9 +116,16 @@ class TorchOracleViT(nn.Module):
 
     def forward(self, x):  # x: [B, 3, H, W]
         B = x.shape[0]
+        cfg = self.cfg
         x = self.patch_embed["proj"](x).flatten(2).transpose(1, 2)
-        x = torch.cat([self.cls_token.expand(B, -1, -1), x], dim=1)
-        x = x + self.pos_embed[:, : x.shape[1]]
+        if cfg.no_embed_class:
+            x = x + self.pos_embed
+        prefix = [self.cls_token.expand(B, -1, -1)]
+        if cfg.reg_tokens:
+            prefix.append(self.reg_token.expand(B, -1, -1))
+        x = torch.cat(prefix + [x], dim=1)
+        if not cfg.no_embed_class:
+            x = x + self.pos_embed[:, : x.shape[1]]
         gelu = nn.GELU()  # erf form (timm default)
         for blk in self.blocks:
             out = self._attn(blk, blk["norm1"](x))
@@ -100,7 +137,14 @@ class TorchOracleViT(nn.Module):
                 h = h * blk["ls2"].gamma
             x = x + h
         x = self.norm(x)
-        return self.head(x[:, 0])
+        P = cfg.num_prefix_tokens
+        if cfg.global_pool == "avg":
+            feats = x[:, P:].mean(dim=1)
+        else:
+            feats = x[:, 0]
+        if cfg.fc_norm_resolved:
+            feats = self.fc_norm(feats)
+        return self.head(feats)
 
 
 @pytest.fixture(scope="module")
@@ -152,14 +196,144 @@ def test_depth_mismatch_raises(oracle):
         convert_timm_state_dict(oracle.state_dict(), deep)
 
 
-def test_nontrivial_qk_norm_rejected(oracle):
+def test_qk_norm_without_config_flag_rejected(oracle):
+    """qk-norm weights with a qk_norm=False config must raise (a LayerNorm
+    normalizes even with identity affine weights — silently ignoring the
+    keys would be silently wrong logits); adapt_config is the fix."""
+    from rajni_tpu.params.convert import adapt_config
+
     sd = dict(oracle.state_dict())
-    sd["blocks.0.attn.q_norm.weight"] = torch.rand(CFG.head_dim) + 0.5
-    with pytest.raises(ValueError, match="qk-norm"):
-        convert_timm_state_dict(sd, CFG)
-    # identity-valued qk-norm is fine
     sd["blocks.0.attn.q_norm.weight"] = torch.ones(CFG.head_dim)
-    convert_timm_state_dict(sd, CFG)
+    with pytest.raises(ValueError, match="qk_norm"):
+        convert_timm_state_dict(sd, CFG)
+    assert adapt_config(CFG, sd).qk_norm is True
+    # and the flag without the weights is a mismatch too
+    with pytest.raises(ValueError, match="qk_norm"):
+        convert_timm_state_dict(
+            oracle.state_dict(), dataclass_replace(CFG, qk_norm=True)
+        )
+
+
+# ---------------------------------------------------------------------------
+# Extended timm variants (qk-norm / registers / pooled heads): converted
+# logits must match the torch oracle running the documented timm semantics.
+# ---------------------------------------------------------------------------
+
+
+def _variant_parity(cfg, seed=2, batch=3):
+    torch.manual_seed(seed)
+    oracle = TorchOracleViT(cfg).eval()
+    params = convert_timm_state_dict(oracle.state_dict(), cfg, np.float32)
+    imgs = np.random.default_rng(seed).standard_normal(
+        (batch, cfg.img_size, cfg.img_size, 3)
+    ).astype(np.float32)
+    with torch.no_grad():
+        want = oracle(torch.from_numpy(imgs).permute(0, 3, 1, 2)).numpy()
+    got = np.asarray(vit_forward(params, jnp.asarray(imgs), cfg, None))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+    return oracle, params
+
+
+def test_qk_norm_parity():
+    _variant_parity(dataclass_replace(CFG, qk_norm=True))
+
+
+def test_qk_norm_is_load_bearing():
+    """Dropping the q/k norms from the converted tree must change the
+    logits — guards against a forward that carries but ignores them."""
+    cfg = dataclass_replace(CFG, qk_norm=True)
+    torch.manual_seed(3)
+    oracle = TorchOracleViT(cfg).eval()
+    params = convert_timm_state_dict(oracle.state_dict(), cfg, np.float32)
+    imgs = jnp.asarray(
+        np.random.default_rng(3).standard_normal((2, 32, 32, 3)), jnp.float32
+    )
+    with_norm = np.asarray(vit_forward(params, imgs, cfg, None))
+    stripped = dict(params)
+    stripped["blocks"] = [
+        {**b, "attn": {k: v for k, v in b["attn"].items()
+                       if k in ("qkv", "proj")}}
+        for b in params["blocks"]
+    ]
+    without = np.asarray(vit_forward(stripped, imgs, cfg, None))
+    assert np.abs(with_norm - without).max() > 1e-3
+
+
+def test_register_tokens_parity():
+    _variant_parity(
+        dataclass_replace(CFG, reg_tokens=3, no_embed_class=True)
+    )
+
+
+def test_avg_pool_fc_norm_parity():
+    _variant_parity(dataclass_replace(CFG, global_pool="avg"))
+
+
+def test_avg_pool_without_fc_norm_parity():
+    _variant_parity(
+        dataclass_replace(CFG, global_pool="avg", use_fc_norm=False)
+    )
+
+
+def test_combined_variant_parity():
+    """DINOv2-shaped: registers + qk-norm + avg pool, all at once."""
+    _variant_parity(
+        dataclass_replace(
+            CFG, reg_tokens=2, no_embed_class=True, qk_norm=True,
+            global_pool="avg",
+        )
+    )
+
+
+def test_adapt_config_from_state_dict():
+    from rajni_tpu.params.convert import adapt_config
+
+    cfg = dataclass_replace(
+        CFG, reg_tokens=3, no_embed_class=True, qk_norm=True,
+        global_pool="avg",
+    )
+    torch.manual_seed(4)
+    sd = TorchOracleViT(cfg).state_dict()
+    adapted = adapt_config(CFG, sd)
+    # adapters set use_fc_norm explicitly (fc_norm presence is what the
+    # checkpoint encodes); compare the resolved semantics
+    assert adapted == dataclass_replace(cfg, use_fc_norm=True)
+    assert adapted.fc_norm_resolved == cfg.fc_norm_resolved
+    # and the adapted config converts cleanly
+    params = convert_timm_state_dict(sd, adapted, np.float32)
+    assert "fc_norm" in params and "reg_token" in params
+
+
+def test_adapt_config_to_params():
+    from rajni_tpu.models.vit import adapt_config_to_params
+
+    cfg = dataclass_replace(
+        CFG, reg_tokens=3, no_embed_class=True, qk_norm=True,
+        global_pool="avg",
+    )
+    torch.manual_seed(5)
+    params = convert_timm_state_dict(
+        TorchOracleViT(cfg).state_dict(), cfg, np.float32
+    )
+    assert adapt_config_to_params(CFG, params) == dataclass_replace(
+        cfg, use_fc_norm=True
+    )
+    # classic params leave a classic config untouched
+    torch.manual_seed(5)
+    classic = convert_timm_state_dict(
+        TorchOracleViT(CFG).state_dict(), CFG, np.float32
+    )
+    assert adapt_config_to_params(CFG, classic) == CFG
+
+
+def test_variant_presence_mismatches_raise(oracle):
+    sd = dict(oracle.state_dict())
+    with pytest.raises(ValueError, match="fc_norm"):
+        convert_timm_state_dict(sd, dataclass_replace(CFG, global_pool="avg"))
+    with pytest.raises(ValueError, match="reg"):
+        convert_timm_state_dict(
+            sd, dataclass_replace(CFG, reg_tokens=2, no_embed_class=True)
+        )
 
 
 def test_save_load_roundtrip(oracle, tmp_path):

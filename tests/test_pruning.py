@@ -202,3 +202,58 @@ def test_select_tokens_radix_matches_dense(rng):
                 np.asarray(idx_d), np.asarray(idx_r), f"case {i} keep {keep}")
             np.testing.assert_array_equal(
                 np.asarray(sel_d), np.asarray(sel_r), f"case {i} keep {keep}")
+
+
+def test_select_tokens_prefix_generalization(rng):
+    """num_prefix > 1 (CLS + registers): the prefix occupies the first
+    output slots, is never ranked, and both selectors agree exactly."""
+    import jax.numpy as jnp
+
+    from rajni_tpu.ops.pruning import (
+        keep_count,
+        select_tokens,
+        select_tokens_dense,
+    )
+
+    B, N, P = 3, 21, 4
+    scores = rng.standard_normal((B, N)).astype(np.float32)
+    # adversarial: prefix scores far above and below every patch score —
+    # neither may influence the ranking
+    scores[:, 0] = 100.0
+    scores[:, 1] = -100.0
+    scores[:, 2] = 50.0
+    scores[:, 3] = -50.0
+    s = jnp.asarray(scores)
+
+    keep = keep_count(0.5, N, P)  # = max(1, int(0.5 * 17)) = 8
+    assert keep == 8
+
+    idx = np.asarray(select_tokens(s, keep, num_prefix=P))
+    assert idx.shape == (B, keep + P)
+    np.testing.assert_array_equal(idx[:, :P], np.tile(np.arange(P), (B, 1)))
+    assert (idx[:, P:] >= P).all()
+    # ascending order, and exactly the top-keep patch scores
+    assert (np.diff(idx[:, P:], axis=1) > 0).all()
+    for b in range(B):
+        want = np.sort(
+            np.argsort(-scores[b, P:], kind="stable")[:keep] + P
+        )
+        np.testing.assert_array_equal(idx[b, P:], want)
+
+    idx_d, sel_d = select_tokens_dense(s, keep, jnp.float32, num_prefix=P)
+    np.testing.assert_array_equal(np.asarray(idx_d), idx)
+    # selection matrix gathers the same rows
+    gathered = np.asarray(sel_d) @ scores[..., None]
+    np.testing.assert_allclose(
+        gathered[..., 0], np.take_along_axis(scores, idx, axis=1)
+    )
+
+
+def test_keep_count_prefix_arithmetic():
+    from rajni_tpu.ops.pruning import keep_count
+
+    # reference semantics unchanged at prefix 1
+    assert keep_count(0.95, 197) == 186
+    # registers: ratio applies to the patch count only
+    assert keep_count(0.5, 201, 5) == 98
+    assert keep_count(0.001, 201, 5) == 1  # floors at one patch

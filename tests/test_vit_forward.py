@@ -234,3 +234,142 @@ def test_get_config_name_grammar():
         get_config("swin_base_patch4_window7_224")
     with pytest.raises(ValueError, match="unknown model"):
         get_config("vit_base_patch16_225")  # 225 % 16 != 0
+
+
+# ---------------------------------------------------------------------------
+# Extended timm variants: pruning with a CLS+registers prefix, pooled heads,
+# qk-norm — forward-level semantics (converter parity lives in test_params).
+# ---------------------------------------------------------------------------
+
+
+REG = ViTConfig(
+    img_size=32, patch_size=8, embed_dim=32, depth=4, num_heads=4,
+    num_classes=7, reg_tokens=3, no_embed_class=True,
+)
+
+
+def test_register_pruned_trace_and_demotion(rng):
+    """Registers are prefix tokens: keep = ratio × patches, trace adds the
+    prefix back, and impl="pallas" demotes to the identical XLA program."""
+    params = init_params(jax.random.key(1), REG)
+    sched = normalize_schedule(
+        {1: {"keep_ratio": 0.5}, 2: {"keep_ratio": 0.5, "update": False}},
+        REG.depth,
+    )
+    # 16 patches + 4 prefix = 20; block1: int(0.5·16)=8 → 12; block2:
+    # int(0.5·8)=4 → 8
+    assert model_stats(REG, sched)["token_counts"] == [20, 20, 12, 8]
+
+    x = _images(rng, 2, REG)
+    a = vit_forward(params, x, REG, sched, impl="xla")
+    b = vit_forward(params, x, REG, sched, impl="pallas")  # demoted
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert a.shape == (2, 7)
+    assert np.isfinite(np.asarray(a)).all()
+
+
+def test_register_rows_survive_pruning(rng):
+    """All prefix rows reach the head untouched by selection: with keep=1
+    the surviving sequence is exactly [CLS, reg×3, best patch]."""
+    from rajni_tpu.models.vit import vit_activations
+
+    params = init_params(jax.random.key(2), REG)
+    sched = normalize_schedule({1: {"keep_ratio": 1e-9}}, REG.depth)
+    acts, _ = vit_activations(params, _images(rng, 2, REG), REG, sched)
+    # block 1 output: 4 prefix + max(1, 0) = 5 tokens
+    assert acts[1].shape[1] == 5
+
+
+def test_pooled_head_with_pruning(rng):
+    """avg pool runs over the surviving patch tokens (prefix excluded)."""
+    cfg = ViTConfig(
+        img_size=32, patch_size=8, embed_dim=32, depth=3, num_heads=4,
+        num_classes=7, global_pool="avg",
+    )
+    params = init_params(jax.random.key(3), cfg)
+    sched = normalize_schedule({1: {"keep_ratio": 0.5}}, cfg.depth)
+    logits = vit_forward(params, _images(rng, 2, cfg), cfg, sched)
+    assert logits.shape == (2, 7)
+    assert np.isfinite(np.asarray(logits)).all()
+
+    # fc_norm forward must differ from a token-pool forward on the same
+    # weights (same tree shape modulo the norm key) — guards against the
+    # pool silently reading CLS
+    params_tok = dict(params)
+    params_tok["norm"] = params_tok.pop("fc_norm")
+    cfg_tok = ViTConfig(
+        img_size=32, patch_size=8, embed_dim=32, depth=3, num_heads=4,
+        num_classes=7,
+    )
+    tok = vit_forward(params_tok, _images(rng, 2, cfg_tok), cfg_tok, sched)
+    assert np.abs(np.asarray(tok) - np.asarray(logits)).max() > 1e-4
+
+
+def test_quantized_qk_norm_forward(rng):
+    """int8 quantization keeps the q/k norms in the tree and the (demoted)
+    forward still applies them."""
+    from rajni_tpu.quant import quantize_params
+
+    cfg = ViTConfig(
+        img_size=32, patch_size=8, embed_dim=32, depth=3, num_heads=4,
+        num_classes=7, qk_norm=True,
+    )
+    params = init_params(jax.random.key(4), cfg)
+    qparams = quantize_params(params)
+    assert "q_norm" in qparams["blocks"][0]["attn"]
+
+    sched = normalize_schedule({1: {"keep_ratio": 0.5}}, cfg.depth)
+    x = _images(rng, 2, cfg)
+    full = vit_forward(params, x, cfg, sched)
+    quant = vit_forward(qparams, x, cfg, sched, impl="pallas")  # demoted
+    assert np.isfinite(np.asarray(quant)).all()
+    # int8 weight error is bounded; wildly-off logits would mean the norms
+    # were dropped on one side
+    assert np.abs(np.asarray(full) - np.asarray(quant)).max() < 1.0
+
+
+def test_extended_config_guards(rng):
+    """Paths that re-derive the classic semantics reject extended configs
+    instead of silently mis-running them."""
+    import jax as _jax
+
+    from rajni_tpu.parallel.pipeline import make_pipe_mesh, pipeline_forward
+    from rajni_tpu.quant import calibrate_act_scales
+
+    params = init_params(jax.random.key(5), REG)
+    with pytest.raises(ValueError, match="classic"):
+        mesh = make_pipe_mesh(pipe=2)
+        pipeline_forward(params, REG, None, mesh)
+    with pytest.raises(ValueError, match="XLA path"):
+        calibrate_act_scales(
+            params, _images(np.random.default_rng(0), 2, REG), REG
+        )
+
+
+def test_extended_variant_grads_flow(rng):
+    """Fine-tuning an extended variant: gradients reach the new leaves
+    (q/k norms, fc_norm, reg_token) and are finite everywhere."""
+    cfg = ViTConfig(
+        img_size=32, patch_size=8, embed_dim=32, depth=2, num_heads=4,
+        num_classes=5, reg_tokens=2, no_embed_class=True, qk_norm=True,
+        global_pool="avg",
+    )
+    params = init_params(jax.random.key(6), cfg)
+    x = _images(rng, 4, cfg)
+    labels = jnp.array([0, 1, 2, 3])
+    sched = normalize_schedule({1: {"keep_ratio": 0.5}}, cfg.depth)
+
+    def loss(p):
+        logits = vit_forward(p, x, cfg, sched)
+        return -jnp.mean(
+            jax.nn.log_softmax(logits)[jnp.arange(4), labels]
+        )
+
+    g = jax.grad(loss)(params)
+    assert all(
+        bool(jnp.isfinite(leaf).all())
+        for leaf in jax.tree_util.tree_leaves(g)
+    )
+    assert float(jnp.abs(g["blocks"][0]["attn"]["q_norm"]["scale"]).max()) > 0
+    assert float(jnp.abs(g["fc_norm"]["scale"]).max()) > 0
+    assert float(jnp.abs(g["reg_token"]).max()) > 0
