@@ -69,6 +69,7 @@ class ViTConfig:
     # modeled correctly, with the pruning semantics generalized: the
     # *prefix* (CLS + registers) is always kept and never ranked. --
     reg_tokens: int = 0  # DINOv2-style register tokens after CLS
+    distilled: bool = False  # DeiT distillation token + second head
     no_embed_class: bool = False  # pos-embed covers patches only (timm flag)
     qk_norm: bool = False  # per-head LayerNorm on q and k (ViT-22B style)
     global_pool: str = "token"  # "token" (CLS head) or "avg" (patch mean)
@@ -84,8 +85,9 @@ class ViTConfig:
 
     @property
     def num_prefix_tokens(self) -> int:
-        """Always-kept leading tokens: CLS + registers (timm naming)."""
-        return 1 + self.reg_tokens
+        """Always-kept leading tokens: CLS [+ distillation token]
+        [+ registers] (timm naming and ordering)."""
+        return 1 + int(self.distilled) + self.reg_tokens
 
     @property
     def num_tokens(self) -> int:
@@ -118,7 +120,7 @@ class ViTConfig:
         correctness over speed, same rule as the per-kernel VMEM refusals.
         Pooled heads are fine (the head is XLA on every path).
         """
-        return self.reg_tokens == 0 and not self.qk_norm
+        return self.num_prefix_tokens == 1 and not self.qk_norm
 
     @property
     def head_dim(self) -> int:
@@ -195,15 +197,16 @@ def _parse_model_name(name: str) -> ViTConfig | None:
     import re
 
     m = re.fullmatch(
-        r"(vit|deit|deit3)_([a-z]+)_patch(\d+)(?:_reg(\d+))?_(\d+)", name
+        r"(vit|deit|deit3)_([a-z]+)(_distilled)?_patch(\d+)(?:_reg(\d+))?_(\d+)",
+        name,
     )
     if m is None or m.group(2) not in _SIZE_WORDS:
         return None
     dim, depth, heads, mlp_ratio = _SIZE_WORDS[m.group(2)]
-    patch, img = int(m.group(3)), int(m.group(5))
+    patch, img = int(m.group(4)), int(m.group(6))
     if img % patch:
         return None
-    reg = int(m.group(4)) if m.group(4) else 0
+    reg = int(m.group(5)) if m.group(5) else 0
     return ViTConfig(
         img_size=img,
         patch_size=patch,
@@ -212,6 +215,7 @@ def _parse_model_name(name: str) -> ViTConfig | None:
         num_heads=heads,
         mlp_ratio=mlp_ratio,
         reg_tokens=reg,
+        distilled=m.group(3) is not None,
         no_embed_class=reg > 0,
         # deit3 trains with LayerScale (timm init_values=1e-6); the actual
         # gammas come from the checkpoint, this only shapes init_params.
@@ -252,6 +256,8 @@ def adapt_config_to_params(config: ViTConfig, params: Params) -> ViTConfig:
     if "fc_norm" in params and "norm" not in params:
         kw["global_pool"] = "avg"
         kw["use_fc_norm"] = True
+    if "dist_token" in params:
+        kw["distilled"] = True
     if "reg_token" in params:
         kw["reg_tokens"] = int(params["reg_token"].shape[1])
         kw["no_embed_class"] = True
@@ -310,6 +316,9 @@ def init_params(
     # Pooled-head configs move the final norm after pooling (timm fc_norm;
     # the pre-pool `norm` is Identity there and carries no weights).
     params["fc_norm" if config.fc_norm_resolved else "norm"] = norm()
+    if config.distilled:
+        params["dist_token"] = jnp.zeros((1, 1, C), dtype)
+        params["head_dist"] = dense(next(keys), C, config.num_classes)
     if config.reg_tokens:
         params["reg_token"] = jnp.zeros((1, config.reg_tokens, C), dtype)
 
@@ -556,6 +565,10 @@ def vit_forward(
         # BEFORE the prefix concat (DINOv2 / register variants).
         x = x + params["pos_embed"][:, : x.shape[1]]
     prefix = [jnp.broadcast_to(params["cls_token"], (B, 1, config.embed_dim))]
+    if config.distilled:
+        prefix.append(
+            jnp.broadcast_to(params["dist_token"], (B, 1, config.embed_dim))
+        )
     if config.reg_tokens:
         prefix.append(
             jnp.broadcast_to(
@@ -914,6 +927,20 @@ def classifier_head(
     """
     eps = config.layer_norm_eps
     n_prefix = config.num_prefix_tokens
+    if config.distilled:
+        # DeiT inference head (timm): mean of the CLS head and the
+        # distillation head on their respective (normed) prefix rows.
+        y = layer_norm(x[:, 0:2], params["norm"], eps)
+        cls_logits = _head_matmul(
+            y[:, 0], params["head"], config, act_scales, impl
+        )
+        # act_scales.head is calibrated on the CLS feature; the dist head
+        # always quantizes dynamically (calibration rejects non-classic
+        # configs anyway, so act_scales is None here in practice)
+        dist_logits = _head_matmul(
+            y[:, 1], params["head_dist"], config, None, impl
+        )
+        return ((cls_logits + dist_logits) * 0.5).astype(cls_logits.dtype)
     if config.fc_norm_resolved:
         if config.global_pool == "avg":
             pooled = jnp.mean(
@@ -932,7 +959,18 @@ def classifier_head(
         # normalizing just the CLS row skips a full-sequence pass
         # bit-exactly.
         cls_out = layer_norm(x[:, 0:1], params["norm"], eps)[:, 0]
-    head = params["head"]
+    return _head_matmul(cls_out, params["head"], config, act_scales, impl)
+
+
+def _head_matmul(
+    feat: jax.Array,
+    head: Params,
+    config: ViTConfig,
+    act_scales=None,
+    impl: str = "xla",
+) -> jax.Array:
+    """``[B, C] @ head`` with the int8/static-quantize rules of the
+    classifier head (shared by the CLS and DeiT distillation heads)."""
     from ..quant import is_quantized
 
     if is_quantized(head["kernel"]):
@@ -943,7 +981,7 @@ def classifier_head(
         # matmul needs no Pallas kernel.
         from ..kernels.math import quantize_rows, quantize_static
 
-        cls32 = cls_out.astype(jnp.float32)
+        cls32 = feat.astype(jnp.float32)
         if act_scales is not None and impl == "pallas":
             # static head only on the kernel route: the documented
             # contract is that impl="xla" + act_scales stays fully
@@ -959,8 +997,8 @@ def classifier_head(
         logits = acc * a_scale * head["kernel"]["scale"] + head[
             "bias"
         ].astype(jnp.float32)
-        return logits.astype(cls_out.dtype)
-    return cls_out @ head["kernel"] + head["bias"]
+        return logits.astype(feat.dtype)
+    return feat @ head["kernel"] + head["bias"]
 
 
 def vit_activations(

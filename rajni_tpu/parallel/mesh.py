@@ -218,12 +218,21 @@ def param_pspecs(params: Any) -> Any:
             "bias": P(),
         },
     }
-    # extended-variant leaves (pooled heads / registers): tiny, replicated
+    # extended-variant leaves (pooled heads / registers / distillation):
+    # tiny, replicated
     out["fc_norm" if "fc_norm" in params else "norm"] = {
         "scale": P(), "bias": P()
     }
     if "reg_token" in params:
         out["reg_token"] = P()
+    if "dist_token" in params:
+        out["dist_token"] = P()
+        out["head_dist"] = {
+            "kernel": _maybe_quantized_spec(
+                params["head_dist"]["kernel"], P()
+            ),
+            "bias": P(),
+        }
     return out
 
 

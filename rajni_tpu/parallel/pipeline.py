@@ -531,15 +531,16 @@ def _check_classic(config: ViTConfig) -> None:
     heads) are rejected rather than silently mis-run; use DP or XLA TP
     (``sharded_forward``), which route through ``vit_forward`` itself."""
     if (
-        config.reg_tokens
+        config.num_prefix_tokens != 1
         or config.qk_norm
         or config.global_pool != "token"
         or config.fc_norm_resolved
     ):
         raise ValueError(
             "pipeline parallelism supports classic ViT configs only "
-            "(no registers / qk-norm / pooled heads) — use data or "
-            "tensor parallelism for extended variants"
+            "(no registers / distillation token / qk-norm / pooled "
+            "heads) — use data or tensor parallelism for extended "
+            "variants"
         )
 
 

@@ -198,6 +198,13 @@ def convert_timm_state_dict(
             f"{'has' if has_reg else 'lacks'} reg_token but config "
             f"reg_tokens={config.reg_tokens} (use adapt_config)"
         )
+    has_dist = "dist_token" in sd or "head_dist.weight" in sd
+    if has_dist != config.distilled:
+        raise ValueError(
+            f"distillation mismatch: checkpoint "
+            f"{'has' if has_dist else 'lacks'} dist_token/head_dist but "
+            f"config distilled={config.distilled} (use adapt_config)"
+        )
 
     conv_w = _to_numpy(sd["patch_embed.proj.weight"])  # [C, 3, P, P]
     if conv_w.shape != (C, config.in_chans, P, P):
@@ -242,6 +249,9 @@ def convert_timm_state_dict(
         params["fc_norm"] = _norm(sd, "fc_norm")
     else:
         params["norm"] = _norm(sd, "norm")
+    if config.distilled:
+        params["dist_token"] = _to_numpy(sd["dist_token"])
+        params["head_dist"] = _dense(sd, "head_dist")
     if config.reg_tokens:
         reg = _to_numpy(sd["reg_token"])
         if reg.shape != (1, config.reg_tokens, C):
@@ -299,6 +309,8 @@ def convert_timm_state_dict(
         consumed |= {"norm.weight", "norm.bias"}
     if config.reg_tokens:
         consumed.add("reg_token")
+    if config.distilled:
+        consumed |= {"dist_token", "head_dist.weight", "head_dist.bias"}
     for i in range(config.depth):
         p = f"blocks.{i}"
         leaves = ["norm1", "norm2", "attn.qkv", "attn.proj",
@@ -356,6 +368,8 @@ def adapt_config(config: ViTConfig, state_dict: Mapping[str, Any]) -> ViTConfig:
         kw["reg_tokens"] = int(_to_numpy(state_dict["reg_token"]).shape[1])
         # every timm register config uses a patch-only pos-embed
         kw["no_embed_class"] = True
+    if "dist_token" in state_dict or "head_dist.weight" in state_dict:
+        kw["distilled"] = True
     cfg = dataclasses.replace(config, **kw) if kw else config
 
     if "pos_embed" in state_dict and not cfg.reg_tokens:

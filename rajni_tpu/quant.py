@@ -115,6 +115,11 @@ def quantize_params(
         hd = dict(params["head"])
         hd["kernel"] = quantize_weight(hd["kernel"])
         out["head"] = hd
+        if "head_dist" in params:
+            # DeiT distillation head: same int8 treatment as the CLS head
+            hdd = dict(params["head_dist"])
+            hdd["kernel"] = quantize_weight(hdd["kernel"])
+            out["head_dist"] = hdd
     return out
 
 

@@ -51,6 +51,9 @@ class TorchOracleViT(nn.Module):
         self.pos_embed = nn.Parameter(
             torch.randn(1, cfg.pos_embed_len, C) * 0.02
         )
+        if cfg.distilled:
+            self.dist_token = nn.Parameter(torch.randn(1, 1, C) * 0.02)
+            self.head_dist = nn.Linear(C, cfg.num_classes)
         if cfg.reg_tokens:
             self.reg_token = nn.Parameter(
                 torch.randn(1, cfg.reg_tokens, C) * 0.02
@@ -121,6 +124,8 @@ class TorchOracleViT(nn.Module):
         if cfg.no_embed_class:
             x = x + self.pos_embed
         prefix = [self.cls_token.expand(B, -1, -1)]
+        if cfg.distilled:
+            prefix.append(self.dist_token.expand(B, -1, -1))
         if cfg.reg_tokens:
             prefix.append(self.reg_token.expand(B, -1, -1))
         x = torch.cat(prefix + [x], dim=1)
@@ -137,6 +142,9 @@ class TorchOracleViT(nn.Module):
                 h = h * blk["ls2"].gamma
             x = x + h
         x = self.norm(x)
+        if cfg.distilled:
+            # timm DeiT eval head: mean of the two heads
+            return (self.head(x[:, 0]) + self.head_dist(x[:, 1])) / 2
         P = cfg.num_prefix_tokens
         if cfg.global_pool == "avg":
             feats = x[:, P:].mean(dim=1)
@@ -283,6 +291,30 @@ def test_combined_variant_parity():
             global_pool="avg",
         )
     )
+
+
+def test_distilled_deit_parity():
+    """DeiT distillation: dist token joins the always-kept prefix; eval
+    logits are the mean of the CLS and distillation heads (timm deit.py
+    semantics — the reference would read only CLS, model.py:65-66)."""
+    _variant_parity(dataclass_replace(CFG, distilled=True))
+
+
+def test_distilled_adapt_and_trace():
+    from rajni_tpu.models.vit import adapt_config_to_params, model_stats
+    from rajni_tpu.params.convert import adapt_config
+
+    cfg = dataclass_replace(CFG, distilled=True)
+    torch.manual_seed(6)
+    sd = TorchOracleViT(cfg).state_dict()
+    assert adapt_config(CFG, sd).distilled is True
+    params = convert_timm_state_dict(sd, cfg, np.float32)
+    assert adapt_config_to_params(CFG, params).distilled is True
+    # 16 patches + (CLS, dist): keep = int(0.5·16) = 8 → 10 tokens
+    trace = model_stats(cfg, {1: {"keep_ratio": 0.5}})["token_counts"]
+    assert trace == [18, 18, 10]
+    with pytest.raises(ValueError, match="distil"):
+        convert_timm_state_dict(sd, CFG)
 
 
 def test_adapt_config_from_state_dict():

@@ -373,3 +373,24 @@ def test_extended_variant_grads_flow(rng):
     assert float(jnp.abs(g["blocks"][0]["attn"]["q_norm"]["scale"]).max()) > 0
     assert float(jnp.abs(g["fc_norm"]["scale"]).max()) > 0
     assert float(jnp.abs(g["reg_token"]).max()) > 0
+
+
+def test_distilled_int8_head(rng):
+    """Full-int8 quantization covers the distillation head; the (demoted)
+    quantized forward stays close to fp32."""
+    from rajni_tpu.quant import is_quantized, quantize_params
+
+    cfg = ViTConfig(
+        img_size=32, patch_size=8, embed_dim=32, depth=2, num_heads=4,
+        num_classes=5, distilled=True,
+    )
+    params = init_params(jax.random.key(8), cfg)
+    q = quantize_params(params)
+    assert is_quantized(q["head_dist"]["kernel"])
+
+    x = _images(rng, 2, cfg)
+    sched = normalize_schedule({1: {"keep_ratio": 0.5}}, cfg.depth)
+    full = vit_forward(params, x, cfg, sched)
+    quant = vit_forward(q, x, cfg, sched, impl="pallas")  # demoted
+    assert np.isfinite(np.asarray(quant)).all()
+    assert np.abs(np.asarray(full) - np.asarray(quant)).max() < 1.0
