@@ -310,6 +310,18 @@ def main(argv=None) -> None:
     config = get_config(args.model)
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     params = load_params(args.checkpoint, dtype=dtype)
+    # extended-variant checkpoints (qk-norm / pooled head / registers /
+    # distillation) carry their semantics in the param tree, not the model
+    # name — adapt like the eval/train CLIs do, or the baked program would
+    # silently ignore e.g. dist_token/head_dist
+    from .models.vit import adapt_config_to_params
+
+    adapted = adapt_config_to_params(config, params)
+    if adapted != config:
+        config = adapted
+        print("Adapted config to checkpoint variant: "
+              f"qk_norm={config.qk_norm} global_pool={config.global_pool} "
+              f"reg_tokens={config.reg_tokens} distilled={config.distilled}")
     act_scales = None
     if args.act_scales:
         if not args.quantize:

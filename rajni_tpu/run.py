@@ -521,7 +521,8 @@ def main(argv=None):
             config = adapted
             print("Adapted config to checkpoint variant: "
                   f"qk_norm={config.qk_norm} global_pool={config.global_pool} "
-                  f"reg_tokens={config.reg_tokens}")
+                  f"reg_tokens={config.reg_tokens} "
+                  f"distilled={config.distilled}")
     else:
         params = init_params(jax.random.key(args.seed), config, dtype)
         print("WARNING: no --checkpoint given; using randomly initialized "

@@ -283,3 +283,39 @@ def test_export_multi_bucket_int8(tmp_path, rng):
         params, x, CFG, normalize_schedule(SCHED, CFG.depth)
     ))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_export_cli_adapts_variant_checkpoint(tmp_path, rng, capsys):
+    """The export CLI adapts the config to an extended-variant checkpoint
+    (like the eval/train CLIs) — a distilled tree exported under the base
+    model name must bake the dual-head semantics, not silently drop them."""
+    import dataclasses
+    import json
+
+    from rajni_tpu.export import main
+    from rajni_tpu.models.vit import VARIANTS
+    from rajni_tpu.params.io import save_params
+
+    dcfg = dataclasses.replace(CFG, distilled=True)
+    params = init_params(jax.random.key(11), dcfg, jnp.float32)
+    ckpt = str(tmp_path / "d.msgpack")
+    save_params(ckpt, params)
+    sched = tmp_path / "s.json"
+    sched.write_text(json.dumps({"1": {"keep_ratio": 0.5}}))
+    out = str(tmp_path / "d.rajni")
+
+    VARIANTS["_export_toy"] = CFG  # base (non-distilled) name
+    try:
+        main([ckpt, out, "--model", "_export_toy", "--schedule", str(sched),
+              "--batch", "2", "--dtype", "float32", "--platform", "cpu"])
+    finally:
+        del VARIANTS["_export_toy"]
+    assert "distilled=True" in capsys.readouterr().out
+
+    serve = load_exported(out)
+    x = jnp.asarray(rng.standard_normal((2, 16, 16, 3)), jnp.float32)
+    want = np.asarray(vit_forward(
+        params, x, dcfg, normalize_schedule(SCHED, dcfg.depth)
+    ))
+    np.testing.assert_allclose(np.asarray(serve(x)), want,
+                               rtol=1e-5, atol=1e-6)
