@@ -165,3 +165,177 @@ def test_update_false_reuse_changes_result(oracle, rng):
     a = np.asarray(vit_forward(params, imgs, CFG, reuse))
     b = np.asarray(vit_forward(params, imgs, CFG, rescore))
     assert not np.allclose(a, b)
+
+
+# ---------------------------------------------------------------------------
+# Extended-variant pruning: the same independent torch re-derivation,
+# generalized exactly the way the JAX side documents it (CLAUDE.md /
+# ops/pruning.py): the CLS[+dist][+register] prefix is always kept and never
+# ranked, keep = max(1, int(ratio * patches)), the scorer's CLS row sees the
+# per-head-normed q/k under qk_norm, and the pooled/distilled heads read the
+# *surviving* tokens. The reference itself silently misbehaves on these
+# configs (attention.py:8-12 drops q_norm/k_norm; model.py:65-66 reads only
+# CLS) — these tests pin our *documented* generalization instead.
+
+
+def torch_importance_ext(qkv, attn_mod, num_heads, eps=1e-6):
+    """C1 semantics with the qk-norm generalization (scorer follows the
+    attention the model actually computes; raw v, as in timm)."""
+    B, N, three_c = qkv.shape
+    C = three_c // 3
+    D = C // num_heads
+    q, k, v = (
+        qkv.reshape(B, N, 3, num_heads, D).permute(2, 0, 3, 1, 4).unbind(0)
+    )
+    if "q_norm" in attn_mod:
+        q = attn_mod["q_norm"](q)
+        k = attn_mod["k_norm"](k)
+    attn = torch.softmax(
+        (q[:, :, 0:1] @ k.transpose(-2, -1)) / D**0.5, dim=-1
+    )
+    a_cls = attn.mean(dim=1)[:, 0]
+    V = v.mean(dim=1)
+    V = V - V.mean(dim=1, keepdim=True)
+    vn = V.norm(dim=-1)
+    z = (vn - vn.mean(dim=1, keepdim=True)) / (
+        vn.std(dim=1, keepdim=True) + eps
+    )
+    return a_cls * torch.sigmoid(z)
+
+
+def torch_pruned_forward_ext(oracle: TorchOracleViT, x, schedule):
+    """RAJNI pruned forward generalized to the extended-variant surface."""
+    cfg = oracle.cfg
+    H = cfg.num_heads
+    P = cfg.num_prefix_tokens
+    B = x.shape[0]
+    x = oracle.patch_embed["proj"](x).flatten(2).transpose(1, 2)
+    if cfg.no_embed_class:
+        x = x + oracle.pos_embed
+    prefix = [oracle.cls_token.expand(B, -1, -1)]
+    if cfg.distilled:
+        prefix.append(oracle.dist_token.expand(B, -1, -1))
+    if cfg.reg_tokens:
+        prefix.append(oracle.reg_token.expand(B, -1, -1))
+    x = torch.cat(prefix + [x], dim=1)
+    if not cfg.no_embed_class:
+        x = x + oracle.pos_embed[:, : x.shape[1]]
+
+    gelu = torch.nn.GELU()
+    scores = None
+    token_counts = []
+    for i, blk in enumerate(oracle.blocks):
+        token_counts.append(x.shape[1])
+        if i in schedule:
+            spec = schedule[i]
+            x_norm = blk["norm1"](x)
+            qkv = blk["attn"]["qkv"](x_norm)
+            if spec.get("update", True) or scores is None:
+                scores = torch_importance_ext(qkv, blk["attn"], H)
+            N = x.shape[1]
+            keep = max(1, int(spec["keep_ratio"] * (N - P)))
+            _, idx = torch.topk(scores[:, P:], keep, dim=1)
+            idx, _ = torch.sort(idx, dim=1)
+            keep_idx = torch.cat(
+                [
+                    torch.arange(P, dtype=idx.dtype)
+                    .unsqueeze(0)
+                    .expand(B, -1),
+                    idx + P,
+                ],
+                dim=1,
+            )
+            qkv = torch.gather(
+                qkv, 1, keep_idx[..., None].expand(-1, -1, qkv.shape[-1])
+            )
+            Np = qkv.shape[1]
+            D = cfg.embed_dim // H
+            q, k, v = (
+                qkv.reshape(B, Np, 3, H, D).permute(2, 0, 3, 1, 4).unbind(0)
+            )
+            if "q_norm" in blk["attn"]:
+                q = blk["attn"]["q_norm"](q)
+                k = blk["attn"]["k_norm"](k)
+            attn = torch.softmax(
+                (q @ k.transpose(-2, -1)) * D**-0.5, dim=-1
+            )
+            out = (attn @ v).transpose(1, 2).reshape(B, Np, cfg.embed_dim)
+            out = blk["attn"]["proj"](out)
+            if "ls1" in blk:
+                out = out * blk["ls1"].gamma
+            scores = torch.gather(scores, 1, keep_idx)
+            x = torch.gather(
+                x, 1, keep_idx[..., None].expand(-1, -1, x.shape[-1])
+            )
+            x = x + out
+            h = blk["mlp"]["fc2"](gelu(blk["mlp"]["fc1"](blk["norm2"](x))))
+            if "ls2" in blk:
+                h = h * blk["ls2"].gamma
+            x = x + h
+        else:
+            out = oracle._attn(blk, blk["norm1"](x))
+            if "ls1" in blk:
+                out = out * blk["ls1"].gamma
+            x = x + out
+            h = blk["mlp"]["fc2"](gelu(blk["mlp"]["fc1"](blk["norm2"](x))))
+            if "ls2" in blk:
+                h = h * blk["ls2"].gamma
+            x = x + h
+            scores = None
+
+    x = oracle.norm(x)
+    if cfg.distilled:
+        logits = (oracle.head(x[:, 0]) + oracle.head_dist(x[:, 1])) / 2
+        return logits, token_counts
+    if cfg.global_pool == "avg":
+        feats = x[:, P:].mean(dim=1)
+    else:
+        feats = x[:, 0]
+    if cfg.fc_norm_resolved:
+        feats = oracle.fc_norm(feats)
+    return oracle.head(feats), token_counts
+
+
+def _ext_pruned_parity(cfg, layer_scale=False, seed=11):
+    torch.manual_seed(seed)
+    oracle = TorchOracleViT(cfg, layer_scale=layer_scale).eval()
+    params = convert_timm_state_dict(oracle.state_dict(), cfg, np.float32)
+    schedule = normalize_schedule(SCHEDULE, cfg.depth)
+    imgs = np.random.default_rng(seed).standard_normal(
+        (3, cfg.img_size, cfg.img_size, 3)
+    ).astype(np.float32)
+
+    with torch.no_grad():
+        want, token_counts = torch_pruned_forward_ext(
+            oracle, torch.from_numpy(imgs).permute(0, 3, 1, 2), SCHEDULE
+        )
+
+    got = np.asarray(
+        vit_forward(params, jnp.asarray(imgs), cfg, schedule)
+    )
+    np.testing.assert_allclose(got, want.numpy(), rtol=1e-4, atol=2e-4)
+    assert model_stats(cfg, schedule)["token_counts"] == token_counts
+
+
+def test_pruned_distilled_matches_torch_oracle():
+    import dataclasses
+
+    _ext_pruned_parity(dataclasses.replace(CFG, distilled=True))
+
+
+def test_pruned_registers_qk_norm_matches_torch_oracle():
+    import dataclasses
+
+    _ext_pruned_parity(
+        dataclasses.replace(
+            CFG, reg_tokens=3, no_embed_class=True, qk_norm=True,
+            use_layer_scale=True,
+        ),
+        layer_scale=True,
+    )
+
+
+def test_pruned_avg_pool_matches_torch_oracle():
+    import dataclasses
+
+    _ext_pruned_parity(dataclasses.replace(CFG, global_pool="avg"))
