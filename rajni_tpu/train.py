@@ -283,6 +283,11 @@ def main(argv=None):
                    help="ImageFolder training root")
     p.add_argument("--synthetic", action="store_true",
                    help="Train on synthetic data (pipeline smoke/benchmark)")
+    p.add_argument("--shuffle", action="store_true",
+                   help="Reshuffle the training set each pass (seeded by "
+                        "--seed + pass index; --resume replays the exact "
+                        "same order). Off by default to match the "
+                        "deterministic eval-order protocol")
     p.add_argument("--model", type=str, default="vit_base_patch16_224")
     p.add_argument("--schedule", type=str, default=None,
                    help="Pruning schedule JSON to train through")
@@ -579,11 +584,29 @@ def main(argv=None):
         print(f"training on {len(dataset)} images, "
               f"{len(dataset.classes)} classes")
 
+        base_samples = list(dataset.samples)
+        bpe = max(len(dataset) // local_batch, 1)  # full batches per pass
+        # with --shuffle each pass has its own order, so resume must also
+        # restart the generator at the interrupted PASS (unshuffled passes
+        # are identical, so pass 0 suffices there)
+        start_pass = (start_step // bpe) if args.shuffle else 0
+
         def batches():
+            pass_idx = start_pass
             while True:
+                if args.shuffle:
+                    # deterministic per-pass order keyed on (seed, pass):
+                    # --resume regenerates the identical permutation, so
+                    # the resumed data stream is exact (pinned in
+                    # tests/test_train.py::test_train_cli_resume_shuffle)
+                    perm = np.random.default_rng(
+                        [args.seed, pass_idx]
+                    ).permutation(len(base_samples))
+                    dataset.samples = [base_samples[j] for j in perm]
                 for im, lb in loader:
                     if im.shape[0] == local_batch:  # static shapes only
                         yield im, lb.astype(np.int32)
+                pass_idx += 1
         batch_iter = batches()
 
         if start_step:
@@ -592,8 +615,7 @@ def main(argv=None):
             # no training) to where step start_step+1 would have read.
             # Each host skips within its OWN shard, matching what its
             # uninterrupted generator would have been yielding.
-            bpe = len(dataset) // local_batch  # full batches per pass
-            skip = start_step % max(bpe, 1)
+            skip = start_step % bpe
             if skip:
                 print(f"resume: fast-forwarding the data stream {skip} "
                       f"batches (decode-only)")

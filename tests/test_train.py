@@ -672,3 +672,81 @@ def test_train_cli_orbax_distributed_rejected(tmp_path):
         main(["--synthetic", "--model", "vit_tiny_patch16_64",
               "--schedule", str(sched), "--steps", "1",
               "--distributed", "--state_backend", "orbax"])
+
+def _write_image_folder(root, rng, classes=("a", "b"), per_class=3,
+                        size=80):
+    from PIL import Image
+
+    for cls in classes:
+        d = root / cls
+        d.mkdir(parents=True)
+        for i in range(per_class):
+            arr = rng.integers(0, 256, (size, size, 3), dtype=np.uint8)
+            Image.fromarray(arr, "RGB").save(d / f"{i}.png")
+
+
+def test_train_cli_shuffle_changes_the_stream(tmp_path):
+    """--shuffle must actually reorder the data: same seed, same steps,
+    shuffled vs unshuffled runs land on different params (the ImageFolder
+    is class-sorted, so unshuffled batches are class-homogeneous)."""
+    import json as _json
+
+    from rajni_tpu.params.io import load_params
+    from rajni_tpu.train import main
+
+    data = tmp_path / "train"
+    _write_image_folder(data, np.random.default_rng(2))
+    sched = tmp_path / "s.json"
+    sched.write_text(_json.dumps({"1": {"keep_ratio": 0.6}}))
+    base = ["--model", "vit_tiny_patch16_64", "--data_path", str(data),
+            "--schedule", str(sched), "--batch_size", "2", "--steps", "3",
+            "--log_every", "1", "--seed", "0"]
+
+    out_plain = tmp_path / "plain.msgpack"
+    main(base + ["--output", str(out_plain)])
+    out_shuf = tmp_path / "shuf.msgpack"
+    main(base + ["--output", str(out_shuf), "--shuffle"])
+
+    la = jax.tree_util.tree_leaves(load_params(str(out_plain)))
+    lb = jax.tree_util.tree_leaves(load_params(str(out_shuf)))
+    assert any(
+        not np.array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(la, lb)
+    ), "--shuffle did not change the training stream"
+
+
+def test_train_cli_resume_shuffle_exact(tmp_path):
+    """--resume under --shuffle reproduces the uninterrupted run exactly,
+    including across a PASS boundary: the per-pass permutation is keyed on
+    (seed, pass index), and the fast-forward restarts at the interrupted
+    pass (start_pass = step // batches_per_pass)."""
+    import json as _json
+
+    from rajni_tpu.params.io import load_params
+    from rajni_tpu.train import main
+
+    data = tmp_path / "train"
+    _write_image_folder(data, np.random.default_rng(3))
+    sched = tmp_path / "s.json"
+    sched.write_text(_json.dumps({"1": {"keep_ratio": 0.6}}))
+    # 6 images, batch 2 -> 3 full batches/pass; interrupt at step 4 so the
+    # resume restarts INSIDE pass 1 (start_pass=1, skip=1)
+    base = ["--model", "vit_tiny_patch16_64", "--data_path", str(data),
+            "--schedule", str(sched), "--batch_size", "2",
+            "--log_every", "1", "--seed", "0", "--shuffle"]
+
+    out_a = tmp_path / "a.msgpack"
+    main(base + ["--steps", "6", "--output", str(out_a)])
+
+    out_b = tmp_path / "b.msgpack"
+    st = tmp_path / "b.state"
+    main(base + ["--steps", "4", "--output", str(out_b),
+                 "--save_state_every", "4", "--state_path", str(st)])
+    main(base + ["--steps", "6", "--output", str(out_b),
+                 "--resume", str(st)])
+
+    for la, lb in zip(
+        jax.tree_util.tree_leaves(load_params(str(out_a))),
+        jax.tree_util.tree_leaves(load_params(str(out_b))),
+    ):
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
