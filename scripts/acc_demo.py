@@ -1,0 +1,221 @@
+"""In-environment demonstration of the ACCURACY half of the north star.
+
+BASELINE.json's target is "≥2× img/s at ≤0.5% top-1 drop" — the throughput
+half is measured by bench.py / scripts/bench_suite.py on the real chip, but
+the accuracy half needs *trained weights*, and this environment has no
+ImageNet or pretrained checkpoints (the attestation harness in
+``rajni_tpu/attest.py`` + ``scripts/capture_reference_fixture.py`` covers
+that path the moment weights exist). This script closes the demonstration
+gap entirely in-environment:
+
+1. Generates a procedural 8-class shape-classification dataset (ImageFolder
+   layout, PNG, 96×96 — exercising the real decode→resize→crop pipeline,
+   reference run.py:62-70 geometry scaled to the model's resolution).
+2. Trains ``vit_tiny_patch16_64`` from scratch with the framework's own
+   train CLI (``rajni_tpu.train`` — shuffled passes, cosine LR, in-training
+   validation).
+3. Evaluates the trained checkpoint base-vs-pruned with the framework's own
+   eval CLI (``rajni_tpu.run --compare_base``), i.e. the exact protocol the
+   reference's run.py:97-110/150-157 defines, and records the top-1 drop.
+4. Optionally fine-tunes *through* the pruning schedule (the capability the
+   reference lacks — its eval is @torch.no_grad, SURVEY.md §5) and records
+   the recovered pruned accuracy.
+
+Writes one JSON artifact (default ``BENCH_ACC.json``) with every number.
+Run anywhere (CPU works; the tiny model trains in ~a minute) — accuracy is
+backend-independent; the throughput fields are informational and tagged
+with the backend they were measured on.
+
+Usage::
+
+    python scripts/acc_demo.py --work_dir /tmp/acc_demo --steps 400
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+# 8 distinguishable large-scale shapes: robust to the bicubic 96->73
+# resize + center-crop-64 that the vit_*_64 eval pipeline applies.
+CLASS_NAMES = [
+    "0_square", "1_circle", "2_hbar", "3_vbar",
+    "4_plus", "5_cross", "6_ring", "7_checker",
+]
+
+
+def _draw(cls: int, rng: np.random.Generator, size: int = 96) -> np.ndarray:
+    """One sample: a bright shape at a random position/scale/color on a
+    noisy dark background. Positions stay inside the region that survives
+    the center crop (shorter-side resize 96->73, crop 64 keeps the central
+    ~84×84 of the original)."""
+    img = rng.normal(30.0, 12.0, (size, size, 3))
+    color = rng.uniform(140.0, 255.0, 3)
+    cx, cy = rng.uniform(32.0, size - 32.0, 2)
+    r = rng.uniform(10.0, 16.0)
+    yy, xx = np.mgrid[0:size, 0:size]
+    dx, dy = xx - cx, yy - cy
+    if cls == 0:  # filled square
+        m = (np.abs(dx) < r) & (np.abs(dy) < r)
+    elif cls == 1:  # filled circle
+        m = dx**2 + dy**2 < r**2
+    elif cls == 2:  # horizontal bar
+        m = (np.abs(dy) < r / 2.5) & (np.abs(dx) < 2.2 * r)
+    elif cls == 3:  # vertical bar
+        m = (np.abs(dx) < r / 2.5) & (np.abs(dy) < 2.2 * r)
+    elif cls == 4:  # plus
+        m = ((np.abs(dx) < r / 2.8) | (np.abs(dy) < r / 2.8)) \
+            & (np.abs(dx) < 1.6 * r) & (np.abs(dy) < 1.6 * r)
+    elif cls == 5:  # diagonal cross
+        m = ((np.abs(dx - dy) < r / 2.2) | (np.abs(dx + dy) < r / 2.2)) \
+            & (dx**2 + dy**2 < (1.6 * r) ** 2)
+    elif cls == 6:  # ring
+        d2 = dx**2 + dy**2
+        m = (d2 < (1.4 * r) ** 2) & (d2 > (0.8 * r) ** 2)
+    else:  # 7: 2x2 checker
+        m = ((dx * dy) > 0) & (np.abs(dx) < 1.4 * r) & (np.abs(dy) < 1.4 * r)
+    img[m] = color
+    img += rng.normal(0.0, 8.0, img.shape)
+    return np.clip(img, 0.0, 255.0).astype(np.uint8)
+
+
+def make_dataset(root: Path, per_class: int, seed: int,
+                 size: int = 96) -> int:
+    from PIL import Image
+
+    rng = np.random.default_rng(seed)
+    for ci, name in enumerate(CLASS_NAMES):
+        d = root / name
+        d.mkdir(parents=True, exist_ok=True)
+        for i in range(per_class):
+            Image.fromarray(_draw(ci, rng, size), "RGB").save(
+                d / f"{i:04d}.png"
+            )
+    return per_class * len(CLASS_NAMES)
+
+
+DEFAULT_SCHEDULE = {  # schedule.json's ratios (reference schedule.json:1-7)
+    "3": {"keep_ratio": 0.95, "update": False},
+    "4": {"keep_ratio": 0.95, "update": True},
+    "5": {"keep_ratio": 0.85, "update": True},
+    "6": {"keep_ratio": 0.85, "update": True},
+    "7": {"keep_ratio": 0.95, "update": True},
+}
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser("north-star accuracy demonstration")
+    p.add_argument("--work_dir", default="/tmp/rajni_acc_demo")
+    p.add_argument("--model", default="vit_tiny_patch16_64")
+    p.add_argument("--train_per_class", type=int, default=200)
+    p.add_argument("--val_per_class", type=int, default=50)
+    p.add_argument("--steps", type=int, default=400)
+    p.add_argument("--finetune_steps", type=int, default=100,
+                   help="fine-tune THROUGH the schedule after the base "
+                        "eval; 0 skips the recovery experiment")
+    p.add_argument("--batch_size", type=int, default=64)
+    p.add_argument("--lr", type=float, default=5e-4)
+    p.add_argument("--schedule", default=None,
+                   help="pruning schedule JSON path; default: the "
+                        "reference schedule.json ratios")
+    p.add_argument("--out", default="BENCH_ACC.json")
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args(argv)
+
+    from rajni_tpu import run as eval_cli
+    from rajni_tpu import train as train_cli
+
+    work = Path(args.work_dir)
+    train_dir, val_dir = work / "train", work / "val"
+    if not (train_dir / CLASS_NAMES[0]).exists():
+        n_tr = make_dataset(train_dir, args.train_per_class, args.seed)
+        n_va = make_dataset(val_dir, args.val_per_class, args.seed + 1)
+        print(f"dataset: {n_tr} train / {n_va} val images "
+              f"({len(CLASS_NAMES)} classes) under {work}")
+
+    sched_path = work / "schedule.json"
+    if args.schedule:
+        sched_path = Path(args.schedule)
+    else:
+        sched_path.write_text(json.dumps(DEFAULT_SCHEDULE))
+
+    ckpt = work / "trained.msgpack"
+    if not ckpt.exists():
+        print(f"\n== training {args.model} from scratch "
+              f"({args.steps} steps) ==")
+        train_cli.main([
+            "--data_path", str(train_dir), "--model", args.model,
+            "--steps", str(args.steps), "--batch_size",
+            str(args.batch_size), "--lr", str(args.lr),
+            "--lr_schedule", "cosine",
+            "--warmup_steps", str(max(1, args.steps // 10)),
+            "--shuffle", "--seed", str(args.seed),
+            "--output", str(ckpt), "--log_every", "20",
+            "--eval_data", str(val_dir),
+            "--eval_every", str(max(1, args.steps // 4)),
+        ])
+
+    print("\n== eval: base vs pruned (the reference --compare_base "
+          "protocol, run.py:97-110) ==")
+    res = eval_cli.main([
+        "--data_path", str(val_dir), "--model", args.model,
+        "--checkpoint", str(ckpt), "--schedule", str(sched_path),
+        "--compare_base", "--batch_size", str(args.batch_size),
+        "--dtype", "float32", "--warmup", "1",
+    ])
+    base_acc, base_tput = res["base"]
+    pruned_acc, pruned_tput = res["rajni"]
+
+    record = {
+        "task": "procedural-shapes-8",
+        "model": args.model,
+        "train_images": args.train_per_class * len(CLASS_NAMES),
+        "val_images": args.val_per_class * len(CLASS_NAMES),
+        "train_steps": args.steps,
+        "schedule": json.loads(Path(sched_path).read_text()),
+        "base_top1": round(base_acc, 3),
+        "pruned_top1": round(pruned_acc, 3),
+        "top1_drop_pct": round(base_acc - pruned_acc, 3),
+        "speedup_informational": round(pruned_tput / max(base_tput, 1e-9),
+                                       4),
+        "backend": __import__("jax").devices()[0].platform,
+        "note": "accuracy is backend-independent; throughput on a "
+                "17-token tiny model is NOT the headline perf claim "
+                "(see BENCH_SUITE.json for those)",
+    }
+
+    if args.finetune_steps:
+        print(f"\n== fine-tuning THROUGH the schedule "
+              f"({args.finetune_steps} steps) ==")
+        ft = work / "finetuned.msgpack"
+        train_cli.main([
+            "--data_path", str(train_dir), "--model", args.model,
+            "--checkpoint", str(ckpt), "--schedule", str(sched_path),
+            "--steps", str(args.finetune_steps),
+            "--batch_size", str(args.batch_size),
+            "--lr", str(args.lr / 10), "--lr_schedule", "cosine",
+            "--shuffle", "--seed", str(args.seed + 2),
+            "--output", str(ft), "--log_every", "20",
+        ])
+        res_ft = eval_cli.main([
+            "--data_path", str(val_dir), "--model", args.model,
+            "--checkpoint", str(ft), "--schedule", str(sched_path),
+            "--batch_size", str(args.batch_size),
+            "--dtype", "float32", "--warmup", "1",
+        ])
+        record["finetuned_pruned_top1"] = round(res_ft["rajni"][0], 3)
+        record["finetune_steps"] = args.finetune_steps
+
+    Path(args.out).write_text(json.dumps(record, indent=1) + "\n")
+    print(f"\n{json.dumps(record, indent=1)}\nwrote {args.out}")
+    return record
+
+
+if __name__ == "__main__":
+    main()

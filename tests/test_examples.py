@@ -73,3 +73,29 @@ def test_example_serve_demo(tmp_path):
     assert out.returncode == 0, out.stderr[-2000:]
     assert art.exists()
     assert "top-5 classes" in out.stdout
+
+
+def test_acc_demo_mini(tmp_path):
+    """scripts/acc_demo.py end-to-end at mini scale: dataset generation ->
+    train CLI -> compare_base eval CLI -> fine-tune through the schedule ->
+    artifact. Accuracy at 2 steps is chance; this pins the PIPELINE (the
+    north-star accuracy protocol), not the number."""
+    import json
+
+    out = tmp_path / "acc.json"
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "acc_demo.py"),
+         "--work_dir", str(tmp_path / "work"),
+         "--train_per_class", "4", "--val_per_class", "2",
+         "--steps", "2", "--finetune_steps", "2", "--batch_size", "4",
+         "--out", str(out)],
+        capture_output=True, text=True, env=_env(), cwd=REPO, timeout=560,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    rec = json.loads(out.read_text())
+    assert rec["train_images"] == 32 and rec["val_images"] == 16
+    assert 0.0 <= rec["base_top1"] <= 100.0
+    assert rec["top1_drop_pct"] == pytest.approx(
+        rec["base_top1"] - rec["pruned_top1"], abs=1e-2
+    )
+    assert "finetuned_pruned_top1" in rec
