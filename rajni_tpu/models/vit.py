@@ -503,6 +503,21 @@ def stock_block(
 _PALLAS_MIN_BATCH = 8
 
 
+def pallas_compilable(config: "ViTConfig") -> bool:
+    """Whether Mosaic (the real-TPU kernel lowering) can compile the fused
+    kernels for this width. Mosaic requires the feature dim to be a
+    multiple of the 128-lane vector width — C=192-class models (vit_tiny)
+    fail with "infer-vector-layout: unsupported shape cast" (measured on
+    v5e; C=384/768/1024/1280 all compile). Interpret mode (CPU tests,
+    virtual meshes) has no such constraint, so off-TPU the tiny-dim test
+    configs keep exercising the kernels; on TPU the forward demotes these
+    configs to the XLA path (correctness over speed, same rule as the
+    VMEM refusals)."""
+    from ..kernels.math import use_interpret
+
+    return config.embed_dim % 128 == 0 or use_interpret()
+
+
 def resolve_impl(impl: str, batch: int) -> str:
     """Resolve ``"auto"`` per (backend, batch) — both static at trace time."""
     if impl != "auto":
@@ -552,10 +567,14 @@ def vit_forward(
     schedule = normalize_schedule(schedule, config.depth)
     B = images.shape[0]
     impl = resolve_impl(impl, B)
-    if impl == "pallas" and not config.kernel_path_supported:
+    if impl == "pallas" and not (
+        config.kernel_path_supported and pallas_compilable(config)
+    ):
         # The fused kernels hard-code the classic semantics (CLS-only
         # prefix, no qk-norm); extended variants take the XLA ops path —
         # same correctness-over-speed rule as the per-kernel VMEM refusals.
+        # pallas_compilable additionally demotes lane-unaligned widths
+        # (C % 128 != 0) that Mosaic cannot compile on real TPU.
         impl = "xla"
     n_prefix = config.num_prefix_tokens
     dtype = params["cls_token"].dtype

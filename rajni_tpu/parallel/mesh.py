@@ -27,7 +27,11 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..models.vit import ViTConfig, vit_forward
+from ..models.vit import (
+    ViTConfig,
+    pallas_compilable as _pallas_compilable,
+    vit_forward,
+)
 from ..utils.schedule import Schedule
 
 
@@ -311,12 +315,16 @@ def sharded_forward(
         # for large serving batches, and "auto" must never silently build
         # interpret-mode Pallas kernels off-TPU
         impl = "pallas" if jax.default_backend() == "tpu" else "xla"
-    if impl != "xla" and not config.kernel_path_supported:
+    if impl != "xla" and not (
+        config.kernel_path_supported and _pallas_compilable(config)
+    ):
         # extended variants (registers / qk-norm) demote to the XLA path,
         # same rule as vit_forward — in particular this keeps them off the
         # manual per-chip Megatron composition (tp_pallas_forward), which
         # hard-codes the classic semantics; the XLA TP route partitions
-        # whatever the forward computes, so it needs no special casing
+        # whatever the forward computes, so it needs no special casing.
+        # Lane-unaligned widths (C % 128 != 0) demote too: Mosaic cannot
+        # compile them on real TPU (models.vit.pallas_compilable).
         impl = "xla"
 
     def forward(p, images):

@@ -190,19 +190,57 @@ def main(argv=None):
                 "(see BENCH_SUITE.json for those)",
     }
 
+    # Serving attestation on the trained weights (the machinery of
+    # rajni_tpu/attest.py, which otherwise only sees random weights in this
+    # environment): capture an fp32-XLA fixture on REAL val images, then
+    # replay the bf16 configuration against it. The fixture stays in
+    # work_dir (22 MB checkpoints don't belong in git); replay it on other
+    # backends with `python -m rajni_tpu.attest <work>/attest.npz
+    # --checkpoint <work>/trained.msgpack --dtype bfloat16 --kernels auto`.
+    import jax
+    import jax.numpy as jnp
+
+    from rajni_tpu import attest
+    from rajni_tpu.data.pipeline import DataLoader, ImageFolder
+    from rajni_tpu.models.vit import get_config, vit_forward
+    from rajni_tpu.params.io import load_params
+    from rajni_tpu.utils.schedule import normalize_schedule
+
+    cfg = get_config(args.model)
+    sched_dict = json.loads(Path(sched_path).read_text())
+    sched = normalize_schedule(sched_dict, cfg.depth)
+    images, _ = next(iter(DataLoader(
+        ImageFolder(str(val_dir), img_size=cfg.img_size), batch_size=64
+    )))
+    params = load_params(str(ckpt), dtype=jnp.float32)
+    logits = np.asarray(jax.jit(
+        vit_forward, static_argnums=(2, 3, 4)
+    )(params, jnp.asarray(images), cfg, sched, "xla"), np.float32)
+    fix_path = work / "attest.npz"
+    attest.save_fixture(str(fix_path), images, logits, args.model,
+                        sched_dict, source="acc_demo trained fp32 xla")
+    bf16 = load_params(str(ckpt), dtype=jnp.bfloat16)
+    rep = attest.check_fixture(attest.load_fixture(str(fix_path)), bf16)
+    record["bf16_attestation"] = {
+        "top1_agreement": rep["top1_agreement"],
+        "max_abs_logit_diff": rep["max_abs_diff"],
+        "fixture": str(fix_path),
+    }
+
     if args.finetune_steps:
         print(f"\n== fine-tuning THROUGH the schedule "
               f"({args.finetune_steps} steps) ==")
         ft = work / "finetuned.msgpack"
-        train_cli.main([
-            "--data_path", str(train_dir), "--model", args.model,
-            "--checkpoint", str(ckpt), "--schedule", str(sched_path),
-            "--steps", str(args.finetune_steps),
-            "--batch_size", str(args.batch_size),
-            "--lr", str(args.lr / 10), "--lr_schedule", "cosine",
-            "--shuffle", "--seed", str(args.seed + 2),
-            "--output", str(ft), "--log_every", "20",
-        ])
+        if not ft.exists():
+            train_cli.main([
+                "--data_path", str(train_dir), "--model", args.model,
+                "--checkpoint", str(ckpt), "--schedule", str(sched_path),
+                "--steps", str(args.finetune_steps),
+                "--batch_size", str(args.batch_size),
+                "--lr", str(args.lr / 10), "--lr_schedule", "cosine",
+                "--shuffle", "--seed", str(args.seed + 2),
+                "--output", str(ft), "--log_every", "20",
+            ])
         res_ft = eval_cli.main([
             "--data_path", str(val_dir), "--model", args.model,
             "--checkpoint", str(ft), "--schedule", str(sched_path),

@@ -394,3 +394,31 @@ def test_distilled_int8_head(rng):
     quant = vit_forward(q, x, cfg, sched, impl="pallas")  # demoted
     assert np.isfinite(np.asarray(quant)).all()
     assert np.abs(np.asarray(full) - np.asarray(quant)).max() < 1.0
+
+
+def test_lane_unaligned_width_demotes_on_real_tpu(monkeypatch, rng):
+    """Mosaic cannot compile the fused kernels for C % 128 != 0 (measured:
+    vit_tiny's C=192 fails with "unsupported shape cast" on v5e while
+    C=384..1280 compile). pallas_compilable gates the route on real TPU
+    only — interpret mode keeps the tiny-dim test configs on the kernels."""
+    from rajni_tpu.kernels import math as kmath
+    from rajni_tpu.models.vit import get_config, init_params, pallas_compilable
+
+    tiny = get_config("vit_tiny_patch16_64")  # C=192
+    assert pallas_compilable(tiny)  # off-TPU: interpret mode, no demotion
+
+    monkeypatch.setattr(kmath, "use_interpret", lambda: False)  # "real TPU"
+    assert not pallas_compilable(tiny)
+    assert pallas_compilable(get_config("vit_base_patch16_224"))  # C=768
+    assert pallas_compilable(get_config("deit_small_patch16_224"))  # C=384
+
+    # forward-level: impl="pallas" must demote to the bit-identical XLA
+    # program instead of building a kernel Mosaic would reject (with the
+    # patch active, actually running a kernel on CPU would fail too — the
+    # demotion is what makes this call succeed)
+    params = init_params(jax.random.key(0), tiny)
+    sched = normalize_schedule({3: {"keep_ratio": 0.9}}, tiny.depth)
+    x = _images(rng, 2, tiny)
+    a = vit_forward(params, x, tiny, sched, impl="xla")
+    b = vit_forward(params, x, tiny, sched, impl="pallas")  # demoted
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
