@@ -19,6 +19,7 @@ from .models.vit import (
     model_stats,
     vit_activations,
     vit_forward,
+    vit_token_trace,
 )
 from .ops.attention import attention, pruned_attention
 from .ops.importance import compute_importance
@@ -59,6 +60,7 @@ __all__ = [
     "mfu",
     "save_fixture",
     "vit_activations",
+    "vit_token_trace",
     "gather_tokens",
     "adapt_config_to_params",
     "get_config",

@@ -535,6 +535,7 @@ def vit_forward(
     impl: str = "xla",
     act_scales=None,
     _tap=None,
+    _sel_tap=None,
 ) -> jax.Array:
     """Pruned ViT forward: ``[B, H, W, 3] -> [B, num_classes]`` logits.
 
@@ -563,6 +564,10 @@ def vit_forward(
     ``_tap``, when given, is called as ``_tap(block_idx, x)`` with each
     block's output activations — the capture hook behind
     :func:`vit_activations` (attestation/debug; not for jitted hot paths).
+    ``_sel_tap(block_idx, keep_idx)`` similarly captures each pruned
+    block's selection indices where they exist outside a fused kernel
+    (the XLA ops path and the two-kernel pallas fallback) — the hook
+    behind :func:`vit_token_trace`.
     """
     schedule = normalize_schedule(schedule, config.depth)
     B = images.shape[0]
@@ -783,6 +788,8 @@ def vit_forward(
                 # per-image in-kernel variant (kernels.block.
                 # fused_ln_qkv_select: 4230 vs 4520 img/s end-to-end).
                 keep_idx, sel = select_tokens_dense(scores, keep, x.dtype)
+                if _sel_tap is not None:
+                    _sel_tap(blk_i, keep_idx)
                 scores = jnp.take_along_axis(scores, keep_idx, axis=1)
                 if int8_tail:
                     from ..kernels.block import (
@@ -823,6 +830,8 @@ def vit_forward(
                     num_prefix=n_prefix,
                     norm_eps=config.layer_norm_eps,
                 )
+                if _sel_tap is not None:
+                    _sel_tap(blk_i, keep_idx)
                 # Residual-stream compaction BEFORE the residual add
                 # (reference model.py:55-56).
                 idx = keep_idx[..., None]
@@ -1040,6 +1049,48 @@ def vit_activations(
         _tap=lambda i, x: acts.append(x),
     )
     return acts, logits
+
+
+def vit_token_trace(
+    params: Params,
+    images: jax.Array,
+    config: ViTConfig,
+    schedule: Schedule | None = None,
+) -> tuple[list[jax.Array], jax.Array]:
+    """Which ORIGINAL tokens enter each block under ``schedule``.
+
+    Returns ``(masks, logits)``: ``masks`` holds ``depth + 1`` boolean
+    arrays of shape ``[B, num_tokens]`` — ``masks[i][b, j]`` is True iff
+    original token ``j`` (prefix tokens first, then patches in raster
+    order) is still in image ``b``'s residual stream at the ENTRY of block
+    ``i``; ``masks[depth]`` is the set surviving the whole stack. Each
+    image's ``masks[i].sum()`` equals ``model_stats(...)["token_counts"][i]``
+    and the sets shrink monotonically (compaction never resurrects a
+    token).
+
+    Runs the XLA ops path eagerly (the fused kernels keep selection
+    in-kernel) — this is the debug/visualization surface behind
+    ``examples/token_map.py``, not a hot path. The reference exposes only
+    the per-block counts (``get_last_stats``, reference model.py:25-28,
+    68); the *identity* of the surviving tokens is new introspection
+    surface.
+    """
+    sels: dict[int, jax.Array] = {}
+    logits = vit_forward(
+        params, images, config, schedule, "xla",
+        _sel_tap=lambda i, k: sels.__setitem__(i, k),
+    )
+    B = images.shape[0]
+    N = config.num_tokens
+    alive = jnp.broadcast_to(jnp.arange(N), (B, N))
+    masks: list[jax.Array] = []
+    for i in range(config.depth + 1):
+        m = jnp.zeros((B, N), bool)
+        m = m.at[jnp.arange(B)[:, None], alive].set(True)
+        masks.append(m)
+        if i in sels:
+            alive = jnp.take_along_axis(alive, sels[i], axis=1)
+    return masks, logits
 
 
 def model_stats(config: ViTConfig, schedule: Schedule | None = None) -> dict:

@@ -622,6 +622,7 @@ def make_pipeline_train_step(
     tx,
     microbatch: int | None = None,
     impl: str = "xla",
+    label_smoothing: float = 0.0,
 ):
     """GPipe train step over the ``(data, pipe)`` mesh.
 
@@ -648,7 +649,7 @@ def make_pipeline_train_step(
     def loss_fn(ptree, images, labels):
         mb = images.reshape((n_micro, -1) + tuple(images.shape[1:]))
         logits = logits_fn(ptree, mb).reshape(-1, config.num_classes)
-        loss = cross_entropy(logits, labels)
+        loss = cross_entropy(logits, labels, label_smoothing)
         acc = (jnp.argmax(logits, -1) == labels).mean()
         return loss, acc
 

@@ -33,9 +33,18 @@ class TrainState(NamedTuple):
     step: jax.Array
 
 
-def cross_entropy(logits: jax.Array, labels: jax.Array) -> jax.Array:
+def cross_entropy(
+    logits: jax.Array, labels: jax.Array, label_smoothing: float = 0.0
+) -> jax.Array:
+    """Mean CE in fp32; ``label_smoothing`` mixes the one-hot target with
+    the uniform distribution: ``t = (1−s)·onehot + s/K`` — the standard ViT
+    fine-tuning regularizer (the ``-s·mean(logp)`` term below is that
+    mixture's cross entropy, algebraically, without materializing ``t``)."""
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     nll = -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
+    if label_smoothing:
+        s = float(label_smoothing)
+        nll = (1.0 - s) * nll - s * logp.mean(axis=-1)
     return nll.mean()
 
 
@@ -215,13 +224,14 @@ def make_train_step(
     config: ViTConfig,
     schedule: Schedule | None,
     tx: optax.GradientTransformation,
+    label_smoothing: float = 0.0,
 ):
     """Build the full train step: forward (with pruning) → loss → grad →
     optimizer update. ``config``/``schedule`` are static closures."""
 
     def loss_fn(params, images, labels):
         logits = vit_forward(params, images, config, schedule)
-        loss = cross_entropy(logits, labels)
+        loss = cross_entropy(logits, labels, label_smoothing)
         acc = (jnp.argmax(logits, -1) == labels).mean()
         return loss, acc
 
@@ -288,6 +298,22 @@ def main(argv=None):
                         "--seed + pass index; --resume replays the exact "
                         "same order). Off by default to match the "
                         "deterministic eval-order protocol")
+    p.add_argument("--augment", action="store_true",
+                   help="Train-mode augmentation: RandomResizedCrop + "
+                        "horizontal flip, computed IN-GRAPH on the device "
+                        "from decode-only uint8 canvases "
+                        "(rajni_tpu.data.augment — torchvision box "
+                        "semantics, PIL-exact bicubic). Keys derive from "
+                        "(--seed, step), so --resume replays the identical "
+                        "augmented stream. Requires --data_path")
+    p.add_argument("--canvas", type=int, default=512,
+                   help="with --augment: decode canvas side; images larger "
+                        "than this are pre-downscaled to fit "
+                        "(data.pipeline.decode_to_canvas)")
+    p.add_argument("--label_smoothing", type=float, default=0.0,
+                   metavar="S",
+                   help="cross-entropy label smoothing: targets "
+                        "(1-S)*onehot + S/num_classes")
     p.add_argument("--model", type=str, default="vit_base_patch16_224")
     p.add_argument("--schedule", type=str, default=None,
                    help="Pruning schedule JSON to train through")
@@ -389,6 +415,13 @@ def main(argv=None):
         )
     if args.eval_every and not args.eval_data:
         raise ValueError("--eval_every requires --eval_data")
+    if args.augment and (args.synthetic or not args.data_path):
+        raise ValueError(
+            "--augment requires a real --data_path dataset (crops are "
+            "sampled from decode-only uint8 canvases)"
+        )
+    if not 0.0 <= args.label_smoothing < 1.0:
+        raise ValueError("--label_smoothing must be in [0, 1)")
     if args.state_backend == "orbax" and args.distributed:
         raise ValueError(
             "--state_backend orbax is single-controller: saving multi-host "
@@ -477,7 +510,8 @@ def main(argv=None):
                            jnp.zeros((), jnp.int32))
         step_fn = jax.jit(
             make_pipeline_train_step(config, schedule, pp_mesh, tx,
-                                     microbatch=args.microbatch),
+                                     microbatch=args.microbatch,
+                                     label_smoothing=args.label_smoothing),
             donate_argnums=(0,),
         )
         print(f"Pipeline training: mesh {dict(pp_mesh.shape)}, "
@@ -502,15 +536,21 @@ def main(argv=None):
         del params
         state = TrainState(sharded, tx.init(sharded),
                            jnp.zeros((), jnp.int32))
-        step_fn = jax.jit(make_train_step(config, schedule, tx),
-                          donate_argnums=(0,))
+        step_fn = jax.jit(
+            make_train_step(config, schedule, tx,
+                            label_smoothing=args.label_smoothing),
+            donate_argnums=(0,),
+        )
         tp_batch_sharding = batch_sharding(tp_mesh)
         print(f"TP training: mesh {dict(tp_mesh.shape)} "
               f"(data-parallel batch x Megatron tensor parallelism)")
     else:
         state = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
-        step_fn = jax.jit(make_train_step(config, schedule, tx),
-                          donate_argnums=(0,))
+        step_fn = jax.jit(
+            make_train_step(config, schedule, tx,
+                            label_smoothing=args.label_smoothing),
+            donate_argnums=(0,),
+        )
 
     start_step = 0
     if args.resume:
@@ -555,7 +595,14 @@ def main(argv=None):
     else:
         from .data.pipeline import DataLoader, ImageFolder
 
-        dataset = ImageFolder(args.data_path, img_size=config.img_size)
+        if args.augment:
+            # decode-only canvases: the random crop + resize runs in-graph
+            # (data.augment.augment_on_device), so the host must NOT
+            # center-crop first
+            dataset = ImageFolder(args.data_path, img_size=config.img_size,
+                                  output="canvas", canvas=args.canvas)
+        else:
+            dataset = ImageFolder(args.data_path, img_size=config.img_size)
         if len(dataset) < local_batch:
             # the full-batch-only filter in batches() below would spin
             # forever otherwise (single-host hang; distributed deadlock)
@@ -604,7 +651,9 @@ def main(argv=None):
                     ).permutation(len(base_samples))
                     dataset.samples = [base_samples[j] for j in perm]
                 for im, lb in loader:
-                    if im.shape[0] == local_batch:  # static shapes only
+                    # canvas mode yields (canvas, sizes) tuples
+                    lead = im[0] if isinstance(im, tuple) else im
+                    if lead.shape[0] == local_batch:  # static shapes only
                         yield im, lb.astype(np.int32)
                 pass_idx += 1
         batch_iter = batches()
@@ -665,6 +714,13 @@ def main(argv=None):
         print(f"Profiling to {args.profile}")
 
     state_path = args.state_path or f"{args.output}.state"
+    aug_root = None
+    if args.augment:
+        from .data.augment import augment_on_device
+
+        # per-step stream keyed only on (--seed, step): --resume replays
+        # the identical augmented batches with no RNG state to checkpoint
+        aug_root = jax.random.key(args.seed)
     last_eval = None
     try:
         for step in range(start_step + 1, args.steps + 1):
@@ -672,20 +728,45 @@ def main(argv=None):
             if mesh is not None:
                 from .parallel import multihost
 
-                im, lb = multihost.host_to_global(
-                    (np.asarray(im), np.asarray(lb).astype(np.int32)), mesh
-                )
+                if aug_root is not None:
+                    # shard the uint8 canvases + sizes over the global data
+                    # axis FIRST, then augment in-graph: one global program;
+                    # per-image keys split from the replicated step key, so
+                    # every host computes exactly its shard of the stream
+                    cnv, szs, lb = multihost.host_to_global(
+                        (np.asarray(im[0]), np.asarray(im[1]),
+                         np.asarray(lb).astype(np.int32)), mesh
+                    )
+                    im = augment_on_device(
+                        cnv, szs, jax.random.fold_in(aug_root, step),
+                        crop=config.img_size, dtype=dtype,
+                    )
+                else:
+                    im, lb = multihost.host_to_global(
+                        (np.asarray(im), np.asarray(lb).astype(np.int32)),
+                        mesh,
+                    )
                 state, metrics = step_fn(state, im, lb)
-            elif tp_mesh is not None:
-                # place the batch over the data axis in the untimed host loop
-                # (leading-dim sharding fits images [B,H,W,3] and labels [B])
-                state, metrics = step_fn(
-                    state,
-                    jax.device_put(jnp.asarray(im), tp_batch_sharding),
-                    jax.device_put(jnp.asarray(lb), tp_batch_sharding),
-                )
             else:
-                state, metrics = step_fn(state, jnp.asarray(im), jnp.asarray(lb))
+                if aug_root is not None:
+                    im = augment_on_device(
+                        jnp.asarray(im[0]), jnp.asarray(im[1]),
+                        jax.random.fold_in(aug_root, step),
+                        crop=config.img_size, dtype=dtype,
+                    )
+                if tp_mesh is not None:
+                    # place the batch over the data axis in the untimed
+                    # host loop (leading-dim sharding fits images
+                    # [B,H,W,3] and labels [B])
+                    state, metrics = step_fn(
+                        state,
+                        jax.device_put(jnp.asarray(im), tp_batch_sharding),
+                        jax.device_put(jnp.asarray(lb), tp_batch_sharding),
+                    )
+                else:
+                    state, metrics = step_fn(
+                        state, jnp.asarray(im), jnp.asarray(lb)
+                    )
             if step % args.log_every == 0 or step == args.steps:
                 print(f"step {step:6d}  loss {float(metrics['loss']):.4f}  "
                       f"acc {float(metrics['accuracy']):.3f}")

@@ -26,6 +26,14 @@ CLI::
 
     python -m rajni_tpu.utils.schedule_search --model vit_base_patch16_224 \
         --target 1.3 [--blocks 3-7] [--min_ratio 0.5] [--out schedule.json]
+
+Empirical mode (:func:`search_schedule_empirical`) answers the inverse
+question under an ACCURACY budget instead — "the most aggressive schedule
+that costs ≤ D top-1 points, measured on my data"::
+
+    python -m rajni_tpu.utils.schedule_search --model vit_base_patch16_224 \
+        --eval_data /data/imagenet/val --checkpoint vit_b16.msgpack \
+        --max_drop 0.5 [--max_batches 20] [--out schedule.json]
 """
 
 from __future__ import annotations
@@ -124,6 +132,104 @@ def propose_schedule(
     return schedule, info
 
 
+def search_schedule_empirical(
+    eval_acc,
+    config: ViTConfig,
+    max_drop: float,
+    blocks: Sequence[int] | None = None,
+    min_ratio: float = 0.5,
+    step: float = 0.025,
+    update: bool = True,
+) -> tuple[dict | None, dict]:
+    """Find the most aggressive uniform schedule whose MEASURED top-1 drop
+    stays within ``max_drop`` points.
+
+    The analytic designer answers "what schedule gives 1.3×?"; this answers
+    the question the user actually has — "how hard can I prune before I
+    lose more than D points?" — by evaluating candidates on real data.
+
+    Args:
+      eval_acc: callable ``schedule_dict | None -> top-1 %`` (``None`` =
+        unpruned base). Build one from a checkpoint + dataset with the CLI
+        below, or pass any closure (the search itself is evaluator-agnostic
+        and unit-testable).
+      max_drop: accuracy budget in percentage points (base − pruned).
+      blocks / min_ratio / update: as :func:`propose_schedule`.
+      step: keep-ratio grid quantum. The search bisects the grid
+        ``min_ratio, min_ratio+step, …, 1−step`` assuming accuracy is
+        monotone non-decreasing in the keep ratio (true of token pruning up
+        to eval noise — use ``max_batches`` large enough that noise ≪
+        ``max_drop``), so it costs O(log((1−min_ratio)/step)) evaluations,
+        each one eval pass.
+
+    Returns:
+      ``(schedule_dict | None, info)``. ``schedule_dict`` is the chosen
+      schedule (``None`` when even the gentlest grid ratio violates the
+      budget — ``info["reachable"]`` False). ``info`` carries ``base_acc``,
+      ``acc``, ``drop``, ``keep_ratio``, ``analytic_speedup``, and
+      ``evals`` (every (ratio, acc) measured, for the user's own frontier
+      plot).
+    """
+    if blocks is None:
+        blocks = range(config.depth // 4, (2 * config.depth) // 3)
+    blocks = sorted(set(int(b) for b in blocks))
+    if not blocks or blocks[0] < 0 or blocks[-1] >= config.depth:
+        raise ValueError(f"blocks {blocks} out of range for depth {config.depth}")
+    if not 0.0 < step <= 1.0 - min_ratio:
+        raise ValueError(f"step {step} must be in (0, 1 - min_ratio]")
+
+    grid = []
+    r = min_ratio
+    while r < 1.0 - 1e-9:
+        grid.append(round(r, 6))
+        r += step
+    if not grid:
+        raise ValueError("empty keep-ratio grid")
+
+    def sched_at(r: float) -> dict:
+        return {b: {"keep_ratio": r, "update": update} for b in blocks}
+
+    base_acc = float(eval_acc(None))
+    evals: list[tuple[float, float]] = []
+    cache: dict[float, float] = {}
+
+    def ok(r: float) -> bool:
+        if r not in cache:
+            cache[r] = float(eval_acc(sched_at(r)))
+            evals.append((r, cache[r]))
+        return base_acc - cache[r] <= max_drop
+
+    def info_at(r: float | None) -> dict:
+        acc = cache.get(r) if r is not None else None
+        return {
+            "keep_ratio": r,
+            "base_acc": round(base_acc, 4),
+            "acc": None if acc is None else round(acc, 4),
+            "drop": None if acc is None else round(base_acc - acc, 4),
+            "analytic_speedup": (
+                None if r is None
+                else round(predict_speedup(config, sched_at(r)), 4)
+            ),
+            "reachable": r is not None,
+            "evals": [(rr, round(aa, 4)) for rr, aa in evals],
+        }
+
+    # gentlest candidate fails → no uniform schedule on this grid fits
+    if not ok(grid[-1]):
+        return None, info_at(None)
+    if ok(grid[0]):
+        return sched_at(grid[0]), info_at(grid[0])
+    # invariant: ok(grid[hi]), not ok(grid[lo]) — find the boundary
+    lo, hi = 0, len(grid) - 1
+    while hi - lo > 1:
+        mid = (lo + hi) // 2
+        if ok(grid[mid]):
+            hi = mid
+        else:
+            lo = mid
+    return sched_at(grid[hi]), info_at(grid[hi])
+
+
 def main(argv=None) -> None:
     """CLI: propose a schedule for a target analytic speedup."""
     import argparse
@@ -146,6 +252,25 @@ def main(argv=None) -> None:
                         "consecutive pruned blocks)")
     p.add_argument("--out", type=str, default=None,
                    help="write the schedule JSON here (else print only)")
+    p.add_argument("--eval_data", type=str, default=None, metavar="DIR",
+                   help="EMPIRICAL mode: search for the most aggressive "
+                        "schedule whose measured top-1 drop on this "
+                        "ImageFolder stays within --max_drop (requires "
+                        "--checkpoint; --target is ignored)")
+    p.add_argument("--checkpoint", type=str, default=None,
+                   help="params checkpoint for --eval_data")
+    p.add_argument("--max_drop", type=float, default=0.5, metavar="PTS",
+                   help="accuracy budget for --eval_data, in top-1 points")
+    p.add_argument("--max_batches", type=int, default=None,
+                   help="cap each candidate evaluation (noise must stay "
+                        "well under --max_drop)")
+    p.add_argument("--batch_size", type=int, default=256)
+    p.add_argument("--step", type=float, default=0.025,
+                   help="keep-ratio grid quantum for the empirical search")
+    p.add_argument("--kernels", default="auto",
+                   choices=["auto", "xla", "pallas"])
+    p.add_argument("--dtype", default="bfloat16",
+                   choices=["bfloat16", "float32"])
     args = p.parse_args(argv)
 
     config = get_config(args.model)
@@ -153,6 +278,70 @@ def main(argv=None) -> None:
     if args.blocks:
         a, _, b = args.blocks.partition("-")
         blocks = range(int(a), int(b or a) + 1)
+
+    if args.eval_data:
+        if not args.checkpoint:
+            raise SystemExit("--eval_data requires --checkpoint")
+        import functools
+
+        import jax
+        import jax.numpy as jnp
+
+        from ..data.pipeline import DataLoader, ImageFolder
+        from ..eval import evaluate_model
+        from ..models.vit import adapt_config_to_params, vit_forward
+        from ..params.io import load_params
+
+        dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+        params = load_params(args.checkpoint, dtype=dtype)
+        config = adapt_config_to_params(config, params)
+        loader = DataLoader(
+            ImageFolder(args.eval_data, img_size=config.img_size),
+            batch_size=args.batch_size,
+        )
+
+        def eval_acc(sched):
+            fwd = jax.jit(functools.partial(
+                vit_forward, params, config=config,
+                schedule=normalize_schedule(sched, config.depth),
+                impl=args.kernels,
+            ))
+            acc, _ = evaluate_model(
+                fwd, loader, max_batches=args.max_batches,
+                warmup=0, progress=False,
+            )
+            label = ("base" if sched is None else
+                     f"r={next(iter(sched.values()))['keep_ratio']:.3f}")
+            print(f"  eval {label}: top-1 {acc:.2f}%")
+            return acc
+
+        schedule, info = search_schedule_empirical(
+            eval_acc, config, args.max_drop, blocks=blocks,
+            min_ratio=args.min_ratio, step=args.step,
+            update=not args.no_update,
+        )
+        if schedule is None:
+            raise SystemExit(
+                f"no uniform schedule on blocks "
+                f"{blocks or 'default span'} meets max_drop="
+                f"{args.max_drop} (base {info['base_acc']}%; gentlest "
+                f"candidate evals: {info['evals']})"
+            )
+        print(f"model {args.model}: blocks {sorted(schedule)} at "
+              f"keep_ratio {info['keep_ratio']}")
+        print(f"measured top-1 {info['acc']}% (base {info['base_acc']}%, "
+              f"drop {info['drop']} <= {args.max_drop}); analytic speedup "
+              f"{info['analytic_speedup']}x")
+        payload = json.dumps(
+            {str(k): v for k, v in schedule.items()}, indent=1
+        )
+        if args.out:
+            with open(args.out, "w") as f:
+                f.write(payload + "\n")
+            print(f"wrote {args.out}")
+        else:
+            print(payload)
+        return
 
     if args.sweep:
         span = (sorted(blocks) if blocks

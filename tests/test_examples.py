@@ -99,3 +99,23 @@ def test_acc_demo_mini(tmp_path):
         rec["base_top1"] - rec["pruned_top1"], abs=1e-2
     )
     assert "finetuned_pruned_top1" in rec
+
+
+def test_example_token_map(tmp_path):
+    import json
+
+    sched = tmp_path / "s.json"
+    sched.write_text(json.dumps(
+        {"1": {"keep_ratio": 0.6}, "2": {"keep_ratio": 0.8}}
+    ))
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "examples", "token_map.py"),
+         _imgs(tmp_path, n=1)[0],
+         "--model", "vit_tiny_patch16_64", "--schedule", str(sched)],
+        capture_output=True, text=True, env=_env(), cwd=REPO, timeout=560,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "token_counts" in out.stdout
+    # one grid line per patch row, mixing kept and dropped marks
+    assert "#" in out.stdout and "." in out.stdout
+    assert "block 1" in out.stdout and "block 2" in out.stdout

@@ -2,6 +2,8 @@
 
 import json
 
+import numpy as np
+
 import pytest
 
 from rajni_tpu.utils.schedule import (
@@ -210,3 +212,97 @@ def test_schedule_search_cli_sweep(capsys):
     main(["--model", "vit_base_patch16_224", "--sweep"])
     out = capsys.readouterr().out
     assert "1.00" in out and "0.50" in out and "x" in out
+
+
+def test_search_schedule_empirical_bisects():
+    """The empirical search bisects the keep-ratio grid and returns the
+    smallest (most aggressive) ratio meeting the accuracy budget."""
+    from rajni_tpu.models.vit import get_config
+    from rajni_tpu.utils.schedule_search import search_schedule_empirical
+
+    cfg = get_config("vit_base_patch16_224")
+    calls = []
+
+    def eval_acc(sched):
+        if sched is None:
+            return 90.0
+        r = next(iter(sched.values()))["keep_ratio"]
+        calls.append(r)
+        return 90.0 - 30.0 * (1.0 - r)  # monotone synthetic accuracy
+
+    sched, info = search_schedule_empirical(
+        eval_acc, cfg, max_drop=3.0, min_ratio=0.5, step=0.05
+    )
+    # drop(r) = 30(1-r) <= 3 iff r >= 0.9; grid 0.5..0.95 -> boundary 0.9
+    assert info["keep_ratio"] == pytest.approx(0.9)
+    assert info["drop"] <= 3.0 and info["reachable"]
+    assert info["analytic_speedup"] > 1.0
+    assert len(calls) <= 6  # log2(10-point grid) + endpoints, not a scan
+    assert all(
+        v["keep_ratio"] == pytest.approx(0.9) for v in sched.values()
+    )
+    # every measurement is reported for the user's frontier plot
+    assert sorted(r for r, _ in info["evals"]) == sorted(calls)
+
+
+def test_search_schedule_empirical_edges():
+    from rajni_tpu.models.vit import get_config
+    from rajni_tpu.utils.schedule_search import search_schedule_empirical
+
+    cfg = get_config("vit_base_patch16_224")
+
+    def eval_acc(sched):
+        return 90.0  # pruning costs nothing
+
+    sched, info = search_schedule_empirical(
+        eval_acc, cfg, max_drop=0.5, min_ratio=0.5, step=0.1
+    )
+    assert info["keep_ratio"] == pytest.approx(0.5)  # most aggressive wins
+
+    def eval_acc_bad(sched):
+        return 90.0 if sched is None else 0.0  # any pruning is fatal
+
+    sched, info = search_schedule_empirical(
+        eval_acc_bad, cfg, max_drop=0.5, min_ratio=0.5, step=0.1
+    )
+    assert sched is None and not info["reachable"]
+    assert info["base_acc"] == pytest.approx(90.0)
+
+
+def test_schedule_search_cli_empirical(tmp_path, capsys):
+    """End-to-end empirical mode: checkpoint + tiny ImageFolder; a huge
+    budget must select the most aggressive grid ratio."""
+    import json as _json
+
+    import jax
+    from PIL import Image
+
+    from rajni_tpu.models.vit import get_config, init_params
+    from rajni_tpu.params.io import save_params
+    from rajni_tpu.utils.schedule import load_schedule
+    from rajni_tpu.utils.schedule_search import main
+
+    data = tmp_path / "val"
+    rng = np.random.default_rng(0)
+    for cls in ("a", "b"):
+        d = data / cls
+        d.mkdir(parents=True)
+        for i in range(2):
+            arr = rng.integers(0, 256, (64, 64, 3), dtype=np.uint8)
+            Image.fromarray(arr, "RGB").save(d / f"{i}.png")
+    cfg = get_config("vit_tiny_patch16_64")
+    ck = tmp_path / "ck.msgpack"
+    save_params(str(ck), init_params(jax.random.key(0), cfg))
+
+    out = tmp_path / "found.json"
+    main(["--model", "vit_tiny_patch16_64", "--eval_data", str(data),
+          "--checkpoint", str(ck), "--max_drop", "200",
+          "--batch_size", "2", "--step", "0.25", "--min_ratio", "0.5",
+          "--blocks", "1-2", "--kernels", "xla", "--dtype", "float32",
+          "--out", str(out)])
+    printed = capsys.readouterr().out
+    assert "measured top-1" in printed
+    sched = load_schedule(str(out), cfg.depth)
+    pruned = [i for i, s in enumerate(sched) if s is not None]
+    assert pruned == [1, 2]
+    assert sched[1].keep_ratio == pytest.approx(0.5)

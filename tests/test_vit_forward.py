@@ -422,3 +422,62 @@ def test_lane_unaligned_width_demotes_on_real_tpu(monkeypatch, rng):
     a = vit_forward(params, x, tiny, sched, impl="xla")
     b = vit_forward(params, x, tiny, sched, impl="pallas")  # demoted
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_vit_token_trace_masks():
+    """vit_token_trace: per-block kept-token masks agree with the static
+    token-count trace, never resurrect a token, always keep the prefix,
+    and leave the logits untouched."""
+    from rajni_tpu.models.vit import (
+        ViTConfig, init_params, model_stats, vit_forward, vit_token_trace,
+    )
+    from rajni_tpu.utils.schedule import normalize_schedule
+
+    cfg = ViTConfig(img_size=32, patch_size=8, embed_dim=32, depth=3,
+                    num_heads=4, num_classes=8)
+    sched = normalize_schedule(
+        {1: {"keep_ratio": 0.5},
+         2: {"keep_ratio": 0.7, "update": False}},  # reuse path tapped too
+        cfg.depth,
+    )
+    params = init_params(jax.random.key(0), cfg)
+    x = jnp.asarray(
+        np.random.default_rng(0).standard_normal((2, 32, 32, 3)),
+        jnp.float32,
+    )
+    masks, logits = vit_token_trace(params, x, cfg, sched)
+    assert len(masks) == cfg.depth + 1
+    counts = model_stats(cfg, sched)["token_counts"]
+    for i, m in enumerate(masks[:-1]):
+        assert (np.asarray(m).sum(1) == counts[i]).all(), i
+    for a, b in zip(masks, masks[1:]):
+        assert (np.asarray(b) <= np.asarray(a)).all()
+    assert all(np.asarray(m)[:, 0].all() for m in masks)  # CLS kept
+    want = vit_forward(params, x, cfg, sched, "xla")
+    np.testing.assert_allclose(
+        np.asarray(logits), np.asarray(want), rtol=1e-6, atol=1e-6
+    )
+    # the two images select different patches (scores are data-dependent)
+    assert (np.asarray(masks[-1][0]) != np.asarray(masks[-1][1])).any()
+
+
+def test_vit_token_trace_prefix_tokens():
+    """Registers (and any prefix token) are always-kept, never-ranked —
+    the masks must show the whole prefix alive through every block."""
+    from rajni_tpu.models.vit import ViTConfig, init_params, vit_token_trace
+    from rajni_tpu.utils.schedule import normalize_schedule
+
+    cfg = ViTConfig(img_size=32, patch_size=8, embed_dim=32, depth=2,
+                    num_heads=4, num_classes=8, reg_tokens=2,
+                    no_embed_class=True)
+    sched = normalize_schedule({0: {"keep_ratio": 0.5}}, cfg.depth)
+    params = init_params(jax.random.key(1), cfg)
+    x = jnp.asarray(
+        np.random.default_rng(1).standard_normal((1, 32, 32, 3)),
+        jnp.float32,
+    )
+    masks, _ = vit_token_trace(params, x, cfg, sched)
+    pre = cfg.num_prefix_tokens
+    assert pre == 3
+    for m in masks:
+        assert np.asarray(m)[:, :pre].all()
