@@ -623,6 +623,8 @@ def make_pipeline_train_step(
     microbatch: int | None = None,
     impl: str = "xla",
     label_smoothing: float = 0.0,
+    mixup_alpha: float = 0.0,
+    seed: int = 0,
 ):
     """GPipe train step over the ``(data, pipe)`` mesh.
 
@@ -646,16 +648,34 @@ def make_pipeline_train_step(
         config, schedule, mesh, n_micro, impl, remat=True
     )
 
-    def loss_fn(ptree, images, labels):
+    def loss_fn(ptree, images, labels, lam):
+        if mixup_alpha > 0.0:
+            # mix over the FULL global batch before the microbatch split
+            # (same pairing as the plain train step: batch vs its reverse)
+            images = lam.astype(images.dtype) * images + (
+                1.0 - lam.astype(images.dtype)
+            ) * images[::-1]
         mb = images.reshape((n_micro, -1) + tuple(images.shape[1:]))
         logits = logits_fn(ptree, mb).reshape(-1, config.num_classes)
-        loss = cross_entropy(logits, labels, label_smoothing)
+        if mixup_alpha > 0.0:
+            loss = lam * cross_entropy(logits, labels, label_smoothing) + (
+                1.0 - lam
+            ) * cross_entropy(logits, labels[::-1], label_smoothing)
+        else:
+            loss = cross_entropy(logits, labels, label_smoothing)
         acc = (jnp.argmax(logits, -1) == labels).mean()
         return loss, acc
 
     def step(state: TrainState, images, labels):
+        from ..train import mixup_lam
+
+        lam = (
+            mixup_lam(seed, state.step, mixup_alpha)
+            if mixup_alpha > 0.0
+            else jnp.float32(1.0)
+        )
         (loss, acc), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, images, labels
+            state.params, images, labels, lam
         )
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)

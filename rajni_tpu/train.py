@@ -220,24 +220,57 @@ def load_train_state(path: str, template: TrainState) -> TrainState:
     return jax.tree_util.tree_map(_place, template, restored)
 
 
+def mixup_lam(seed: int, step: jax.Array, alpha: float) -> jax.Array:
+    """The per-step mixup coefficient ``lam ~ Beta(alpha, alpha)``.
+
+    Derived in-graph from ``(seed, step)`` — like the augmentation stream,
+    a resumed run replays the identical coefficients with no RNG state to
+    checkpoint."""
+    k = jax.random.fold_in(jax.random.key(seed), step)
+    return jax.random.beta(k, alpha, alpha)
+
+
 def make_train_step(
     config: ViTConfig,
     schedule: Schedule | None,
     tx: optax.GradientTransformation,
     label_smoothing: float = 0.0,
+    mixup_alpha: float = 0.0,
+    seed: int = 0,
 ):
     """Build the full train step: forward (with pruning) → loss → grad →
-    optimizer update. ``config``/``schedule`` are static closures."""
+    optimizer update. ``config``/``schedule`` are static closures.
 
-    def loss_fn(params, images, labels):
+    ``mixup_alpha > 0`` enables mixup: each step draws
+    ``lam ~ Beta(alpha, alpha)`` from ``(seed, state.step)`` (in-graph, so
+    ``--resume`` replays it exactly), mixes the batch with its own reverse
+    (``lam·x + (1−lam)·flip(x)`` — timm's pairing), and trains on the
+    correspondingly mixed cross entropy. The reported ``accuracy`` is
+    against the unmixed labels (diagnostic only under mixup)."""
+
+    def loss_fn(params, images, labels, lam):
+        if mixup_alpha > 0.0:
+            images = lam.astype(images.dtype) * images + (
+                1.0 - lam.astype(images.dtype)
+            ) * images[::-1]
         logits = vit_forward(params, images, config, schedule)
-        loss = cross_entropy(logits, labels, label_smoothing)
+        if mixup_alpha > 0.0:
+            loss = lam * cross_entropy(logits, labels, label_smoothing) + (
+                1.0 - lam
+            ) * cross_entropy(logits, labels[::-1], label_smoothing)
+        else:
+            loss = cross_entropy(logits, labels, label_smoothing)
         acc = (jnp.argmax(logits, -1) == labels).mean()
         return loss, acc
 
     def train_step(state: TrainState, images, labels):
+        lam = (
+            mixup_lam(seed, state.step, mixup_alpha)
+            if mixup_alpha > 0.0
+            else jnp.float32(1.0)
+        )
         (loss, acc), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, images, labels
+            state.params, images, labels, lam
         )
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
@@ -314,6 +347,12 @@ def main(argv=None):
                    metavar="S",
                    help="cross-entropy label smoothing: targets "
                         "(1-S)*onehot + S/num_classes")
+    p.add_argument("--mixup", type=float, default=0.0, metavar="ALPHA",
+                   help="mixup: per-step lam ~ Beta(ALPHA, ALPHA) derived "
+                        "from (--seed, step) in-graph (resume-exact); the "
+                        "batch mixes with its own reverse and the loss "
+                        "mixes the two label sets. 0 = off; 0.2 is the "
+                        "common ViT setting")
     p.add_argument("--model", type=str, default="vit_base_patch16_224")
     p.add_argument("--schedule", type=str, default=None,
                    help="Pruning schedule JSON to train through")
@@ -422,6 +461,8 @@ def main(argv=None):
         )
     if not 0.0 <= args.label_smoothing < 1.0:
         raise ValueError("--label_smoothing must be in [0, 1)")
+    if args.mixup < 0.0:
+        raise ValueError("--mixup alpha must be >= 0")
     if args.state_backend == "orbax" and args.distributed:
         raise ValueError(
             "--state_backend orbax is single-controller: saving multi-host "
@@ -511,7 +552,9 @@ def main(argv=None):
         step_fn = jax.jit(
             make_pipeline_train_step(config, schedule, pp_mesh, tx,
                                      microbatch=args.microbatch,
-                                     label_smoothing=args.label_smoothing),
+                                     label_smoothing=args.label_smoothing,
+                                     mixup_alpha=args.mixup,
+                                     seed=args.seed),
             donate_argnums=(0,),
         )
         print(f"Pipeline training: mesh {dict(pp_mesh.shape)}, "
@@ -538,7 +581,8 @@ def main(argv=None):
                            jnp.zeros((), jnp.int32))
         step_fn = jax.jit(
             make_train_step(config, schedule, tx,
-                            label_smoothing=args.label_smoothing),
+                            label_smoothing=args.label_smoothing,
+                            mixup_alpha=args.mixup, seed=args.seed),
             donate_argnums=(0,),
         )
         tp_batch_sharding = batch_sharding(tp_mesh)
@@ -548,7 +592,8 @@ def main(argv=None):
         state = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
         step_fn = jax.jit(
             make_train_step(config, schedule, tx,
-                            label_smoothing=args.label_smoothing),
+                            label_smoothing=args.label_smoothing,
+                            mixup_alpha=args.mixup, seed=args.seed),
             donate_argnums=(0,),
         )
 

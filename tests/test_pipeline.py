@@ -246,3 +246,33 @@ def test_pipeline_train_matches_single_device(setup):
             - np.asarray(su["blocks"][1]["mlp"][leaf]["kernel"])
         ).max()
         assert d < 5e-5, (leaf, d)
+
+
+def test_pipeline_mixup_matches_single_device(setup):
+    """Mixup in the GPipe step mixes the FULL batch before the microbatch
+    split with the same (seed, step)-derived lam as the plain step — the
+    losses must track the single-device mixup trajectory."""
+    params, x = setup
+    mesh = make_pipe_mesh(data=2, pipe=4)
+    tx = optax.adamw(1e-3, weight_decay=0.0)
+
+    stacked = place_pipeline_params(stack_params(params, 4), mesh)
+    pstate = TrainState(stacked, tx.init(stacked), jnp.zeros((), jnp.int32))
+    pstep = jax.jit(
+        make_pipeline_train_step(TINY, SCHED, mesh, tx, microbatch=4,
+                                 mixup_alpha=0.3, seed=7,
+                                 label_smoothing=0.1)
+    )
+
+    sstate = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
+    sstep = jax.jit(make_train_step(TINY, SCHED, tx, mixup_alpha=0.3,
+                                    seed=7, label_smoothing=0.1))
+
+    xb = jnp.asarray(x[:8])
+    yb = jnp.asarray(np.arange(8, dtype=np.int32) % 16)
+    for _ in range(2):
+        pstate, pm = pstep(pstate, xb, yb)
+        sstate, sm = sstep(sstate, xb, yb)
+        assert abs(float(pm["loss"]) - float(sm["loss"])) < 1e-5, (
+            float(pm["loss"]), float(sm["loss"]),
+        )

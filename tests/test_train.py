@@ -750,3 +750,78 @@ def test_train_cli_resume_shuffle_exact(tmp_path):
         jax.tree_util.tree_leaves(load_params(str(out_b))),
     ):
         np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+
+
+def test_mixup_step_matches_manual(rng):
+    """The mixup train step's loss equals the hand-computed
+    ``lam·CE(y) + (1−lam)·CE(flip(y))`` on the lam that ``mixup_lam``
+    derives from (seed, step) — and two identical states take the
+    identical step (lam is a pure function of the state)."""
+    from rajni_tpu.models.vit import vit_forward
+    from rajni_tpu.train import cross_entropy, mixup_lam
+
+    params = init_params(jax.random.key(0), CFG)
+    state, tx = create_train_state(params, learning_rate=1e-3)
+    step = jax.jit(make_train_step(CFG, SCHED, tx, mixup_alpha=0.2, seed=5))
+    x, y = _batch(rng)
+
+    s1, m1 = step(state, x, y)
+    lam = mixup_lam(5, jnp.int32(0), 0.2)
+    assert 0.0 < float(lam) < 1.0
+    mixed = lam.astype(x.dtype) * x + (1.0 - lam.astype(x.dtype)) * x[::-1]
+    logits = vit_forward(params, mixed, CFG, SCHED)
+    want = float(
+        lam * cross_entropy(logits, y)
+        + (1.0 - lam) * cross_entropy(logits, y[::-1])
+    )
+    assert abs(float(m1["loss"]) - want) < 1e-5
+
+    state2, _ = create_train_state(params, learning_rate=1e-3)
+    s2, m2 = step(state2, x, y)
+    assert float(m1["loss"]) == float(m2["loss"])
+    for la, lb in zip(
+        jax.tree_util.tree_leaves(s1.params),
+        jax.tree_util.tree_leaves(s2.params),
+    ):
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+    # the next step draws a DIFFERENT lam (keyed on state.step)
+    lam1 = mixup_lam(5, jnp.int32(1), 0.2)
+    assert float(lam1) != float(lam)
+
+
+def test_train_cli_mixup_resume(tmp_path):
+    """--mixup composes with crash-safe resume: lam is a pure function of
+    (seed, step), so the resumed trajectory is bit-identical."""
+    import json as _json
+
+    from rajni_tpu.params.io import load_params
+    from rajni_tpu.train import main
+
+    sched = tmp_path / "s.json"
+    sched.write_text(_json.dumps({"1": {"keep_ratio": 0.6}}))
+    base = ["--synthetic", "--model", "vit_tiny_patch16_64",
+            "--schedule", str(sched), "--batch_size", "4",
+            "--mixup", "0.2", "--label_smoothing", "0.1",
+            "--log_every", "1"]
+
+    out_a = tmp_path / "a.msgpack"
+    main(base + ["--steps", "3", "--output", str(out_a)])
+
+    out_b = tmp_path / "b.msgpack"
+    st = tmp_path / "b.state"
+    main(base + ["--steps", "1", "--output", str(out_b),
+                 "--save_state_every", "1", "--state_path", str(st)])
+    main(base + ["--steps", "3", "--output", str(out_b),
+                 "--resume", str(st)])
+
+    for la, lb in zip(
+        jax.tree_util.tree_leaves(load_params(str(out_a))),
+        jax.tree_util.tree_leaves(load_params(str(out_b))),
+    ):
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+
+    from rajni_tpu.train import main as _m
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="mixup"):
+        _m(base + ["--steps", "1", "--mixup", "-1",
+                   "--output", str(tmp_path / "x.msgpack")])
