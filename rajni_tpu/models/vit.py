@@ -534,6 +534,7 @@ def vit_forward(
     schedule: Schedule | None = None,
     impl: str = "xla",
     act_scales=None,
+    remat: bool = False,
     _tap=None,
     _sel_tap=None,
 ) -> jax.Array:
@@ -561,6 +562,17 @@ def vit_forward(
     ``(config, schedule)`` — retrieve them with :func:`model_stats` (the
     reference's ``get_last_stats`` contract, model.py:25-28).
 
+    ``remat`` (static) wraps each transformer block in ``jax.checkpoint``
+    on the XLA path: under ``jax.grad`` the backward pass recomputes the
+    block's internals from its entry activations instead of keeping every
+    intermediate live, cutting peak training memory from O(depth ·
+    activations) to O(depth · x + one block's internals) at ~⅓ extra
+    forward FLOPs. Inference-only callers should leave it off — without a
+    ``grad`` there is nothing to save, and the extra checkpoint regions
+    only constrain XLA fusion. Ignored on the Pallas path (kernels define
+    no VJP; training routes XLA) and when a ``_tap``/``_sel_tap`` debug
+    hook is installed (the hook would observe the recomputation too).
+
     ``_tap``, when given, is called as ``_tap(block_idx, x)`` with each
     block's output activations — the capture hook behind
     :func:`vit_activations` (attestation/debug; not for jitted hot paths).
@@ -581,6 +593,7 @@ def vit_forward(
         # pallas_compilable additionally demotes lane-unaligned widths
         # (C % 128 != 0) that Mosaic cannot compile on real TPU.
         impl = "xla"
+    remat = remat and _tap is None and _sel_tap is None
     n_prefix = config.num_prefix_tokens
     dtype = params["cls_token"].dtype
     x = patch_embed(images.astype(dtype), params["patch_embed"], config)
@@ -816,28 +829,38 @@ def vit_forward(
                         config.num_heads,
                         config.attn_scale,
                     )
+                x = _mlp_branch(x, block, config, impl, mlp_as)
             else:
-                x_norm = layer_norm(x, block["norm1"], config.layer_norm_eps)
-                out, keep_idx, scores = pruned_attention(
-                    x_norm,
-                    _dequant_attn(block["attn"], x.dtype),
-                    config.num_heads,
-                    config.attn_scale,
-                    keep,
-                    spec.update,
-                    scores,
-                    impl,
-                    num_prefix=n_prefix,
-                    norm_eps=config.layer_norm_eps,
-                )
-                if _sel_tap is not None:
-                    _sel_tap(blk_i, keep_idx)
-                # Residual-stream compaction BEFORE the residual add
-                # (reference model.py:55-56).
-                idx = keep_idx[..., None]
-                x = jnp.take_along_axis(x, idx, axis=1)
-                x = x + _layer_scale(out, block, "ls1")
-            x = _mlp_branch(x, block, config, impl, mlp_as)
+
+                def _xla_pruned_block(x, scores, block=block, spec=spec,
+                                      keep=keep, mlp_as=mlp_as, blk_i=blk_i):
+                    x_norm = layer_norm(
+                        x, block["norm1"], config.layer_norm_eps
+                    )
+                    out, keep_idx, scores = pruned_attention(
+                        x_norm,
+                        _dequant_attn(block["attn"], x.dtype),
+                        config.num_heads,
+                        config.attn_scale,
+                        keep,
+                        spec.update,
+                        scores,
+                        impl,
+                        num_prefix=n_prefix,
+                        norm_eps=config.layer_norm_eps,
+                    )
+                    if _sel_tap is not None:
+                        _sel_tap(blk_i, keep_idx)
+                    # Residual-stream compaction BEFORE the residual add
+                    # (reference model.py:55-56).
+                    idx = keep_idx[..., None]
+                    x = jnp.take_along_axis(x, idx, axis=1)
+                    x = x + _layer_scale(out, block, "ls1")
+                    return _mlp_branch(x, block, config, impl, mlp_as), scores
+
+                if remat:
+                    _xla_pruned_block = jax.checkpoint(_xla_pruned_block)
+                x, scores = _xla_pruned_block(x, scores)
         elif impl == "pallas":
             from ..kernels.block import fused_attn_block, fused_attn_block_int8
             from ..quant import is_quantized
@@ -919,7 +942,13 @@ def vit_forward(
             )
             scores = None  # invalidate (model.py:63)
         else:
-            x = stock_block(x, block, config, impl)
+
+            def _xla_stock_block(x, block=block):
+                return stock_block(x, block, config, impl)
+
+            if remat:
+                _xla_stock_block = jax.checkpoint(_xla_stock_block)
+            x = _xla_stock_block(x)
             scores = None  # invalidate: token layout unchanged (model.py:63)
         if _tap is not None:
             _tap(blk_i, x)

@@ -237,9 +237,16 @@ def make_train_step(
     label_smoothing: float = 0.0,
     mixup_alpha: float = 0.0,
     seed: int = 0,
+    remat: bool = False,
 ):
     """Build the full train step: forward (with pruning) → loss → grad →
     optimizer update. ``config``/``schedule`` are static closures.
+
+    ``remat`` wraps each block in ``jax.checkpoint``
+    (:func:`rajni_tpu.models.vit.vit_forward`'s flag): the backward pass
+    recomputes block internals instead of holding all of them live, so
+    batch sizes that OOM un-rematerialized fit — at ~⅓ extra forward
+    FLOPs. Identical math, measured numbers in BENCH_TRAIN.json.
 
     ``mixup_alpha > 0`` enables mixup: each step draws
     ``lam ~ Beta(alpha, alpha)`` from ``(seed, state.step)`` (in-graph, so
@@ -253,7 +260,7 @@ def make_train_step(
             images = lam.astype(images.dtype) * images + (
                 1.0 - lam.astype(images.dtype)
             ) * images[::-1]
-        logits = vit_forward(params, images, config, schedule)
+        logits = vit_forward(params, images, config, schedule, remat=remat)
         if mixup_alpha > 0.0:
             loss = lam * cross_entropy(logits, labels, label_smoothing) + (
                 1.0 - lam
@@ -410,6 +417,13 @@ def main(argv=None):
                         "so a run resumed at step>=steps just re-saves. "
                         "With --distributed the file must be readable on "
                         "every host.")
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize each block in the backward pass "
+                        "(jax.checkpoint): ~⅓ extra forward FLOPs buys "
+                        "O(depth) less activation memory — use when the "
+                        "batch OOMs (pipeline training has its own "
+                        "per-tick remat; this flag composes with plain, "
+                        "--distributed and --tensor_parallel runs)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--profile", type=str, default=None, metavar="DIR",
                    help="Capture a jax.profiler trace of the training loop "
@@ -454,6 +468,12 @@ def main(argv=None):
         )
     if args.eval_every and not args.eval_data:
         raise ValueError("--eval_every requires --eval_data")
+    if args.remat and args.pipeline_parallel > 1:
+        raise ValueError(
+            "--remat is redundant with --pipeline_parallel: the GPipe "
+            "train step already rematerializes per tick "
+            "(parallel/pipeline.py)"
+        )
     if args.augment and (args.synthetic or not args.data_path):
         raise ValueError(
             "--augment requires a real --data_path dataset (crops are "
@@ -582,7 +602,8 @@ def main(argv=None):
         step_fn = jax.jit(
             make_train_step(config, schedule, tx,
                             label_smoothing=args.label_smoothing,
-                            mixup_alpha=args.mixup, seed=args.seed),
+                            mixup_alpha=args.mixup, seed=args.seed,
+                            remat=args.remat),
             donate_argnums=(0,),
         )
         tp_batch_sharding = batch_sharding(tp_mesh)
@@ -593,7 +614,8 @@ def main(argv=None):
         step_fn = jax.jit(
             make_train_step(config, schedule, tx,
                             label_smoothing=args.label_smoothing,
-                            mixup_alpha=args.mixup, seed=args.seed),
+                            mixup_alpha=args.mixup, seed=args.seed,
+                            remat=args.remat),
             donate_argnums=(0,),
         )
 

@@ -47,6 +47,9 @@ def main() -> None:
                    help="chained steps per timing loop")
     p.add_argument("--repeats", type=int, default=3)
     p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--remat", action="store_true",
+                   help="per-block jax.checkpoint in the backward "
+                        "(the train CLI's --remat)")
     p.add_argument("--out", default=None,
                    help="merge rows into this JSON artifact (by config key)")
     p.add_argument("--probe_timeout", type=int, default=600,
@@ -84,7 +87,9 @@ def main() -> None:
         tx = build_optimizer(args.lr, total_steps=10_000)
         state = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
         # no donation: each timing loop restarts from the same live state
-        step = jax.jit(make_train_step(config, schedule, tx))
+        step = jax.jit(
+            make_train_step(config, schedule, tx, remat=args.remat)
+        )
         for _ in range(2):  # compile + cache warmup
             state, metrics = step(state, images, labels)
         fence((metrics, state.params["head"]["kernel"]))
@@ -109,7 +114,8 @@ def main() -> None:
     log(f"base: {base:.1f} img/s")
 
     row = {
-        "config": f"{args.model}_train_schedulejson",
+        "config": f"{args.model}_train_schedulejson"
+                  + ("_remat" if args.remat else ""),
         "batch": args.batch,
         "dtype": args.dtype,
         "img_per_s": round(pruned, 1),

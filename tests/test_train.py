@@ -59,6 +59,57 @@ def test_gradients_nonzero_for_all_blocks(rng):
     assert np.abs(np.asarray(grads["patch_embed"]["kernel"])).max() > 0
 
 
+def test_remat_matches_plain_step(rng):
+    """--remat is a pure memory/time trade: per-block jax.checkpoint
+    recomputes the same math, so the loss trajectory must track the
+    un-rematerialized step to fp32 noise (pruned AND stock blocks both
+    take the wrapped path). Blanket param allclose is deliberately NOT
+    asserted — recomputation reorders fp, and Adam turns sub-1e-7
+    gradient noise on near-zero-gradient leaves into lr-scale updates
+    (same effect the multihost parity test documents); the strict
+    gradient-level check is test_remat_grads_match_plain."""
+    params = init_params(jax.random.key(7), CFG)
+    x, y = _batch(rng)
+
+    trajectories = []
+    for remat in (False, True):
+        state, tx = create_train_state(params, learning_rate=1e-3)
+        step = jax.jit(make_train_step(CFG, SCHED, tx, remat=remat))
+        losses = []
+        for _ in range(3):
+            state, metrics = step(state, x, y)
+            losses.append(float(metrics["loss"]))
+        trajectories.append(losses)
+    np.testing.assert_allclose(
+        trajectories[0], trajectories[1], rtol=1e-4, atol=1e-6
+    )
+
+
+def test_remat_grads_match_plain(rng):
+    """Gradient-level parity (tighter than the optimizer-smoothed check
+    above): jax.grad through the rematerialized forward equals the plain
+    one for a schedule mixing pruned and stock blocks."""
+    from rajni_tpu.models.vit import vit_forward
+    from rajni_tpu.train import cross_entropy
+
+    params = init_params(jax.random.key(8), CFG)
+    x, y = _batch(rng)
+
+    def loss(p, remat):
+        return cross_entropy(
+            vit_forward(p, x, CFG, SCHED, remat=remat), y
+        )
+
+    g_plain = jax.grad(lambda p: loss(p, False))(params)
+    g_remat = jax.grad(lambda p: loss(p, True))(params)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7
+        ),
+        g_plain, g_remat,
+    )
+
+
 def test_train_step_deterministic(rng):
     params = init_params(jax.random.key(2), CFG)
     state, tx = create_train_state(params)
