@@ -417,6 +417,14 @@ def main(argv=None):
                         "so a run resumed at step>=steps just re-saves. "
                         "With --distributed the file must be readable on "
                         "every host.")
+    p.add_argument("--data_parallel", action="store_true",
+                   help="shard the batch over ALL local devices on a 1-D "
+                        "data mesh (params replicated; XLA all-reduces the "
+                        "gradients over ICI) — the single-host counterpart "
+                        "of the eval CLI's --data_parallel. Redundant with "
+                        "--tensor_parallel/--pipeline_parallel (their "
+                        "meshes already data-parallelize the leftover "
+                        "devices) and with --distributed (DCN-level DP)")
     p.add_argument("--remat", action="store_true",
                    help="rematerialize each block in the backward pass "
                         "(jax.checkpoint): ~⅓ extra forward FLOPs buys "
@@ -468,6 +476,16 @@ def main(argv=None):
         )
     if args.eval_every and not args.eval_data:
         raise ValueError("--eval_every requires --eval_data")
+    if args.data_parallel and (
+        args.distributed or args.tensor_parallel > 1
+        or args.pipeline_parallel > 1
+    ):
+        raise ValueError(
+            "--data_parallel is the plain single-host mode; "
+            "--tensor_parallel/--pipeline_parallel meshes already "
+            "data-parallelize their leftover devices and --distributed "
+            "shards data over hosts — drop the redundant flag"
+        )
     if args.remat and args.pipeline_parallel > 1:
         raise ValueError(
             "--remat is redundant with --pipeline_parallel: the GPipe "
@@ -580,12 +598,16 @@ def main(argv=None):
         print(f"Pipeline training: mesh {dict(pp_mesh.shape)}, "
               f"M={n_micro} microbatches "
               f"(utilization {n_micro / (n_micro + args.pipeline_parallel - 1):.2f})")
-    elif args.tensor_parallel > 1:
+    elif args.tensor_parallel > 1 or args.data_parallel:
         # DP x Megatron TP over a (data, model) mesh (the library recipe in
         # docs/PARALLELISM.md, now CLI-wired): shard_params head-aligns the
         # QKV and places every weight; the optimizer state initialized from
         # the SHARDED tree inherits the shardings, gradients follow them,
-        # and XLA inserts the Megatron psums (audited in tests/test_parallel)
+        # and XLA inserts the Megatron psums (audited in tests/test_parallel).
+        # --data_parallel is the model=1 degenerate case: shard_params
+        # replicates every weight (no QKV repack at model=1), the batch
+        # shards over the full data axis, and the mean loss makes XLA
+        # all-reduce the gradients — plain DDP-style training.
         from .parallel.mesh import batch_sharding, make_mesh, shard_params
 
         tp_mesh = make_mesh(model=args.tensor_parallel)
@@ -607,8 +629,12 @@ def main(argv=None):
             donate_argnums=(0,),
         )
         tp_batch_sharding = batch_sharding(tp_mesh)
-        print(f"TP training: mesh {dict(tp_mesh.shape)} "
-              f"(data-parallel batch x Megatron tensor parallelism)")
+        if args.tensor_parallel > 1:
+            print(f"TP training: mesh {dict(tp_mesh.shape)} "
+                  f"(data-parallel batch x Megatron tensor parallelism)")
+        else:
+            print(f"DP training: batch sharded over "
+                  f"{tp_mesh.shape['data']} devices (params replicated)")
     else:
         state = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
         step_fn = jax.jit(

@@ -636,6 +636,62 @@ def test_train_cli_tensor_parallel(tmp_path, capsys):
     assert np.isfinite(np.asarray(logits)).all()
 
 
+def test_train_cli_data_parallel(tmp_path, capsys):
+    """--data_parallel (plain single-host DP): batch sharded over all 8
+    CPU-mesh devices, params replicated, gradients all-reduced by XLA.
+    The loss trajectory matches the plain single-jit run (tolerance —
+    the sharded mean reduces in a different order) and the checkpoint is
+    canonical; also composes with --remat. Redundant parallel-flag
+    combinations are rejected."""
+    import json as _json
+    import re
+
+    import pytest
+
+    from rajni_tpu.models.vit import get_config, vit_forward
+    from rajni_tpu.params.io import load_params
+    from rajni_tpu.train import main
+
+    sched = tmp_path / "s.json"
+    sched.write_text(_json.dumps({"1": {"keep_ratio": 0.6}}))
+    base = ["--synthetic", "--model", "vit_tiny_patch16_64",
+            "--schedule", str(sched), "--steps", "2", "--batch_size", "8",
+            "--log_every", "1", "--lr", "1e-3"]
+
+    def losses(text):
+        return [float(m) for m in re.findall(r"loss (\d+\.\d+)", text)]
+
+    out_plain = tmp_path / "plain.msgpack"
+    main(base + ["--output", str(out_plain)])
+    plain = losses(capsys.readouterr().out)
+
+    out_dp = tmp_path / "dp.msgpack"
+    state = main(base + ["--output", str(out_dp), "--data_parallel",
+                         "--remat"])
+    printed = capsys.readouterr().out
+    assert "DP training: batch sharded over 8 devices" in printed
+    dp = losses(printed)
+    assert int(state.step) == 2
+
+    assert len(plain) == len(dp) == 2
+    for a, b in zip(plain, dp):
+        assert abs(a - b) < 5e-3 * max(1.0, abs(a)), (plain, dp)
+
+    p = load_params(str(out_dp))
+    assert p["blocks"][0]["attn"]["qkv"]["kernel"].ndim == 2  # canonical
+    cfg = get_config("vit_tiny_patch16_64")
+    logits = vit_forward(
+        p, jnp.zeros((1, 64, 64, 3), jnp.float32), cfg, None
+    )
+    assert np.isfinite(np.asarray(logits)).all()
+
+    for extra in (["--tensor_parallel", "2"],
+                  ["--pipeline_parallel", "2"],
+                  ["--distributed"]):
+        with pytest.raises(ValueError, match="redundant"):
+            main(base + ["--data_parallel"] + extra)
+
+
 def test_train_cli_tensor_parallel_resume(tmp_path):
     """Resume restores onto the TP-sharded template (committed NamedSharding
     leaves place back onto the (data, model) mesh)."""
