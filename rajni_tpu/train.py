@@ -77,6 +77,7 @@ def build_optimizer(
     lr_schedule: str = "constant",
     warmup_steps: int = 0,
     grad_accum: int = 1,
+    grad_clip: float = 0.0,
 ) -> optax.GradientTransformation:
     """AdamW with the standard fine-tuning knobs.
 
@@ -92,6 +93,12 @@ def build_optimizer(
       only on real updates (once per K micro-steps), so the horizons are
       converted to update ticks here — without the conversion a cosine run
       with K=4 would end at ~0.9·peak instead of 0.
+    - ``grad_clip > 0`` rescales the whole gradient tree when its global
+      L2 norm exceeds the threshold (``optax.clip_by_global_norm``),
+      applied BEFORE AdamW so the clipped gradient is what feeds the
+      moment estimates, and inside MultiSteps' inner chain so with
+      ``grad_accum`` the clip sees the K-step MEAN gradient (the
+      effective-batch gradient), not each micro-gradient.
     """
     decay_ticks, warm_ticks = _schedule_ticks(
         total_steps, warmup_steps, grad_accum
@@ -108,6 +115,8 @@ def build_optimizer(
     else:
         lr = learning_rate
     tx = optax.adamw(lr, weight_decay=weight_decay)
+    if grad_clip > 0.0:
+        tx = optax.chain(optax.clip_by_global_norm(grad_clip), tx)
     if grad_accum > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=grad_accum)
     return tx
@@ -380,6 +389,10 @@ def main(argv=None):
                         "update (optax.MultiSteps): K× effective batch at "
                         "1× activation memory. --steps counts micro-steps.")
     p.add_argument("--weight_decay", type=float, default=0.05)
+    p.add_argument("--grad_clip", type=float, default=0.0, metavar="NORM",
+                   help="clip the gradient to this global L2 norm before "
+                        "AdamW (0 = off); with --grad_accum the clip "
+                        "applies to the K-step mean gradient")
     p.add_argument("--dtype", type=str, default="float32",
                    choices=["float32", "bfloat16"],
                    help="Param dtype (fp32 default: optimizer stability)")
@@ -501,6 +514,8 @@ def main(argv=None):
         raise ValueError("--label_smoothing must be in [0, 1)")
     if args.mixup < 0.0:
         raise ValueError("--mixup alpha must be >= 0")
+    if args.grad_clip < 0.0:
+        raise ValueError("--grad_clip must be >= 0 (0 disables)")
     if args.state_backend == "orbax" and args.distributed:
         raise ValueError(
             "--state_backend orbax is single-controller: saving multi-host "
@@ -553,7 +568,7 @@ def main(argv=None):
     tx = build_optimizer(
         args.lr, args.steps, args.weight_decay,
         lr_schedule=args.lr_schedule, warmup_steps=args.warmup_steps,
-        grad_accum=args.grad_accum,
+        grad_accum=args.grad_accum, grad_clip=args.grad_clip,
     )
 
     pp_mesh = None

@@ -110,6 +110,60 @@ def test_remat_grads_match_plain(rng):
     )
 
 
+def test_grad_clip(rng):
+    """--grad_clip semantics: a generous threshold is a no-op (update
+    identical to the unclipped optimizer); a tiny threshold rescales the
+    whole gradient tree to the target global norm before AdamW sees it."""
+    import optax
+
+    from rajni_tpu.train import TrainState, build_optimizer
+
+    params = init_params(jax.random.key(9), CFG)
+    x, y = _batch(rng)
+
+    def one_step(grad_clip):
+        tx = build_optimizer(1e-3, total_steps=10, grad_clip=grad_clip)
+        state = TrainState(params, tx.init(params),
+                           jnp.zeros((), jnp.int32))
+        step = jax.jit(make_train_step(CFG, SCHED, tx))
+        state, metrics = step(state, x, y)
+        return state, metrics
+
+    s_off, _ = one_step(0.0)
+    s_loose, _ = one_step(1e9)  # never binds
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b)
+        ),
+        s_off.params, s_loose.params,
+    )
+
+    # a binding clip changes the update but still moves the params
+    s_tight, m = one_step(1e-4)
+    head_off = np.asarray(s_off.params["head"]["kernel"])
+    head_tight = np.asarray(s_tight.params["head"]["kernel"])
+    assert not np.array_equal(head_off, head_tight)
+    assert not np.array_equal(
+        head_tight, np.asarray(params["head"]["kernel"])
+    )
+    assert np.isfinite(float(m["loss"]))
+
+    # the clip composes INSIDE MultiSteps: params only move on the K-th
+    # micro-step, and the clipped mean-gradient update is finite
+    tx = build_optimizer(1e-3, total_steps=10, grad_accum=2, grad_clip=1.0)
+    state = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
+    step = jax.jit(make_train_step(CFG, SCHED, tx))
+    mid, _ = step(state, x, y)
+    np.testing.assert_array_equal(
+        np.asarray(mid.params["head"]["kernel"]),
+        np.asarray(params["head"]["kernel"]),
+    )
+    done, _ = step(mid, x, y)
+    moved = np.asarray(done.params["head"]["kernel"])
+    assert not np.array_equal(moved, np.asarray(params["head"]["kernel"]))
+    assert np.isfinite(moved).all()
+
+
 def test_train_step_deterministic(rng):
     params = init_params(jax.random.key(2), CFG)
     state, tx = create_train_state(params)
