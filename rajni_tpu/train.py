@@ -56,6 +56,72 @@ def create_train_state(
     return TrainState(params, tx.init(params), jnp.zeros((), jnp.int32)), tx
 
 
+class EmaState(NamedTuple):
+    """Optimizer-state slot holding the EMA of the parameters.
+
+    Living inside ``opt_state`` (rather than a new ``TrainState`` field)
+    keeps every existing surface working unchanged: ``save_train_state``
+    persists it, ``--resume`` restores it onto the template and continues
+    the EMA trajectory exactly, and sharded runs inherit the params'
+    placements because ``tx.init`` copies the (already-placed) param tree.
+    """
+
+    ema: Any
+
+
+def ema_tracker(decay: float) -> optax.GradientTransformation:
+    """Track ``ema = decay·ema + (1−decay)·params`` after each update.
+
+    Chained AFTER the optimizer core so it observes the final updates; a
+    pass-through for the updates themselves. Under ``optax.MultiSteps``
+    the inner chain commits once per ``grad_accum`` micro-steps, so the
+    EMA advances per real parameter update — the standard semantics
+    (capability extension; the reference is inference-only, SURVEY.md §5).
+    Retrieve the tree with :func:`get_ema_params`.
+    """
+
+    def init(params):
+        # a REAL copy, not an alias: the train steps donate the TrainState
+        # (donate_argnums=(0,)), and an aliased leaf would put the same
+        # buffer in the donation list twice ("Attempt to donate the same
+        # buffer twice"). `p + 0` materializes a new buffer with the
+        # leaf's dtype and sharding preserved.
+        return EmaState(jax.tree_util.tree_map(lambda p: p + 0, params))
+
+    def update(updates, state, params=None):
+        if params is None:
+            raise ValueError("ema_tracker requires params in tx.update")
+        new_params = optax.apply_updates(params, updates)
+        d = jnp.asarray(decay)
+        ema = jax.tree_util.tree_map(
+            lambda e, p: (d * e.astype(jnp.float32)
+                          + (1.0 - d) * p.astype(jnp.float32)).astype(
+                              e.dtype),
+            state.ema, new_params,
+        )
+        return updates, EmaState(ema)
+
+    return optax.GradientTransformation(init, update)
+
+
+def get_ema_params(opt_state: Any) -> Any:
+    """Pull the EMA param tree out of a (possibly nested) optimizer state.
+
+    Walks tuples/NamedTuples (``optax.chain`` states are tuples;
+    ``optax.MultiSteps``' state is a NamedTuple whose ``inner_opt_state``
+    holds the chain) and returns the first :class:`EmaState`'s tree, or
+    ``None`` when the optimizer was built without ``ema``.
+    """
+    if isinstance(opt_state, EmaState):
+        return opt_state.ema
+    if isinstance(opt_state, tuple):
+        for s in opt_state:
+            found = get_ema_params(s)
+            if found is not None:
+                return found
+    return None
+
+
 def _schedule_ticks(
     total_steps: int, warmup_steps: int, grad_accum: int
 ) -> tuple[int, int]:
@@ -78,6 +144,7 @@ def build_optimizer(
     warmup_steps: int = 0,
     grad_accum: int = 1,
     grad_clip: float = 0.0,
+    ema: float = 0.0,
 ) -> optax.GradientTransformation:
     """AdamW with the standard fine-tuning knobs.
 
@@ -99,6 +166,10 @@ def build_optimizer(
       moment estimates, and inside MultiSteps' inner chain so with
       ``grad_accum`` the clip sees the K-step MEAN gradient (the
       effective-batch gradient), not each micro-gradient.
+    - ``ema > 0`` appends :func:`ema_tracker` with that decay: the
+      optimizer state carries an exponential moving average of the
+      parameters (updated once per real update, so per K micro-steps
+      under ``grad_accum``); extract with :func:`get_ema_params`.
     """
     decay_ticks, warm_ticks = _schedule_ticks(
         total_steps, warmup_steps, grad_accum
@@ -117,6 +188,8 @@ def build_optimizer(
     tx = optax.adamw(lr, weight_decay=weight_decay)
     if grad_clip > 0.0:
         tx = optax.chain(optax.clip_by_global_norm(grad_clip), tx)
+    if ema > 0.0:
+        tx = optax.chain(tx, ema_tracker(ema))
     if grad_accum > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=grad_accum)
     return tx
@@ -389,6 +462,15 @@ def main(argv=None):
                         "update (optax.MultiSteps): K× effective batch at "
                         "1× activation memory. --steps counts micro-steps.")
     p.add_argument("--weight_decay", type=float, default=0.05)
+    p.add_argument("--ema", type=float, default=0.0, metavar="DECAY",
+                   help="track an exponential moving average of the "
+                        "params (ema = DECAY*ema + (1-DECAY)*params per "
+                        "update; 0.9999 is the common ViT setting) and "
+                        "additionally save it as <output>.ema — often "
+                        "worth a few tenths of top-1 over the raw final "
+                        "params. Lives in the optimizer state, so "
+                        "--save_state_every/--resume carry it exactly; "
+                        "costs one extra param-sized buffer")
     p.add_argument("--grad_clip", type=float, default=0.0, metavar="NORM",
                    help="clip the gradient to this global L2 norm before "
                         "AdamW (0 = off); with --grad_accum the clip "
@@ -516,6 +598,8 @@ def main(argv=None):
         raise ValueError("--mixup alpha must be >= 0")
     if args.grad_clip < 0.0:
         raise ValueError("--grad_clip must be >= 0 (0 disables)")
+    if not 0.0 <= args.ema < 1.0:
+        raise ValueError("--ema decay must be in [0, 1) (0 disables)")
     if args.state_backend == "orbax" and args.distributed:
         raise ValueError(
             "--state_backend orbax is single-controller: saving multi-host "
@@ -569,6 +653,7 @@ def main(argv=None):
         args.lr, args.steps, args.weight_decay,
         lr_schedule=args.lr_schedule, warmup_steps=args.warmup_steps,
         grad_accum=args.grad_accum, grad_clip=args.grad_clip,
+        ema=args.ema,
     )
 
     pp_mesh = None
@@ -903,28 +988,34 @@ def main(argv=None):
     from .params.io import save_params
 
     if not args.distributed or jax.process_index() == 0:
-        out_params = state.params
-        if pp_mesh is not None:
+
+        def to_canonical(tree):
             # back to the canonical checkpoint layout: gather the stacked
             # per-stage shards to host, un-stack the depth axis, and (with
             # TP) un-repack the head-aligned QKV — so the output loads
-            # into the eval CLI / converter / oracles unchanged
-            from .parallel.pipeline import unstack_params
+            # into the eval CLI / converter / oracles unchanged. (The EMA
+            # tree mirrors the params' layout, so the same path applies.)
+            if pp_mesh is not None:
+                from .parallel.pipeline import unstack_params
 
-            out_params = unstack_params(jax.device_get(out_params))
-            if args.tensor_parallel > 1:
+                tree = unstack_params(jax.device_get(tree))
+                if args.tensor_parallel > 1:
+                    from .parallel.mesh import unrepack_qkv_heads
+
+                    tree = unrepack_qkv_heads(tree)
+            elif tp_mesh is not None:
                 from .parallel.mesh import unrepack_qkv_heads
 
-                out_params = unrepack_qkv_heads(out_params)
-        elif tp_mesh is not None:
-            # gather the model-axis shards and undo the head-aligned QKV
-            # repack so the checkpoint is the canonical single-device layout
-            from .parallel.mesh import unrepack_qkv_heads
+                tree = unrepack_qkv_heads(jax.device_get(tree))
+            return tree
 
-            out_params = unrepack_qkv_heads(jax.device_get(out_params))
         # params are fully replicated — one copy on disk is the checkpoint
-        save_params(args.output, out_params)
+        save_params(args.output, to_canonical(state.params))
         print(f"saved fine-tuned params -> {args.output}")
+        if args.ema > 0.0:
+            ema = get_ema_params(state.opt_state)
+            save_params(f"{args.output}.ema", to_canonical(ema))
+            print(f"saved EMA params -> {args.output}.ema")
     return state
 
 

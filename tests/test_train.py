@@ -164,6 +164,87 @@ def test_grad_clip(rng):
     assert np.isfinite(moved).all()
 
 
+def test_ema_tracker_math(rng):
+    """EMA semantics: ema_t = d·ema_{t-1} + (1−d)·params_t with ema_0 =
+    the initial params, advanced once per parameter update. Verified by
+    recomputing the recurrence from the observed param trajectory."""
+    from rajni_tpu.train import TrainState, build_optimizer, get_ema_params
+
+    d = 0.5
+    params = init_params(jax.random.key(10), CFG)
+    tx = build_optimizer(1e-3, total_steps=10, ema=d)
+    state = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
+    step = jax.jit(make_train_step(CFG, SCHED, tx))
+    x, y = _batch(rng)
+
+    expect = np.asarray(params["head"]["kernel"], np.float32)
+    for _ in range(3):
+        state, _ = step(state, x, y)
+        p = np.asarray(state.params["head"]["kernel"], np.float32)
+        expect = d * expect + (1 - d) * p
+    ema = get_ema_params(state.opt_state)
+    assert ema is not None
+    np.testing.assert_allclose(
+        np.asarray(ema["head"]["kernel"]), expect, rtol=1e-6, atol=1e-7
+    )
+
+    # without ema the extractor reports absence (the CLI's guard)
+    tx0 = build_optimizer(1e-3, total_steps=10)
+    assert get_ema_params(tx0.init(params)) is None
+
+    # nested inside MultiSteps: found, and only advances on commit ticks
+    txk = build_optimizer(1e-3, total_steps=10, grad_accum=2, ema=d)
+    sk = TrainState(params, txk.init(params), jnp.zeros((), jnp.int32))
+    stepk = jax.jit(make_train_step(CFG, SCHED, txk))
+    sk, _ = stepk(sk, x, y)  # micro-step: no update, EMA frozen at init
+    np.testing.assert_array_equal(
+        np.asarray(get_ema_params(sk.opt_state)["head"]["kernel"]),
+        np.asarray(params["head"]["kernel"]),
+    )
+    sk, _ = stepk(sk, x, y)  # commit tick: params move, EMA advances
+    assert not np.array_equal(
+        np.asarray(get_ema_params(sk.opt_state)["head"]["kernel"]),
+        np.asarray(params["head"]["kernel"]),
+    )
+
+
+def test_train_cli_ema(tmp_path):
+    """--ema end-to-end: <output>.ema is written, loads as a canonical
+    checkpoint, differs from the raw final params, and --resume continues
+    the EMA trajectory exactly (it lives in the saved optimizer state)."""
+    import json as _json
+
+    from rajni_tpu.params.io import load_params
+    from rajni_tpu.train import main
+
+    sched = tmp_path / "s.json"
+    sched.write_text(_json.dumps({"1": {"keep_ratio": 0.6}}))
+    base = ["--synthetic", "--model", "vit_tiny_patch16_64",
+            "--schedule", str(sched), "--batch_size", "4",
+            "--log_every", "1", "--lr", "1e-3", "--ema", "0.9"]
+
+    out = tmp_path / "ft.msgpack"
+    main(base + ["--steps", "2", "--output", str(out)])
+    raw = load_params(str(out))
+    ema = load_params(str(out) + ".ema")
+    assert len(ema["blocks"]) == len(raw["blocks"])
+    a = np.asarray(raw["head"]["kernel"])
+    b = np.asarray(ema["head"]["kernel"])
+    assert np.isfinite(b).all() and not np.array_equal(a, b)
+
+    # interrupted-and-resumed run reproduces the same EMA bit-exactly
+    out2 = tmp_path / "ft2.msgpack"
+    st = tmp_path / "ft2.state"
+    main(base + ["--steps", "1", "--output", str(out2),
+                 "--save_state_every", "1", "--state_path", str(st)])
+    main(base + ["--steps", "2", "--output", str(out2),
+                 "--resume", str(st)])
+    ema2 = load_params(str(out2) + ".ema")
+    np.testing.assert_array_equal(
+        b, np.asarray(ema2["head"]["kernel"])
+    )
+
+
 def test_train_step_deterministic(rng):
     params = init_params(jax.random.key(2), CFG)
     state, tx = create_train_state(params)
