@@ -122,6 +122,55 @@ def get_ema_params(opt_state: Any) -> Any:
     return None
 
 
+def layer_decay_factors(params: Any, decay: float) -> Any:
+    """Per-leaf update multipliers for layer-wise LR decay (LLRD).
+
+    The standard ViT fine-tuning scheme (timm's ``layer_decay``): the head
+    and final norm train at the full LR, block ``i`` at
+    ``decay^(depth - i)``, and the embedding leaves (patch-embed, CLS /
+    register / dist tokens, pos-embed) at ``decay^(depth + 1)`` — early
+    layers hold general features and should move least. Returns a tree
+    with the params' structure whose leaves are scalar factors.
+    """
+    depth = len(params["blocks"])
+    top = depth + 1
+
+    def fill(tree, f):
+        return jax.tree_util.tree_map(lambda _: f, tree)
+
+    embed_keys = {"patch_embed", "cls_token", "pos_embed", "reg_token",
+                  "dist_token"}
+    factors = {}
+    for k, v in params.items():
+        if k == "blocks":
+            factors[k] = [
+                fill(b, decay ** (top - (i + 1))) for i, b in enumerate(v)
+            ]
+        elif k in embed_keys:
+            factors[k] = fill(v, decay ** top)
+        else:  # head / head_dist / norm / fc_norm: full LR
+            factors[k] = fill(v, 1.0)
+    return factors
+
+
+def scale_updates_by_tree(factors: Any) -> optax.GradientTransformation:
+    """Multiply each update leaf by its factor — chained AFTER the
+    optimizer core, this is exactly per-group LR (AdamW's update is
+    ``lr·(normalized grad + wd·param)``, so post-scaling by ``f`` equals
+    running that group at ``lr·f``, weight decay included)."""
+
+    def init(params):
+        return optax.EmptyState()
+
+    def update(updates, state, params=None):
+        scaled = jax.tree_util.tree_map(
+            lambda u, f: u * jnp.asarray(f, u.dtype), updates, factors
+        )
+        return scaled, state
+
+    return optax.GradientTransformation(init, update)
+
+
 def _schedule_ticks(
     total_steps: int, warmup_steps: int, grad_accum: int
 ) -> tuple[int, int]:
@@ -145,6 +194,8 @@ def build_optimizer(
     grad_accum: int = 1,
     grad_clip: float = 0.0,
     ema: float = 0.0,
+    layer_decay: float = 0.0,
+    params: Any = None,
 ) -> optax.GradientTransformation:
     """AdamW with the standard fine-tuning knobs.
 
@@ -170,6 +221,10 @@ def build_optimizer(
       optimizer state carries an exponential moving average of the
       parameters (updated once per real update, so per K micro-steps
       under ``grad_accum``); extract with :func:`get_ema_params`.
+    - ``layer_decay`` in (0, 1) enables layer-wise LR decay
+      (:func:`layer_decay_factors` — requires ``params`` for the factor
+      tree, built from the CANONICAL layout before any TP repack; the
+      factor tree's structure matches either layout).
     """
     decay_ticks, warm_ticks = _schedule_ticks(
         total_steps, warmup_steps, grad_accum
@@ -188,6 +243,13 @@ def build_optimizer(
     tx = optax.adamw(lr, weight_decay=weight_decay)
     if grad_clip > 0.0:
         tx = optax.chain(optax.clip_by_global_norm(grad_clip), tx)
+    if layer_decay > 0.0:
+        if params is None:
+            raise ValueError("layer_decay requires the params tree")
+        tx = optax.chain(
+            tx, scale_updates_by_tree(layer_decay_factors(params,
+                                                          layer_decay))
+        )
     if ema > 0.0:
         tx = optax.chain(tx, ema_tracker(ema))
     if grad_accum > 1:
@@ -462,6 +524,11 @@ def main(argv=None):
                         "update (optax.MultiSteps): K× effective batch at "
                         "1× activation memory. --steps counts micro-steps.")
     p.add_argument("--weight_decay", type=float, default=0.05)
+    p.add_argument("--layer_decay", type=float, default=0.0, metavar="D",
+                   help="layer-wise LR decay (timm's layer_decay): the "
+                        "head trains at --lr, block i at lr*D^(depth-i), "
+                        "the embeddings at lr*D^(depth+1) — 0.65-0.75 is "
+                        "the common ViT fine-tuning range (0 = off)")
     p.add_argument("--ema", type=float, default=0.0, metavar="DECAY",
                    help="track an exponential moving average of the "
                         "params (ema = DECAY*ema + (1-DECAY)*params per "
@@ -600,6 +667,14 @@ def main(argv=None):
         raise ValueError("--grad_clip must be >= 0 (0 disables)")
     if not 0.0 <= args.ema < 1.0:
         raise ValueError("--ema decay must be in [0, 1) (0 disables)")
+    if not 0.0 <= args.layer_decay <= 1.0:
+        raise ValueError("--layer_decay must be in [0, 1] (0 disables)")
+    if args.layer_decay > 0.0 and args.pipeline_parallel > 1:
+        raise ValueError(
+            "--layer_decay is per-block, but pipeline training stacks "
+            "each stage's blocks into single leaves (stack_params) — "
+            "per-block factors cannot map onto the stacked tree"
+        )
     if args.state_backend == "orbax" and args.distributed:
         raise ValueError(
             "--state_backend orbax is single-controller: saving multi-host "
@@ -653,7 +728,7 @@ def main(argv=None):
         args.lr, args.steps, args.weight_decay,
         lr_schedule=args.lr_schedule, warmup_steps=args.warmup_steps,
         grad_accum=args.grad_accum, grad_clip=args.grad_clip,
-        ema=args.ema,
+        ema=args.ema, layer_decay=args.layer_decay, params=params,
     )
 
     pp_mesh = None

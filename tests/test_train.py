@@ -208,6 +208,63 @@ def test_ema_tracker_math(rng):
     )
 
 
+def test_layer_decay(rng):
+    """LLRD semantics: post-AdamW scaling means the step-1 update of each
+    leaf is EXACTLY factor × the unscaled update (the moment estimates
+    feed from the same raw gradient). Head trains at full LR (bit-equal
+    to the plain run); block i at d^(depth−i); embeddings at d^(depth+1)."""
+    from rajni_tpu.train import (
+        TrainState,
+        build_optimizer,
+        layer_decay_factors,
+    )
+
+    d = 0.5
+    params = init_params(jax.random.key(13), CFG)
+    depth = len(params["blocks"])
+    x, y = _batch(rng)
+
+    factors = layer_decay_factors(params, d)
+    assert factors["head"]["kernel"] == 1.0
+    assert factors["patch_embed"]["kernel"] == d ** (depth + 1)
+    assert factors["blocks"][0]["attn"]["qkv"]["kernel"] == d ** depth
+    assert factors["blocks"][depth - 1]["norm1"]["scale"] == d
+
+    def one_step(layer_decay):
+        tx = build_optimizer(1e-3, total_steps=10, layer_decay=layer_decay,
+                             params=params)
+        state = TrainState(params, tx.init(params),
+                           jnp.zeros((), jnp.int32))
+        step = jax.jit(make_train_step(CFG, SCHED, tx))
+        state, _ = step(state, x, y)
+        return state.params
+
+    plain = one_step(0.0)
+    lld = one_step(d)
+
+    np.testing.assert_array_equal(
+        np.asarray(lld["head"]["kernel"]), np.asarray(plain["head"]["kernel"])
+    )
+    for leaf in ("patch_embed",):
+        old = np.asarray(params[leaf]["kernel"], np.float64)
+        du_plain = np.asarray(plain[leaf]["kernel"], np.float64) - old
+        du_lld = np.asarray(lld[leaf]["kernel"], np.float64) - old
+        np.testing.assert_allclose(
+            du_lld, d ** (depth + 1) * du_plain, rtol=1e-4, atol=1e-12
+        )
+    old = np.asarray(params["blocks"][0]["mlp"]["fc1"]["kernel"], np.float64)
+    du_plain = (
+        np.asarray(plain["blocks"][0]["mlp"]["fc1"]["kernel"], np.float64)
+        - old
+    )
+    du_lld = (
+        np.asarray(lld["blocks"][0]["mlp"]["fc1"]["kernel"], np.float64) - old
+    )
+    np.testing.assert_allclose(
+        du_lld, d ** depth * du_plain, rtol=1e-4, atol=1e-12
+    )
+
+
 def test_train_cli_ema(tmp_path):
     """--ema end-to-end: <output>.ema is written, loads as a canonical
     checkpoint, differs from the raw final params, and --resume continues
