@@ -966,13 +966,22 @@ def main(argv=None):
 
         def run_eval(at_step):
             nonlocal best_acc
-            acc = _eval_top1(eval_fwd, state.params, eval_loader, eb,
-                             args.eval_batches)
-            print(f"step {at_step:6d}  val_top1 {acc:.2f}%")
-            if acc > best_acc:
-                best_acc = acc
-                _save_params(f"{args.output}.best", state.params)
-                print(f"new best ({acc:.2f}%) -> {args.output}.best")
+            # with --ema the EMA weights are scored too and .best keeps
+            # whichever tree is ahead — EMA usually wins late in a run,
+            # raw params early (the EMA lags at warm-up)
+            candidates = [("", state.params)]
+            if args.ema > 0.0:
+                candidates.append((" (ema)",
+                                   get_ema_params(state.opt_state)))
+            for tag, tree in candidates:
+                acc = _eval_top1(eval_fwd, tree, eval_loader, eb,
+                                 args.eval_batches)
+                print(f"step {at_step:6d}  val_top1{tag} {acc:.2f}%")
+                if acc > best_acc:
+                    best_acc = acc
+                    _save_params(f"{args.output}.best", tree)
+                    print(f"new best ({acc:.2f}%{tag}) -> "
+                          f"{args.output}.best")
 
     if args.profile:
         # start/stop (not the context manager) so the long loop body keeps

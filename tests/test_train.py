@@ -643,6 +643,19 @@ def test_train_cli_eval_during_training(tmp_path, capsys):
     assert best.exists()
     assert len(load_params(str(best))["blocks"]) == 12
 
+    # with --ema the EMA weights are scored alongside the raw ones and
+    # .best may come from either tree
+    out2 = tmp_path / "ft_ema.msgpack"
+    main([
+        "--synthetic", "--model", "vit_tiny_patch16_64",
+        "--schedule", str(sched), "--steps", "2", "--batch_size", "2",
+        "--output", str(out2), "--log_every", "1", "--ema", "0.9",
+        "--eval_data", str(data), "--eval_every", "2",
+    ])
+    printed = capsys.readouterr().out
+    assert "val_top1 (ema)" in printed
+    assert (tmp_path / "ft_ema.msgpack.best").exists()
+
 
 def test_train_cli_eval_flag_validation(tmp_path):
     import json as _json
