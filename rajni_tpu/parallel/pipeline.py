@@ -624,6 +624,8 @@ def make_pipeline_train_step(
     impl: str = "xla",
     label_smoothing: float = 0.0,
     mixup_alpha: float = 0.0,
+    cutmix_alpha: float = 0.0,
+    switch_prob: float = 0.5,
     seed: int = 0,
 ):
     """GPipe train step over the ``(data, pipe)`` mesh.
@@ -639,7 +641,8 @@ def make_pipeline_train_step(
     """
     import optax
 
-    from ..train import TrainState, cross_entropy
+    from ..train import (TrainState, apply_batch_mix, cross_entropy,
+                         mixed_cross_entropy)
 
     _check_classic(config)
     schedule = normalize_schedule(schedule, config.depth)
@@ -648,32 +651,28 @@ def make_pipeline_train_step(
         config, schedule, mesh, n_micro, impl, remat=True
     )
 
+    mixing = mixup_alpha > 0.0 or cutmix_alpha > 0.0
+
     def loss_fn(ptree, images, labels, lam):
-        if mixup_alpha > 0.0:
-            # mix over the FULL global batch before the microbatch split
-            # (same pairing as the plain train step: batch vs its reverse)
-            images = lam.astype(images.dtype) * images + (
-                1.0 - lam.astype(images.dtype)
-            ) * images[::-1]
         mb = images.reshape((n_micro, -1) + tuple(images.shape[1:]))
         logits = logits_fn(ptree, mb).reshape(-1, config.num_classes)
-        if mixup_alpha > 0.0:
-            loss = lam * cross_entropy(logits, labels, label_smoothing) + (
-                1.0 - lam
-            ) * cross_entropy(logits, labels[::-1], label_smoothing)
+        if mixing:
+            loss = mixed_cross_entropy(logits, labels, lam, label_smoothing)
         else:
             loss = cross_entropy(logits, labels, label_smoothing)
         acc = (jnp.argmax(logits, -1) == labels).mean()
         return loss, acc
 
     def step(state: TrainState, images, labels):
-        from ..train import mixup_lam
-
-        lam = (
-            mixup_lam(seed, state.step, mixup_alpha)
-            if mixup_alpha > 0.0
-            else jnp.float32(1.0)
-        )
+        if mixing:
+            # mix over the FULL global batch before the microbatch split
+            # (same pairing as the plain train step: batch vs its reverse)
+            images, lam = apply_batch_mix(
+                images, seed, state.step, mixup_alpha, cutmix_alpha,
+                switch_prob,
+            )
+        else:
+            lam = jnp.float32(1.0)
         (loss, acc), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, images, labels, lam
         )

@@ -81,12 +81,17 @@ def ema_tracker(decay: float) -> optax.GradientTransformation:
     """
 
     def init(params):
-        # a REAL copy, not an alias: the train steps donate the TrainState
+        # fp32 accumulator regardless of the param dtype: with
+        # decay=0.9999 the per-update increment (1e-4)·(p − e) is below
+        # half a bf16 ulp of e, so a bf16-stored EMA would round every
+        # update away and freeze at its initial value. Also a REAL copy,
+        # not an alias (`+ 0`): the train steps donate the TrainState
         # (donate_argnums=(0,)), and an aliased leaf would put the same
         # buffer in the donation list twice ("Attempt to donate the same
-        # buffer twice"). `p + 0` materializes a new buffer with the
-        # leaf's dtype and sharding preserved.
-        return EmaState(jax.tree_util.tree_map(lambda p: p + 0, params))
+        # buffer twice"); astype is the identity when params are already
+        # fp32. Sharding is preserved either way.
+        return EmaState(jax.tree_util.tree_map(
+            lambda p: p.astype(jnp.float32) + 0, params))
 
     def update(updates, state, params=None):
         if params is None:
@@ -94,9 +99,7 @@ def ema_tracker(decay: float) -> optax.GradientTransformation:
         new_params = optax.apply_updates(params, updates)
         d = jnp.asarray(decay)
         ema = jax.tree_util.tree_map(
-            lambda e, p: (d * e.astype(jnp.float32)
-                          + (1.0 - d) * p.astype(jnp.float32)).astype(
-                              e.dtype),
+            lambda e, p: d * e + (1.0 - d) * p.astype(jnp.float32),
             state.ema, new_params,
         )
         return updates, EmaState(ema)
@@ -104,19 +107,31 @@ def ema_tracker(decay: float) -> optax.GradientTransformation:
     return optax.GradientTransformation(init, update)
 
 
-def get_ema_params(opt_state: Any) -> Any:
+def get_ema_params(opt_state: Any, like: Any = None) -> Any:
     """Pull the EMA param tree out of a (possibly nested) optimizer state.
 
     Walks tuples/NamedTuples (``optax.chain`` states are tuples;
     ``optax.MultiSteps``' state is a NamedTuple whose ``inner_opt_state``
     holds the chain) and returns the first :class:`EmaState`'s tree, or
-    ``None`` when the optimizer was built without ``ema``.
+    ``None`` when the optimizer was built without ``ema``. The stored
+    tree is the fp32 accumulator; pass ``like`` (the live param tree) to
+    get it cast leaf-wise to the params' dtypes — the form to evaluate
+    or checkpoint so the EMA weights run/store exactly like the raw ones.
     """
+    tree = _find_ema(opt_state)
+    if tree is None or like is None:
+        return tree
+    return jax.tree_util.tree_map(
+        lambda e, p: e.astype(p.dtype), tree, like
+    )
+
+
+def _find_ema(opt_state: Any) -> Any:
     if isinstance(opt_state, EmaState):
         return opt_state.ema
     if isinstance(opt_state, tuple):
         for s in opt_state:
-            found = get_ema_params(s)
+            found = _find_ema(s)
             if found is not None:
                 return found
     return None
@@ -364,14 +379,139 @@ def load_train_state(path: str, template: TrainState) -> TrainState:
     return jax.tree_util.tree_map(_place, template, restored)
 
 
+# Domain tags folded into each batch-mixing stream so none collides with
+# the augmentation stream, which draws from fold_in(key(seed), step):
+# without a tag, step s's mixup key would be byte-identical to step s±1's
+# augment key (the same threefry bit stream), the key reuse JAX's PRNG
+# design forbids — and the three mixing draws (mixup lam, cutmix lam+box,
+# the mode switch) must be mutually independent too.
+_MIXUP_TAG = 0x6D697875   # "mixu"
+_CUTMIX_TAG = 0x63757478  # "cutx"
+_SWITCH_TAG = 0x73776368  # "swch"
+
+
 def mixup_lam(seed: int, step: jax.Array, alpha: float) -> jax.Array:
     """The per-step mixup coefficient ``lam ~ Beta(alpha, alpha)``.
 
-    Derived in-graph from ``(seed, step)`` — like the augmentation stream,
-    a resumed run replays the identical coefficients with no RNG state to
-    checkpoint."""
-    k = jax.random.fold_in(jax.random.key(seed), step)
+    Derived in-graph from ``(seed, step)`` under a mixup-specific domain
+    tag — like the augmentation stream, a resumed run replays the
+    identical coefficients with no RNG state to checkpoint, and the two
+    streams are statistically independent."""
+    k = jax.random.fold_in(
+        jax.random.fold_in(jax.random.key(seed), _MIXUP_TAG), step
+    )
     return jax.random.beta(k, alpha, alpha)
+
+
+def cutmix_mask_and_lam(
+    key: jax.Array, height: int, width: int, alpha: float
+) -> tuple[jax.Array, jax.Array]:
+    """CutMix box sampling — timm's ``rand_bbox`` + ``correct_lam``
+    semantics, transcribed to static-shape in-graph ops (the reference
+    repo is inference-only; this matches timm/data/mixup.py, the training
+    recipe its checkpoints come from).
+
+    Draws ``lam_raw ~ Beta(alpha, alpha)``, cuts a box of side
+    ``int(dim · sqrt(1 − lam_raw))`` centered at a uniform pixel, clipped
+    to the image (timm uses ``cy ± cut//2`` on both edges, reproduced
+    exactly incl. the integer truncations), and returns the ``[H, W]``
+    bool mask of the box plus the area-corrected
+    ``lam = 1 − box_area/(H·W)`` — the label weight must reflect the box
+    actually pasted after clipping, not the raw draw.
+
+    Data-dependent box coordinates stay inside ``jnp.where`` comparisons
+    against iotas, so every shape is compile-time static (TPU rule: no
+    dynamic slicing on traced bounds).
+    """
+    k_lam, k_cy, k_cx = jax.random.split(key, 3)
+    lam_raw = jax.random.beta(k_lam, alpha, alpha)
+    ratio = jnp.sqrt(1.0 - lam_raw)
+    cut_h = jnp.floor(height * ratio).astype(jnp.int32)  # timm: int(H·r)
+    cut_w = jnp.floor(width * ratio).astype(jnp.int32)
+    cy = jax.random.randint(k_cy, (), 0, height)
+    cx = jax.random.randint(k_cx, (), 0, width)
+    yl = jnp.clip(cy - cut_h // 2, 0, height)
+    yh = jnp.clip(cy + cut_h // 2, 0, height)
+    xl = jnp.clip(cx - cut_w // 2, 0, width)
+    xh = jnp.clip(cx + cut_w // 2, 0, width)
+    iy = jnp.arange(height)[:, None]
+    ix = jnp.arange(width)[None, :]
+    mask = (iy >= yl) & (iy < yh) & (ix >= xl) & (ix < xh)
+    lam = 1.0 - ((yh - yl) * (xh - xl)).astype(jnp.float32) / float(
+        height * width
+    )
+    return mask, lam
+
+
+def apply_batch_mix(
+    images: jax.Array,
+    seed: int,
+    step: jax.Array,
+    mixup_alpha: float = 0.0,
+    cutmix_alpha: float = 0.0,
+    switch_prob: float = 0.5,
+) -> tuple[jax.Array, jax.Array]:
+    """Apply the configured batch mixing (mixup / CutMix / the per-step
+    switch between them) and return ``(mixed_images, lam)``.
+
+    Every draw is a pure function of ``(seed, step)`` under a
+    stream-specific domain tag, so ``--resume`` replays the identical
+    mixing decisions with no RNG state to checkpoint. With both alphas
+    active, each step flips ``Bernoulli(switch_prob)`` for CutMix vs
+    mixup — timm's batch-mode behavior. Images are NHWC; the pairing is
+    always the batch against its own reverse. ``lam`` weights the
+    two-term loss (:func:`mixed_cross_entropy`); for CutMix it is the
+    area-corrected value. Shared by the plain and pipeline train steps.
+    """
+    lam_m = (
+        mixup_lam(seed, step, mixup_alpha) if mixup_alpha > 0.0 else None
+    )
+    cut = lam_c = None
+    if cutmix_alpha > 0.0:
+        h, w = int(images.shape[1]), int(images.shape[2])
+        k = jax.random.fold_in(
+            jax.random.fold_in(jax.random.key(seed), _CUTMIX_TAG), step
+        )
+        mask, lam_c = cutmix_mask_and_lam(k, h, w, cutmix_alpha)
+        cut = jnp.where(mask[None, :, :, None], images[::-1], images)
+    if mixup_alpha > 0.0 and cutmix_alpha > 0.0:
+        u = jax.random.uniform(
+            jax.random.fold_in(
+                jax.random.fold_in(jax.random.key(seed), _SWITCH_TAG), step
+            )
+        )
+        use_cut = u < switch_prob
+        return (
+            jnp.where(use_cut, cut, mix_images(images, lam_m)),
+            jnp.where(use_cut, lam_c, lam_m),
+        )
+    if cutmix_alpha > 0.0:
+        return cut, lam_c
+    if mixup_alpha > 0.0:
+        return mix_images(images, lam_m), lam_m
+    return images, jnp.float32(1.0)
+
+
+def mix_images(images: jax.Array, lam: jax.Array) -> jax.Array:
+    """Mixup's image blend: ``lam·x + (1−lam)·reverse(x)`` — timm's
+    pairing of the batch with its own reverse (shared by the plain and
+    pipeline train steps so the semantics cannot drift apart)."""
+    lam = lam.astype(images.dtype)
+    return lam * images + (1.0 - lam) * images[::-1]
+
+
+def mixed_cross_entropy(
+    logits: jax.Array,
+    labels: jax.Array,
+    lam: jax.Array,
+    label_smoothing: float = 0.0,
+) -> jax.Array:
+    """Mixup's loss: the ``lam``-weighted cross entropy against both
+    halves of the pairing (labels and reversed labels), each optionally
+    label-smoothed."""
+    return lam * cross_entropy(logits, labels, label_smoothing) + (
+        1.0 - lam
+    ) * cross_entropy(logits, labels[::-1], label_smoothing)
 
 
 def make_train_step(
@@ -380,6 +520,8 @@ def make_train_step(
     tx: optax.GradientTransformation,
     label_smoothing: float = 0.0,
     mixup_alpha: float = 0.0,
+    cutmix_alpha: float = 0.0,
+    switch_prob: float = 0.5,
     seed: int = 0,
     remat: bool = False,
 ):
@@ -392,34 +534,34 @@ def make_train_step(
     batch sizes that OOM un-rematerialized fit — at ~⅓ extra forward
     FLOPs. Identical math, measured numbers in BENCH_TRAIN.json.
 
-    ``mixup_alpha > 0`` enables mixup: each step draws
-    ``lam ~ Beta(alpha, alpha)`` from ``(seed, state.step)`` (in-graph, so
-    ``--resume`` replays it exactly), mixes the batch with its own reverse
-    (``lam·x + (1−lam)·flip(x)`` — timm's pairing), and trains on the
-    correspondingly mixed cross entropy. The reported ``accuracy`` is
-    against the unmixed labels (diagnostic only under mixup)."""
+    ``mixup_alpha``/``cutmix_alpha`` enable batch mixing
+    (:func:`apply_batch_mix`): every draw is a pure in-graph function of
+    ``(seed, state.step)`` so ``--resume`` replays it exactly; with both
+    active each step switches CutMix vs mixup at ``switch_prob`` (timm's
+    batch mode). The loss is the lam-weighted cross entropy against both
+    label sets; the reported ``accuracy`` is against the unmixed labels
+    (diagnostic only under mixing)."""
+    mixing = mixup_alpha > 0.0 or cutmix_alpha > 0.0
 
     def loss_fn(params, images, labels, lam):
-        if mixup_alpha > 0.0:
-            images = lam.astype(images.dtype) * images + (
-                1.0 - lam.astype(images.dtype)
-            ) * images[::-1]
         logits = vit_forward(params, images, config, schedule, remat=remat)
-        if mixup_alpha > 0.0:
-            loss = lam * cross_entropy(logits, labels, label_smoothing) + (
-                1.0 - lam
-            ) * cross_entropy(logits, labels[::-1], label_smoothing)
+        if mixing:
+            loss = mixed_cross_entropy(logits, labels, lam, label_smoothing)
         else:
             loss = cross_entropy(logits, labels, label_smoothing)
         acc = (jnp.argmax(logits, -1) == labels).mean()
         return loss, acc
 
     def train_step(state: TrainState, images, labels):
-        lam = (
-            mixup_lam(seed, state.step, mixup_alpha)
-            if mixup_alpha > 0.0
-            else jnp.float32(1.0)
-        )
+        if mixing:
+            # mixing happens outside value_and_grad — images are inputs,
+            # not parameters, so no gradient flows through the blend
+            images, lam = apply_batch_mix(
+                images, seed, state.step, mixup_alpha, cutmix_alpha,
+                switch_prob,
+            )
+        else:
+            lam = jnp.float32(1.0)
         (loss, acc), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, images, labels, lam
         )
@@ -504,6 +646,18 @@ def main(argv=None):
                         "batch mixes with its own reverse and the loss "
                         "mixes the two label sets. 0 = off; 0.2 is the "
                         "common ViT setting")
+    p.add_argument("--cutmix", type=float, default=0.0, metavar="ALPHA",
+                   help="CutMix: per-step box cut from the reversed batch "
+                        "with lam ~ Beta(ALPHA, ALPHA), area-corrected "
+                        "label weights (timm rand_bbox semantics), derived "
+                        "from (--seed, step) in-graph (resume-exact). "
+                        "0 = off; 1.0 is the common setting. With --mixup "
+                        "too, each step picks one of the two at "
+                        "--mixup_switch_prob")
+    p.add_argument("--mixup_switch_prob", type=float, default=0.5,
+                   metavar="P",
+                   help="with BOTH --mixup and --cutmix: per-step "
+                        "probability of CutMix (timm batch mode)")
     p.add_argument("--model", type=str, default="vit_base_patch16_224")
     p.add_argument("--schedule", type=str, default=None,
                    help="Pruning schedule JSON to train through")
@@ -537,7 +691,9 @@ def main(argv=None):
                         "worth a few tenths of top-1 over the raw final "
                         "params. Lives in the optimizer state, so "
                         "--save_state_every/--resume carry it exactly; "
-                        "costs one extra param-sized buffer")
+                        "costs one extra fp32 param-sized buffer (fp32 "
+                        "regardless of --dtype: a bf16 accumulator would "
+                        "round the tiny per-update increment away)")
     p.add_argument("--grad_clip", type=float, default=0.0, metavar="NORM",
                    help="clip the gradient to this global L2 norm before "
                         "AdamW (0 = off); with --grad_accum the clip "
@@ -663,6 +819,10 @@ def main(argv=None):
         raise ValueError("--label_smoothing must be in [0, 1)")
     if args.mixup < 0.0:
         raise ValueError("--mixup alpha must be >= 0")
+    if args.cutmix < 0.0:
+        raise ValueError("--cutmix alpha must be >= 0")
+    if not 0.0 <= args.mixup_switch_prob <= 1.0:
+        raise ValueError("--mixup_switch_prob must be in [0, 1]")
     if args.grad_clip < 0.0:
         raise ValueError("--grad_clip must be >= 0 (0 disables)")
     if not 0.0 <= args.ema < 1.0:
@@ -767,6 +927,8 @@ def main(argv=None):
                                      microbatch=args.microbatch,
                                      label_smoothing=args.label_smoothing,
                                      mixup_alpha=args.mixup,
+                                     cutmix_alpha=args.cutmix,
+                                     switch_prob=args.mixup_switch_prob,
                                      seed=args.seed),
             donate_argnums=(0,),
         )
@@ -799,7 +961,10 @@ def main(argv=None):
         step_fn = jax.jit(
             make_train_step(config, schedule, tx,
                             label_smoothing=args.label_smoothing,
-                            mixup_alpha=args.mixup, seed=args.seed,
+                            mixup_alpha=args.mixup,
+                            cutmix_alpha=args.cutmix,
+                            switch_prob=args.mixup_switch_prob,
+                            seed=args.seed,
                             remat=args.remat),
             donate_argnums=(0,),
         )
@@ -815,7 +980,10 @@ def main(argv=None):
         step_fn = jax.jit(
             make_train_step(config, schedule, tx,
                             label_smoothing=args.label_smoothing,
-                            mixup_alpha=args.mixup, seed=args.seed,
+                            mixup_alpha=args.mixup,
+                            cutmix_alpha=args.cutmix,
+                            switch_prob=args.mixup_switch_prob,
+                            seed=args.seed,
                             remat=args.remat),
             donate_argnums=(0,),
         )
@@ -972,7 +1140,8 @@ def main(argv=None):
             candidates = [("", state.params)]
             if args.ema > 0.0:
                 candidates.append((" (ema)",
-                                   get_ema_params(state.opt_state)))
+                                   get_ema_params(state.opt_state,
+                                                  like=state.params)))
             for tag, tree in candidates:
                 acc = _eval_top1(eval_fwd, tree, eval_loader, eb,
                                  args.eval_batches)
@@ -1026,8 +1195,19 @@ def main(argv=None):
                 state, metrics = step_fn(state, im, lb)
             else:
                 if aug_root is not None:
+                    cnv, szs = jnp.asarray(im[0]), jnp.asarray(im[1])
+                    if tp_mesh is not None:
+                        # shard the uint8 canvases over the data axis
+                        # BEFORE augmenting (mirror of the --distributed
+                        # branch): the crop/resize matmuls then run as one
+                        # global SPMD program over the mesh instead of
+                        # serializing the whole batch — canvases are the
+                        # big buffers (B·S·S·3 uint8 + the fp32 upcast) —
+                        # through device 0 and resharding after
+                        cnv = jax.device_put(cnv, tp_batch_sharding)
+                        szs = jax.device_put(szs, tp_batch_sharding)
                     im = augment_on_device(
-                        jnp.asarray(im[0]), jnp.asarray(im[1]),
+                        cnv, szs,
                         jax.random.fold_in(aug_root, step),
                         crop=config.img_size, dtype=dtype,
                     )
@@ -1097,7 +1277,7 @@ def main(argv=None):
         save_params(args.output, to_canonical(state.params))
         print(f"saved fine-tuned params -> {args.output}")
         if args.ema > 0.0:
-            ema = get_ema_params(state.opt_state)
+            ema = get_ema_params(state.opt_state, like=state.params)
             save_params(f"{args.output}.ema", to_canonical(ema))
             print(f"saved EMA params -> {args.output}.ema")
     return state

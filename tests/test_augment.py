@@ -268,3 +268,48 @@ def test_train_cli_augment_resume_exact(tmp_path):
         jax.tree_util.tree_leaves(load_params(str(out_b))),
     ):
         np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+
+
+def test_train_cli_augment_data_parallel(tmp_path, capsys):
+    """--augment composes with --data_parallel: the uint8 canvases are
+    sharded over the data axis BEFORE the in-graph crop/resize (one global
+    SPMD program — no single-device staging of the big canvas buffers),
+    and the augmented stream is the same math as the unsharded run, so the
+    loss trajectory matches the plain augment run to fp tolerance."""
+    import json as _json
+    import re
+
+    from PIL import Image
+
+    from rajni_tpu.train import main
+
+    data = tmp_path / "train"
+    rng = np.random.default_rng(7)
+    for cls in ("a", "b"):
+        d = data / cls
+        d.mkdir(parents=True)
+        for i in range(4):
+            arr = rng.integers(0, 256, (80, 80, 3), dtype=np.uint8)
+            Image.fromarray(arr, "RGB").save(d / f"{i}.png")
+    sched = tmp_path / "s.json"
+    sched.write_text(_json.dumps({"1": {"keep_ratio": 0.6}}))
+    base = ["--model", "vit_tiny_patch16_64", "--data_path", str(data),
+            "--schedule", str(sched), "--batch_size", "8", "--steps", "2",
+            "--augment", "--canvas", "96", "--log_every", "1",
+            "--lr", "1e-3"]
+
+    def losses(text):
+        return [float(m) for m in re.findall(r"loss (\d+\.\d+)", text)]
+
+    main(base + ["--output", str(tmp_path / "plain.msgpack")])
+    plain = losses(capsys.readouterr().out)
+
+    main(base + ["--output", str(tmp_path / "dp.msgpack"),
+                 "--data_parallel"])
+    printed = capsys.readouterr().out
+    assert "DP training" in printed
+    dp = losses(printed)
+
+    assert len(plain) == len(dp) == 2
+    for a, b in zip(plain, dp):
+        assert abs(a - b) < 5e-3 * max(1.0, abs(a)), (plain, dp)

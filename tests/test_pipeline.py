@@ -249,9 +249,10 @@ def test_pipeline_train_matches_single_device(setup):
 
 
 def test_pipeline_mixup_matches_single_device(setup):
-    """Mixup in the GPipe step mixes the FULL batch before the microbatch
-    split with the same (seed, step)-derived lam as the plain step — the
-    losses must track the single-device mixup trajectory."""
+    """Mixup/CutMix in the GPipe step mix the FULL batch before the
+    microbatch split with the same (seed, step)-derived draws as the plain
+    step (shared apply_batch_mix) — the losses must track the
+    single-device trajectory across steps that switch modes."""
     params, x = setup
     mesh = make_pipe_mesh(data=2, pipe=4)
     tx = optax.adamw(1e-3, weight_decay=0.0)
@@ -260,13 +261,14 @@ def test_pipeline_mixup_matches_single_device(setup):
     pstate = TrainState(stacked, tx.init(stacked), jnp.zeros((), jnp.int32))
     pstep = jax.jit(
         make_pipeline_train_step(TINY, SCHED, mesh, tx, microbatch=4,
-                                 mixup_alpha=0.3, seed=7,
+                                 mixup_alpha=0.3, cutmix_alpha=1.0, seed=7,
                                  label_smoothing=0.1)
     )
 
     sstate = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
     sstep = jax.jit(make_train_step(TINY, SCHED, tx, mixup_alpha=0.3,
-                                    seed=7, label_smoothing=0.1))
+                                    cutmix_alpha=1.0, seed=7,
+                                    label_smoothing=0.1))
 
     xb = jnp.asarray(x[:8])
     yb = jnp.asarray(np.arange(8, dtype=np.int32) % 16)

@@ -5,6 +5,7 @@ reference — SURVEY.md §5)."""
 from __future__ import annotations
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -206,6 +207,42 @@ def test_ema_tracker_math(rng):
         np.asarray(get_ema_params(sk.opt_state)["head"]["kernel"]),
         np.asarray(params["head"]["kernel"]),
     )
+
+
+def test_ema_advances_in_bf16(rng):
+    """Regression: the EMA accumulator must be fp32 even when the params
+    are bfloat16. With decay=0.9999 the per-update increment is below half
+    a bf16 ulp of the accumulator, so a bf16-stored EMA rounds every
+    update away and silently freezes at the initial params — the bug this
+    pins. Also checks the ``like=`` cast-back used by eval/checkpointing."""
+    from rajni_tpu.train import TrainState, build_optimizer, get_ema_params
+
+    d = 0.9999
+    params = jax.tree_util.tree_map(
+        lambda p: p.astype(jnp.bfloat16), init_params(jax.random.key(11), CFG)
+    )
+    tx = build_optimizer(1e-2, total_steps=10, ema=d)
+    state = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
+    step = jax.jit(make_train_step(CFG, SCHED, tx))
+    x, y = _batch(rng)
+    x = x.astype(jnp.bfloat16)
+    for _ in range(3):
+        state, _ = step(state, x, y)
+
+    ema = get_ema_params(state.opt_state)
+    assert ema["head"]["kernel"].dtype == jnp.float32
+    # params moved, and the fp32 accumulator recorded the motion: the EMA
+    # is no longer bit-equal to the initial params (a bf16 accumulator
+    # keeps it frozen exactly)
+    p0 = np.asarray(params["head"]["kernel"], np.float32)
+    assert not np.array_equal(
+        np.asarray(state.params["head"]["kernel"], np.float32), p0
+    )
+    assert not np.array_equal(np.asarray(ema["head"]["kernel"]), p0)
+
+    # like= casts back to the live param dtypes for eval/checkpointing
+    cast = get_ema_params(state.opt_state, like=state.params)
+    assert cast["head"]["kernel"].dtype == jnp.bfloat16
 
 
 def test_layer_decay(rng):
@@ -1137,3 +1174,139 @@ def test_train_cli_mixup_resume(tmp_path):
     with _pytest.raises(ValueError, match="mixup"):
         _m(base + ["--steps", "1", "--mixup", "-1",
                    "--output", str(tmp_path / "x.msgpack")])
+
+
+def test_cutmix_matches_timm_box_math():
+    """cutmix_mask_and_lam reproduces timm's rand_bbox + correct_lam
+    arithmetic exactly: given the key's (lam_raw, cy, cx) draws, the box
+    is int(dim·sqrt(1−lam)) truncated, cy±cut//2 clipped to the image,
+    and lam is the area-corrected 1 − box/(H·W). Re-derived in pure
+    Python/NumPy from the same draws and compared bit-exactly."""
+    from rajni_tpu.train import cutmix_mask_and_lam
+
+    H = W = 32
+    for seed in range(6):
+        key = jax.random.key(seed)
+        mask, lam = cutmix_mask_and_lam(key, H, W, 1.0)
+        mask = np.asarray(mask)
+
+        # the same draws the function makes, re-derived here
+        k_lam, k_cy, k_cx = jax.random.split(key, 3)
+        lam_raw = float(jax.random.beta(k_lam, 1.0, 1.0))
+        cy = int(jax.random.randint(k_cy, (), 0, H))
+        cx = int(jax.random.randint(k_cx, (), 0, W))
+        # timm/data/mixup.py rand_bbox, margin=0
+        ratio = np.sqrt(1.0 - lam_raw)
+        cut_h, cut_w = int(H * ratio), int(W * ratio)
+        yl = min(max(cy - cut_h // 2, 0), H)
+        yh = min(max(cy + cut_h // 2, 0), H)
+        xl = min(max(cx - cut_w // 2, 0), W)
+        xh = min(max(cx + cut_w // 2, 0), W)
+        want = np.zeros((H, W), bool)
+        want[yl:yh, xl:xh] = True
+
+        np.testing.assert_array_equal(mask, want)
+        assert float(lam) == pytest.approx(
+            1.0 - (yh - yl) * (xh - xl) / (H * W), abs=1e-7
+        )
+
+
+def test_cutmix_step_matches_manual(rng):
+    """The CutMix train step's loss equals the hand-computed
+    lam·CE(y) + (1−lam)·CE(flip(y)) on the box-pasted batch, with lam the
+    area-corrected value from the (seed, step)-derived key."""
+    from rajni_tpu.models.vit import vit_forward
+    from rajni_tpu.train import (_CUTMIX_TAG, apply_batch_mix,
+                                 cross_entropy, cutmix_mask_and_lam)
+
+    params = init_params(jax.random.key(0), CFG)
+    state, tx = create_train_state(params, learning_rate=1e-3)
+    step = jax.jit(make_train_step(CFG, SCHED, tx, cutmix_alpha=1.0,
+                                   seed=5))
+    x, y = _batch(rng)
+    _, m1 = step(state, x, y)
+
+    k = jax.random.fold_in(
+        jax.random.fold_in(jax.random.key(5), _CUTMIX_TAG), jnp.int32(0)
+    )
+    mask, lam = cutmix_mask_and_lam(k, x.shape[1], x.shape[2], 1.0)
+    assert 0.0 < float(lam) <= 1.0
+    mixed = jnp.where(np.asarray(mask)[None, :, :, None], x[::-1], x)
+    mix2, lam2 = apply_batch_mix(x, 5, jnp.int32(0), cutmix_alpha=1.0)
+    np.testing.assert_array_equal(np.asarray(mixed), np.asarray(mix2))
+    assert float(lam) == float(lam2)
+
+    logits = vit_forward(params, mixed, CFG, SCHED)
+    want = float(
+        lam * cross_entropy(logits, y)
+        + (1.0 - lam) * cross_entropy(logits, y[::-1])
+    )
+    assert abs(float(m1["loss"]) - want) < 1e-5
+
+
+def test_mixup_cutmix_switch(rng):
+    """With BOTH alphas the per-step switch picks CutMix at switch_prob:
+    apply_batch_mix's output is bit-equal to exactly the construction the
+    (seed, step)-derived uniform selects — and different steps can pick
+    different modes (streams are domain-separated)."""
+    from rajni_tpu.train import (_SWITCH_TAG, apply_batch_mix, mix_images,
+                                 mixup_lam)
+
+    x, _ = _batch(rng)
+    picked = set()
+    for step_i in range(8):
+        s = jnp.int32(step_i)
+        mixed, lam = apply_batch_mix(x, 5, s, mixup_alpha=0.2,
+                                     cutmix_alpha=1.0, switch_prob=0.5)
+        u = float(jax.random.uniform(jax.random.fold_in(
+            jax.random.fold_in(jax.random.key(5), _SWITCH_TAG), s)))
+        if u < 0.5:
+            want, wlam = apply_batch_mix(x, 5, s, cutmix_alpha=1.0)
+            picked.add("cutmix")
+        else:
+            wlam = mixup_lam(5, s, 0.2)
+            want = mix_images(x, wlam)
+            picked.add("mixup")
+        np.testing.assert_array_equal(np.asarray(mixed), np.asarray(want))
+        assert float(lam) == pytest.approx(float(wlam), abs=1e-7)
+    assert picked == {"mixup", "cutmix"}  # 8 fair flips: P(miss) ~ 2^-7
+
+
+def test_train_cli_cutmix_resume(tmp_path):
+    """--cutmix (incl. alongside --mixup) composes with crash-safe resume:
+    every mixing draw is a pure function of (seed, step), so the resumed
+    trajectory is bit-identical. Also pins the negative-alpha guard."""
+    import json as _json
+
+    from rajni_tpu.params.io import load_params
+    from rajni_tpu.train import main
+
+    sched = tmp_path / "s.json"
+    sched.write_text(_json.dumps({"1": {"keep_ratio": 0.6}}))
+    base = ["--synthetic", "--model", "vit_tiny_patch16_64",
+            "--schedule", str(sched), "--batch_size", "4",
+            "--cutmix", "1.0", "--mixup", "0.2", "--log_every", "1"]
+
+    out_a = tmp_path / "a.msgpack"
+    main(base + ["--steps", "3", "--output", str(out_a)])
+
+    out_b = tmp_path / "b.msgpack"
+    st = tmp_path / "b.state"
+    main(base + ["--steps", "1", "--output", str(out_b),
+                 "--save_state_every", "1", "--state_path", str(st)])
+    main(base + ["--steps", "3", "--output", str(out_b),
+                 "--resume", str(st)])
+
+    for la, lb in zip(
+        jax.tree_util.tree_leaves(load_params(str(out_a))),
+        jax.tree_util.tree_leaves(load_params(str(out_b))),
+    ):
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="cutmix"):
+        main(base + ["--steps", "1", "--cutmix", "-1",
+                     "--output", str(tmp_path / "x.msgpack")])
+    with _pytest.raises(ValueError, match="switch_prob"):
+        main(base + ["--steps", "1", "--mixup_switch_prob", "1.5",
+                     "--output", str(tmp_path / "x.msgpack")])
