@@ -151,7 +151,10 @@ def _region_rows(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("crop", "scale", "ratio", "hflip", "dtype")
+    jax.jit,
+    static_argnames=(
+        "crop", "scale", "ratio", "hflip", "dtype", "rand_augment", "erase"
+    ),
 )
 def augment_on_device(
     canvas_u8: jax.Array,
@@ -162,6 +165,8 @@ def augment_on_device(
     ratio: tuple[float, float] = DEFAULT_RATIO,
     hflip: bool = True,
     dtype=jnp.bfloat16,
+    rand_augment: str | None = None,
+    erase: tuple[float, str, int] | None = None,
 ) -> jax.Array:
     """Train-mode augmentation: ``uint8 canvas → normalized random crop``.
 
@@ -177,14 +182,24 @@ def augment_on_device(
       scale / ratio: RandomResizedCrop area and aspect bounds
         (torchvision defaults).
       hflip: apply a 0.5-probability horizontal flip after the crop.
+      rand_augment: optional timm RandAugment config string (e.g.
+        ``"rand-m9-mstd0.5-inc1"``), applied to the uint8 crop after the
+        flip — timm's transform order (:mod:`rajni_tpu.data.randaug`).
+      erase: optional RandomErasing ``(prob, mode, count)`` (timm
+        reprob/remode/recount), applied after normalization.
 
     Returns ``[B, crop, crop, 3]`` in ``dtype``, ImageNet-normalized —
     drop-in for the train step's ``images`` argument.
     """
     canvas = canvas_u8.shape[1]
+    ra_kwargs = None
+    if rand_augment:
+        from .randaug import parse_rand_augment
+
+        ra_kwargs = parse_rand_augment(rand_augment)
 
     def one(img_u8, hw, k):
-        k_box, k_flip = jax.random.split(k)
+        k_box, k_flip, k_ra, k_er = jax.random.split(k, 4)
         top, left, ch, cw = _rrc_box(k_box, hw[0], hw[1], scale, ratio)
         wh = _region_rows(left, cw, crop, canvas)  # [crop, S] columns
         wv = _region_rows(top, ch, crop, canvas)   # [crop, S] rows
@@ -204,9 +219,19 @@ def augment_on_device(
             "hoc,kh->koc", tmp, wv, preferred_element_type=jnp.float32
         )
         out = _round8(out)
+        if ra_kwargs is not None:
+            from .randaug import rand_augment_apply
+
+            out = rand_augment_apply(out, k_ra, **ra_kwargs)
         out = (out * (1.0 / 255.0) - jnp.asarray(IMAGENET_MEAN)) * (
             1.0 / jnp.asarray(IMAGENET_STD)
         )
+        if erase is not None and erase[0] > 0.0:
+            from .randaug import random_erasing
+
+            out = random_erasing(
+                out, k_er, prob=erase[0], mode=erase[1], count=erase[2]
+            )
         return out.astype(dtype)
 
     keys = jax.random.split(key, canvas_u8.shape[0])

@@ -636,6 +636,21 @@ def main(argv=None):
                    help="with --augment: decode canvas side; images larger "
                         "than this are pre-downscaled to fit "
                         "(data.pipeline.decode_to_canvas)")
+    p.add_argument("--rand_augment", type=str, default=None, metavar="CFG",
+                   help="with --augment: timm RandAugment config string "
+                        "(e.g. 'rand-m9-mstd0.5-inc1'), applied IN-GRAPH to "
+                        "the uint8 crop after the flip — timm transform "
+                        "order (rajni_tpu.data.randaug; PIL-exact LUT ops). "
+                        "Keys derive from (--seed, step): resume-exact")
+    p.add_argument("--reprob", type=float, default=0.0, metavar="P",
+                   help="with --augment: timm RandomErasing probability, "
+                        "applied in-graph after normalization. 0 = off; "
+                        "0.25 is the DeiT setting")
+    p.add_argument("--remode", type=str, default="pixel",
+                   choices=("pixel", "rand", "const"),
+                   help="RandomErasing fill mode (timm remode)")
+    p.add_argument("--recount", type=int, default=1,
+                   help="RandomErasing rectangles per image (timm recount)")
     p.add_argument("--label_smoothing", type=float, default=0.0,
                    metavar="S",
                    help="cross-entropy label smoothing: targets "
@@ -815,6 +830,19 @@ def main(argv=None):
             "--augment requires a real --data_path dataset (crops are "
             "sampled from decode-only uint8 canvases)"
         )
+    if (args.rand_augment or args.reprob) and not args.augment:
+        raise ValueError(
+            "--rand_augment/--reprob extend the in-graph augmentation "
+            "pipeline — they require --augment"
+        )
+    if args.rand_augment:
+        from .data.randaug import parse_rand_augment
+
+        parse_rand_augment(args.rand_augment)  # fail fast on bad configs
+    if not 0.0 <= args.reprob <= 1.0:
+        raise ValueError("--reprob must be in [0, 1]")
+    if args.recount < 1:
+        raise ValueError("--recount must be >= 1")
     if not 0.0 <= args.label_smoothing < 1.0:
         raise ValueError("--label_smoothing must be in [0, 1)")
     if args.mixup < 0.0:
@@ -1167,6 +1195,15 @@ def main(argv=None):
         # per-step stream keyed only on (--seed, step): --resume replays
         # the identical augmented batches with no RNG state to checkpoint
         aug_root = jax.random.key(args.seed)
+        # static policy kwargs shared by both call sites below (the flags
+        # are jit static_argnames — one compile per policy, not per step)
+        aug_kwargs = dict(
+            rand_augment=args.rand_augment,
+            erase=(
+                (args.reprob, args.remode, args.recount)
+                if args.reprob > 0.0 else None
+            ),
+        )
     last_eval = None
     try:
         for step in range(start_step + 1, args.steps + 1):
@@ -1185,7 +1222,7 @@ def main(argv=None):
                     )
                     im = augment_on_device(
                         cnv, szs, jax.random.fold_in(aug_root, step),
-                        crop=config.img_size, dtype=dtype,
+                        crop=config.img_size, dtype=dtype, **aug_kwargs,
                     )
                 else:
                     im, lb = multihost.host_to_global(
@@ -1209,7 +1246,7 @@ def main(argv=None):
                     im = augment_on_device(
                         cnv, szs,
                         jax.random.fold_in(aug_root, step),
-                        crop=config.img_size, dtype=dtype,
+                        crop=config.img_size, dtype=dtype, **aug_kwargs,
                     )
                 if tp_mesh is not None:
                     # place the batch over the data axis in the untimed
