@@ -407,9 +407,37 @@ def _layer_scale(out: jax.Array, block: Params, name: str) -> jax.Array:
     return out
 
 
+def drop_path_rates(rate: float, depth: int) -> tuple[float, ...]:
+    """timm's stochastic-depth schedule: ``linspace(0, rate, depth)`` —
+    the first block is never dropped, the last drops at the full rate
+    (timm vision_transformer.py builds ``dpr`` exactly this way)."""
+    if depth == 1:
+        return (rate,)
+    return tuple(rate * i / (depth - 1) for i in range(depth))
+
+
+def _stochastic_depth(
+    out: jax.Array, key: jax.Array, rate: float
+) -> jax.Array:
+    """timm ``DropPath``: zero the residual branch per *sample* with
+    probability ``rate``, scaling survivors by ``1/keep_prob`` so the
+    branch expectation is unchanged (``scale_by_keep=True``, the default).
+
+    Train-time only — callers gate on an RNG key being supplied; the
+    inference forward never sees it, so eval numerics are untouched.
+    ``rate`` is static (a compile-time constant of the drop-path
+    schedule); the mask is a pure function of ``key``, so a resumed run
+    replays the identical drop decisions.
+    """
+    keep_prob = 1.0 - rate
+    mask = jax.random.bernoulli(key, keep_prob, (out.shape[0], 1, 1))
+    return out * (mask.astype(out.dtype) / keep_prob)
+
+
 def _mlp_branch(
     x: jax.Array, block: Params, config: ViTConfig, impl: str,
     act_scales: tuple[float, float] | None = None,
+    droppath: tuple[jax.Array, float] | None = None,
 ) -> jax.Array:
     """``x + ls2 * mlp(norm2(x))`` (reference model.py:59), backend-dispatched.
 
@@ -417,6 +445,9 @@ def _mlp_branch(
     (:func:`rajni_tpu.kernels.mlp.fused_ln_mlp_residual`) so the ``[B, N, 4C]``
     hidden activation never reaches HBM. ``act_scales`` — the calibrated
     static ``(a_fc1, a_fc2)`` pair — applies to the int8 pallas route only.
+    ``droppath`` — a ``(key, rate)`` pair — applies train-time stochastic
+    depth to the branch (:func:`_stochastic_depth`); the XLA training path
+    is its only producer (the fused kernels are inference-only).
     """
     from ..quant import is_quantized
 
@@ -455,7 +486,10 @@ def _mlp_branch(
             for name in ("fc1", "fc2")
         }
     out = mlp(layer_norm(x, block["norm2"], config.layer_norm_eps), mlp_params)
-    return x + _layer_scale(out, block, "ls2")
+    out = _layer_scale(out, block, "ls2")
+    if droppath is not None:
+        out = _stochastic_depth(out, *droppath)
+    return x + out
 
 
 def _dequant_attn(attn_params: Params, dtype) -> Params:
@@ -475,10 +509,14 @@ def _dequant_attn(attn_params: Params, dtype) -> Params:
 
 
 def stock_block(
-    x: jax.Array, block: Params, config: ViTConfig, impl: str = "xla"
+    x: jax.Array, block: Params, config: ViTConfig, impl: str = "xla",
+    droppath: tuple[jax.Array, jax.Array, float] | None = None,
 ) -> jax.Array:
     """Standard timm pre-norm block (the reference's ``blk(x)`` path,
-    model.py:61)."""
+    model.py:61). ``droppath`` — ``(attn_key, mlp_key, rate)`` — applies
+    train-time stochastic depth to both residual branches with
+    independent per-sample masks (timm instantiates a separate
+    ``DropPath`` per branch)."""
     out = attention(
         layer_norm(x, block["norm1"], config.layer_norm_eps),
         _dequant_attn(block["attn"], x.dtype),
@@ -487,8 +525,14 @@ def stock_block(
         impl,
         norm_eps=config.layer_norm_eps,
     )
-    x = x + _layer_scale(out, block, "ls1")
-    return _mlp_branch(x, block, config, impl)
+    out = _layer_scale(out, block, "ls1")
+    if droppath is not None:
+        out = _stochastic_depth(out, droppath[0], droppath[2])
+    x = x + out
+    return _mlp_branch(
+        x, block, config, impl,
+        droppath=None if droppath is None else (droppath[1], droppath[2]),
+    )
 
 
 # --------------------------------------------------------------------------
@@ -535,6 +579,8 @@ def vit_forward(
     impl: str = "xla",
     act_scales=None,
     remat: bool = False,
+    drop_path: float = 0.0,
+    rng: jax.Array | None = None,
     _tap=None,
     _sel_tap=None,
 ) -> jax.Array:
@@ -573,6 +619,18 @@ def vit_forward(
     no VJP; training routes XLA) and when a ``_tap``/``_sel_tap`` debug
     hook is installed (the hook would observe the recomputation too).
 
+    ``drop_path`` (static) enables train-time stochastic depth: each
+    block's two residual branches are zeroed per *sample* with the timm
+    ``linspace(0, drop_path, depth)`` per-block rate, survivors scaled by
+    ``1/keep_prob`` (:func:`_stochastic_depth`). Requires ``rng`` (the
+    per-step key — the train step derives it from ``(seed, step)`` under
+    a domain tag, so ``--resume`` replays the identical drop decisions)
+    and the XLA path (the fused kernels are inference-only; training
+    routes XLA anyway). The inference CLIs never set it, so eval
+    numerics are untouched. Capability extension over the inference-only
+    reference: the DeiT training recipe its checkpoints come from uses
+    stochastic depth (timm vision_transformer.py ``dpr``).
+
     ``_tap``, when given, is called as ``_tap(block_idx, x)`` with each
     block's output activations — the capture hook behind
     :func:`vit_activations` (attestation/debug; not for jitted hot paths).
@@ -594,6 +652,19 @@ def vit_forward(
         # (C % 128 != 0) that Mosaic cannot compile on real TPU.
         impl = "xla"
     remat = remat and _tap is None and _sel_tap is None
+    dpr: tuple[float, ...] | None = None
+    if drop_path > 0.0:
+        if rng is None:
+            raise ValueError(
+                "drop_path > 0 requires an rng key (train-time only; "
+                "pass rng=fold_in(key, step) from the train step)"
+            )
+        if impl != "xla":
+            raise ValueError(
+                "drop_path is XLA-path only — the fused kernels are "
+                "inference-only (training routes XLA)"
+            )
+        dpr = drop_path_rates(drop_path, config.depth)
     n_prefix = config.num_prefix_tokens
     dtype = params["cls_token"].dtype
     x = patch_embed(images.astype(dtype), params["patch_embed"], config)
@@ -621,6 +692,14 @@ def vit_forward(
 
     scores: jax.Array | None = None
     for blk_i, (spec, block) in enumerate(zip(schedule, params["blocks"])):
+        dp: tuple[jax.Array, jax.Array, float] | None = None
+        if dpr is not None and dpr[blk_i] > 0.0:
+            # one fold per block, split into the two branch masks (timm
+            # instantiates a separate DropPath per branch)
+            k_attn, k_mlp = jax.random.split(
+                jax.random.fold_in(rng, blk_i)
+            )
+            dp = (k_attn, k_mlp, dpr[blk_i])
         if spec is not None:
             n = x.shape[1]
             keep = keep_count(spec.keep_ratio, n, n_prefix)
@@ -833,7 +912,8 @@ def vit_forward(
             else:
 
                 def _xla_pruned_block(x, scores, block=block, spec=spec,
-                                      keep=keep, mlp_as=mlp_as, blk_i=blk_i):
+                                      keep=keep, mlp_as=mlp_as, blk_i=blk_i,
+                                      dp=dp):
                     x_norm = layer_norm(
                         x, block["norm1"], config.layer_norm_eps
                     )
@@ -855,8 +935,14 @@ def vit_forward(
                     # (reference model.py:55-56).
                     idx = keep_idx[..., None]
                     x = jnp.take_along_axis(x, idx, axis=1)
-                    x = x + _layer_scale(out, block, "ls1")
-                    return _mlp_branch(x, block, config, impl, mlp_as), scores
+                    out = _layer_scale(out, block, "ls1")
+                    if dp is not None:
+                        out = _stochastic_depth(out, dp[0], dp[2])
+                    x = x + out
+                    return _mlp_branch(
+                        x, block, config, impl, mlp_as,
+                        droppath=None if dp is None else (dp[1], dp[2]),
+                    ), scores
 
                 if remat:
                     _xla_pruned_block = jax.checkpoint(_xla_pruned_block)
@@ -943,8 +1029,8 @@ def vit_forward(
             scores = None  # invalidate (model.py:63)
         else:
 
-            def _xla_stock_block(x, block=block):
-                return stock_block(x, block, config, impl)
+            def _xla_stock_block(x, block=block, dp=dp):
+                return stock_block(x, block, config, impl, droppath=dp)
 
             if remat:
                 _xla_stock_block = jax.checkpoint(_xla_stock_block)

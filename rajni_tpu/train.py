@@ -388,6 +388,7 @@ def load_train_state(path: str, template: TrainState) -> TrainState:
 _MIXUP_TAG = 0x6D697875   # "mixu"
 _CUTMIX_TAG = 0x63757478  # "cutx"
 _SWITCH_TAG = 0x73776368  # "swch"
+_DROPPATH_TAG = 0x64707468  # "dpth" — the stochastic-depth mask stream
 
 
 def mixup_lam(seed: int, step: jax.Array, alpha: float) -> jax.Array:
@@ -524,6 +525,7 @@ def make_train_step(
     switch_prob: float = 0.5,
     seed: int = 0,
     remat: bool = False,
+    drop_path: float = 0.0,
 ):
     """Build the full train step: forward (with pruning) → loss → grad →
     optimizer update. ``config``/``schedule`` are static closures.
@@ -540,11 +542,19 @@ def make_train_step(
     active each step switches CutMix vs mixup at ``switch_prob`` (timm's
     batch mode). The loss is the lam-weighted cross entropy against both
     label sets; the reported ``accuracy`` is against the unmixed labels
-    (diagnostic only under mixing)."""
+    (diagnostic only under mixing).
+
+    ``drop_path`` enables stochastic depth in the forward
+    (:func:`rajni_tpu.models.vit.vit_forward`'s flag, timm linspace
+    schedule): the per-step mask key derives in-graph from
+    ``(seed, state.step)`` under a drop-path domain tag, so ``--resume``
+    replays the identical drop decisions and the stream never collides
+    with the augment/mixing keys."""
     mixing = mixup_alpha > 0.0 or cutmix_alpha > 0.0
 
-    def loss_fn(params, images, labels, lam):
-        logits = vit_forward(params, images, config, schedule, remat=remat)
+    def loss_fn(params, images, labels, lam, dp_rng):
+        logits = vit_forward(params, images, config, schedule, remat=remat,
+                             drop_path=drop_path, rng=dp_rng)
         if mixing:
             loss = mixed_cross_entropy(logits, labels, lam, label_smoothing)
         else:
@@ -562,8 +572,14 @@ def make_train_step(
             )
         else:
             lam = jnp.float32(1.0)
+        dp_rng = None
+        if drop_path > 0.0:
+            dp_rng = jax.random.fold_in(
+                jax.random.fold_in(jax.random.key(seed), _DROPPATH_TAG),
+                state.step,
+            )
         (loss, acc), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, images, labels, lam
+            state.params, images, labels, lam, dp_rng
         )
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
@@ -765,6 +781,12 @@ def main(argv=None):
                         "batch OOMs (pipeline training has its own "
                         "per-tick remat; this flag composes with plain, "
                         "--distributed and --tensor_parallel runs)")
+    p.add_argument("--drop_path", type=float, default=0.0, metavar="RATE",
+                   help="Stochastic depth (timm DropPath): per-sample "
+                        "residual-branch drop with rates linspace(0, RATE, "
+                        "depth); masks derive in-graph from (--seed, step) "
+                        "so --resume replays them exactly. DeiT recipe "
+                        "uses 0.1")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--profile", type=str, default=None, metavar="DIR",
                    help="Capture a jax.profiler trace of the training loop "
@@ -824,6 +846,15 @@ def main(argv=None):
             "--remat is redundant with --pipeline_parallel: the GPipe "
             "train step already rematerializes per tick "
             "(parallel/pipeline.py)"
+        )
+    if not 0.0 <= args.drop_path < 1.0:
+        raise ValueError("--drop_path must be in [0, 1)")
+    if args.drop_path > 0.0 and args.pipeline_parallel > 1:
+        raise ValueError(
+            "--drop_path is per-block (timm linspace rates), but pipeline "
+            "training stacks each stage's blocks into single lax.scan "
+            "leaves — per-block static rates cannot map onto the stacked "
+            "stage programs"
         )
     if args.augment and (args.synthetic or not args.data_path):
         raise ValueError(
@@ -993,7 +1024,8 @@ def main(argv=None):
                             cutmix_alpha=args.cutmix,
                             switch_prob=args.mixup_switch_prob,
                             seed=args.seed,
-                            remat=args.remat),
+                            remat=args.remat,
+                            drop_path=args.drop_path),
             donate_argnums=(0,),
         )
         tp_batch_sharding = batch_sharding(tp_mesh)
@@ -1012,7 +1044,8 @@ def main(argv=None):
                             cutmix_alpha=args.cutmix,
                             switch_prob=args.mixup_switch_prob,
                             seed=args.seed,
-                            remat=args.remat),
+                            remat=args.remat,
+                            drop_path=args.drop_path),
             donate_argnums=(0,),
         )
 

@@ -1310,3 +1310,151 @@ def test_train_cli_cutmix_resume(tmp_path):
     with _pytest.raises(ValueError, match="switch_prob"):
         main(base + ["--steps", "1", "--mixup_switch_prob", "1.5",
                      "--output", str(tmp_path / "x.msgpack")])
+
+
+# --------------------------------------------------------------------------
+# Stochastic depth (--drop_path, timm DropPath semantics)
+# --------------------------------------------------------------------------
+
+
+def test_drop_path_rates_linspace():
+    """timm builds dpr = linspace(0, rate, depth): block 0 never drops,
+    the last block drops at the full rate."""
+    from rajni_tpu.models.vit import drop_path_rates
+
+    r = drop_path_rates(0.3, 4)
+    np.testing.assert_allclose(r, [0.0, 0.1, 0.2, 0.3], atol=1e-12)
+    assert drop_path_rates(0.3, 1) == (0.3,)
+
+
+def test_stochastic_depth_mask_semantics():
+    """Per-sample masks take exactly {0, 1/keep_prob}; the branch
+    expectation is preserved (scale_by_keep=True, timm default)."""
+    from rajni_tpu.models.vit import _stochastic_depth
+
+    out = jnp.ones((4096, 3, 5), jnp.float32)
+    rate = 0.25
+    y = np.asarray(_stochastic_depth(out, jax.random.key(0), rate))
+    per_sample = y[:, 0, 0]
+    vals = np.unique(per_sample)
+    np.testing.assert_allclose(
+        vals, [0.0, 1.0 / (1.0 - rate)], rtol=1e-6
+    )
+    # whole samples drop together
+    assert (y == per_sample[:, None, None]).all()
+    # expectation ~ 1 (binomial std at n=4096, p=.25 is ~0.009)
+    assert abs(per_sample.mean() - 1.0) < 0.05
+
+
+def test_vit_forward_drop_path_zero_is_baseline(rng):
+    """drop_path=0.0 takes the identical code path whether or not an rng
+    key is supplied — eval numerics are untouched."""
+    from rajni_tpu.models.vit import vit_forward
+
+    params = init_params(jax.random.key(2), CFG)
+    x = jnp.asarray(rng.standard_normal((2, 16, 16, 3)).astype(np.float32))
+    base = vit_forward(params, x, CFG, SCHED)
+    with_key = vit_forward(
+        params, x, CFG, SCHED, drop_path=0.0, rng=jax.random.key(7)
+    )
+    np.testing.assert_array_equal(np.asarray(base), np.asarray(with_key))
+
+
+def test_vit_forward_drop_path_validation(rng):
+    from rajni_tpu.models.vit import vit_forward
+
+    params = init_params(jax.random.key(2), CFG)
+    x = jnp.zeros((2, 16, 16, 3), jnp.float32)
+    with pytest.raises(ValueError, match="rng"):
+        vit_forward(params, x, CFG, SCHED, drop_path=0.1)
+    with pytest.raises(ValueError, match="XLA"):
+        vit_forward(params, x, CFG, SCHED, impl="pallas",
+                    drop_path=0.1, rng=jax.random.key(0))
+
+
+def test_vit_forward_drop_path_deterministic_in_key(rng):
+    """Same key -> identical output (resume-exactness at the forward
+    level); different keys -> different drop decisions. Block 0's rate is
+    0 by the linspace schedule, so with depth=2 only block 1 drops —
+    a high rate guarantees the batch sees at least one dropped branch."""
+    from rajni_tpu.models.vit import vit_forward
+
+    params = init_params(jax.random.key(2), CFG)
+    x = jnp.asarray(rng.standard_normal((64, 16, 16, 3)).astype(np.float32))
+    a = vit_forward(params, x, CFG, SCHED, drop_path=0.8,
+                    rng=jax.random.key(3))
+    b = vit_forward(params, x, CFG, SCHED, drop_path=0.8,
+                    rng=jax.random.key(3))
+    c = vit_forward(params, x, CFG, SCHED, drop_path=0.8,
+                    rng=jax.random.key(4))
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert not np.array_equal(np.asarray(a), np.asarray(c))
+    # samples whose blocks ALL survived must equal the no-drop forward
+    # up to the 1/keep_prob scaling of surviving branches — i.e. differ;
+    # but drop_path must change SOME rows vs baseline
+    base = vit_forward(params, x, CFG, SCHED)
+    assert not np.array_equal(np.asarray(a), np.asarray(base))
+
+
+def test_drop_path_composes_with_remat(rng):
+    """jax.checkpoint recomputes the SAME masks (keys are closed-over
+    constants of the block closure): remat + drop_path must match the
+    un-rematerialized loss exactly at the forward level."""
+    from rajni_tpu.models.vit import vit_forward
+
+    params = init_params(jax.random.key(5), CFG)
+    x = jnp.asarray(rng.standard_normal((8, 16, 16, 3)).astype(np.float32))
+
+    def loss(p, remat):
+        y = vit_forward(p, x, CFG, SCHED, remat=remat, drop_path=0.5,
+                        rng=jax.random.key(11))
+        return jnp.sum(y ** 2)
+
+    va, ga = jax.value_and_grad(lambda p: loss(p, False))(params)
+    vb, gb = jax.value_and_grad(lambda p: loss(p, True))(params)
+    np.testing.assert_allclose(float(va), float(vb), rtol=1e-6)
+    for la, lb in zip(jax.tree_util.tree_leaves(ga),
+                      jax.tree_util.tree_leaves(gb)):
+        np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
+                                   rtol=2e-5, atol=2e-6)
+
+
+def test_train_cli_drop_path_resume(tmp_path):
+    """--drop_path composes with crash-safe resume: the mask stream is a
+    pure function of (seed, step) under its domain tag, so the resumed
+    trajectory is bit-identical. Also pins the PP rejection and range
+    guard."""
+    import json as _json
+
+    from rajni_tpu.params.io import load_params
+    from rajni_tpu.train import main
+
+    sched = tmp_path / "s.json"
+    sched.write_text(_json.dumps({"1": {"keep_ratio": 0.6}}))
+    base = ["--synthetic", "--model", "vit_tiny_patch16_64",
+            "--schedule", str(sched), "--batch_size", "4",
+            "--drop_path", "0.5", "--log_every", "1"]
+
+    out_a = tmp_path / "a.msgpack"
+    main(base + ["--steps", "3", "--output", str(out_a)])
+
+    out_b = tmp_path / "b.msgpack"
+    st = tmp_path / "b.state"
+    main(base + ["--steps", "1", "--output", str(out_b),
+                 "--save_state_every", "1", "--state_path", str(st)])
+    main(base + ["--steps", "3", "--output", str(out_b),
+                 "--resume", str(st)])
+
+    for la, lb in zip(
+        jax.tree_util.tree_leaves(load_params(str(out_a))),
+        jax.tree_util.tree_leaves(load_params(str(out_b))),
+    ):
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+
+    with pytest.raises(ValueError, match="drop_path"):
+        main(base + ["--steps", "1", "--drop_path", "1.0",
+                     "--output", str(tmp_path / "x.msgpack")])
+    with pytest.raises(ValueError, match="stacks"):
+        main(base + ["--steps", "1", "--pipeline_parallel", "2",
+                     "--batch_size", "16",
+                     "--output", str(tmp_path / "x.msgpack")])
