@@ -581,6 +581,7 @@ def vit_forward(
     remat: bool = False,
     drop_path: float = 0.0,
     rng: jax.Array | None = None,
+    return_dist: bool = False,
     _tap=None,
     _sel_tap=None,
 ) -> jax.Array:
@@ -1039,7 +1040,9 @@ def vit_forward(
         if _tap is not None:
             _tap(blk_i, x)
 
-    return classifier_head(x, params, config, act_scales, impl)
+    return classifier_head(
+        x, params, config, act_scales, impl, return_dist=return_dist
+    )
 
 
 def classifier_head(
@@ -1048,6 +1051,7 @@ def classifier_head(
     config: ViTConfig,
     act_scales=None,
     impl: str = "xla",
+    return_dist: bool = False,
 ) -> jax.Array:
     """Final norm + pooling + head (reference model.py:65-66 reads CLS
     only; extended pooled-head variants follow timm's ``forward_head``).
@@ -1067,6 +1071,14 @@ def classifier_head(
     With pruning active, the avg pool runs over the tokens that survived —
     the natural generalization (dropped tokens vanish from the residual
     stream entirely, reference model.py:55-56).
+
+    ``return_dist`` (static) switches the return to the ``(cls_logits,
+    dist_logits)`` pair the distillation *training* loss needs (timm's
+    DeiT train mode): the CLS head supervises against the labels, the
+    dist head against the teacher. For distilled configs these are the
+    two heads separately (inference averages them); for plain configs
+    both elements alias the single head's logits — the "usual
+    distillation" fallback where one head absorbs both terms.
     """
     eps = config.layer_norm_eps
     n_prefix = config.num_prefix_tokens
@@ -1083,6 +1095,8 @@ def classifier_head(
         dist_logits = _head_matmul(
             y[:, 1], params["head_dist"], config, None, impl
         )
+        if return_dist:
+            return cls_logits, dist_logits
         return ((cls_logits + dist_logits) * 0.5).astype(cls_logits.dtype)
     if config.fc_norm_resolved:
         if config.global_pool == "avg":
@@ -1102,7 +1116,10 @@ def classifier_head(
         # normalizing just the CLS row skips a full-sequence pass
         # bit-exactly.
         cls_out = layer_norm(x[:, 0:1], params["norm"], eps)[:, 0]
-    return _head_matmul(cls_out, params["head"], config, act_scales, impl)
+    logits = _head_matmul(cls_out, params["head"], config, act_scales, impl)
+    if return_dist:
+        return logits, logits
+    return logits
 
 
 def _head_matmul(

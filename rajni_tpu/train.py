@@ -515,6 +515,30 @@ def mixed_cross_entropy(
     ) * cross_entropy(logits, labels[::-1], label_smoothing)
 
 
+def distillation_loss(
+    dist_logits: jax.Array,
+    teacher_logits: jax.Array,
+    kind: str = "hard",
+    tau: float = 1.0,
+) -> jax.Array:
+    """DeiT's distillation term (facebookresearch/deit losses.py — the
+    training recipe behind the reference's ``deit_*_distilled`` weights).
+
+    ``hard``: cross entropy of the dist head against the teacher's argmax
+    — the paper's headline variant (their Table 5 shows it beats soft).
+    ``soft``: ``τ² · KL(softmax(teacher/τ) ‖ softmax(student/τ))``, summed
+    then divided by ``numel`` (= mean over batch·classes — the DeiT
+    repo's exact normalization, reproduced deliberately: it scales the
+    term down by num_classes relative to a per-sample mean).
+    """
+    if kind == "hard":
+        return cross_entropy(dist_logits, jnp.argmax(teacher_logits, -1))
+    t = jax.nn.log_softmax(teacher_logits.astype(jnp.float32) / tau, -1)
+    s = jax.nn.log_softmax(dist_logits.astype(jnp.float32) / tau, -1)
+    kl_sum = jnp.sum(jnp.exp(t) * (t - s))
+    return (tau * tau) * kl_sum / dist_logits.size
+
+
 def make_train_step(
     config: ViTConfig,
     schedule: Schedule | None,
@@ -526,6 +550,8 @@ def make_train_step(
     seed: int = 0,
     remat: bool = False,
     drop_path: float = 0.0,
+    distill: tuple | None = None,
+    teacher_params=None,
 ):
     """Build the full train step: forward (with pruning) → loss → grad →
     optimizer update. ``config``/``schedule`` are static closures.
@@ -549,16 +575,47 @@ def make_train_step(
     schedule): the per-step mask key derives in-graph from
     ``(seed, state.step)`` under a drop-path domain tag, so ``--resume``
     replays the identical drop decisions and the stream never collides
-    with the augment/mixing keys."""
+    with the augment/mixing keys.
+
+    ``distill`` — ``(kind, alpha, tau, teacher_cfg)`` with
+    ``teacher_params`` — enables DeiT-style knowledge distillation: the
+    student's dist head (or its single head for plain configs — the
+    "usual distillation" fallback) is supervised against a frozen
+    teacher's logits on the SAME (augmented/mixed) batch, combined as
+    ``(1−α)·base + α·distill`` (:func:`distillation_loss`). The teacher
+    runs unpruned inference inside the step (stop-gradient; its params
+    are closure constants, replicated under any mesh)."""
     mixing = mixup_alpha > 0.0 or cutmix_alpha > 0.0
 
     def loss_fn(params, images, labels, lam, dp_rng):
-        logits = vit_forward(params, images, config, schedule, remat=remat,
-                             drop_path=drop_path, rng=dp_rng)
-        if mixing:
-            loss = mixed_cross_entropy(logits, labels, lam, label_smoothing)
+        if distill is not None:
+            kind, alpha, tau, teacher_cfg = distill
+            cls_logits, dist_logits = vit_forward(
+                params, images, config, schedule, remat=remat,
+                drop_path=drop_path, rng=dp_rng, return_dist=True,
+            )
+            if mixing:
+                base = mixed_cross_entropy(
+                    cls_logits, labels, lam, label_smoothing
+                )
+            else:
+                base = cross_entropy(cls_logits, labels, label_smoothing)
+            teacher_logits = jax.lax.stop_gradient(
+                vit_forward(teacher_params, images, teacher_cfg)
+            )
+            loss = (1.0 - alpha) * base + alpha * distillation_loss(
+                dist_logits, teacher_logits, kind, tau
+            )
+            logits = cls_logits  # accuracy vs true labels is diagnostic
         else:
-            loss = cross_entropy(logits, labels, label_smoothing)
+            logits = vit_forward(params, images, config, schedule,
+                                 remat=remat, drop_path=drop_path,
+                                 rng=dp_rng)
+            if mixing:
+                loss = mixed_cross_entropy(logits, labels, lam,
+                                           label_smoothing)
+            else:
+                loss = cross_entropy(logits, labels, label_smoothing)
         acc = (jnp.argmax(logits, -1) == labels).mean()
         return loss, acc
 
@@ -787,6 +844,26 @@ def main(argv=None):
                         "depth); masks derive in-graph from (--seed, step) "
                         "so --resume replays them exactly. DeiT recipe "
                         "uses 0.1")
+    p.add_argument("--distill_teacher", type=str, default=None,
+                   metavar="CKPT",
+                   help="Knowledge distillation: path to a frozen teacher "
+                        "checkpoint (any loadable params tree). The "
+                        "student's dist head (deit *_distilled models; "
+                        "plain models fall back to the single head) "
+                        "trains against the teacher's logits on the same "
+                        "batch — DeiT's recipe")
+    p.add_argument("--distill_model", type=str, default=None, metavar="NAME",
+                   help="Teacher architecture name (required with "
+                        "--distill_teacher); input resolution must match "
+                        "the student")
+    p.add_argument("--distill_type", choices=["hard", "soft"],
+                   default="hard",
+                   help="hard = CE against the teacher argmax (DeiT's "
+                        "winning variant); soft = tau^2-scaled KL")
+    p.add_argument("--distill_alpha", type=float, default=0.5,
+                   help="loss = (1-alpha)*CE(labels) + alpha*distill")
+    p.add_argument("--distill_tau", type=float, default=1.0,
+                   help="soft-distillation temperature")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--profile", type=str, default=None, metavar="DIR",
                    help="Capture a jax.profiler trace of the training loop "
@@ -849,6 +926,21 @@ def main(argv=None):
         )
     if not 0.0 <= args.drop_path < 1.0:
         raise ValueError("--drop_path must be in [0, 1)")
+    if args.distill_teacher and not args.distill_model:
+        raise ValueError("--distill_teacher requires --distill_model "
+                         "(the teacher architecture name)")
+    if args.distill_teacher and args.pipeline_parallel > 1:
+        raise ValueError(
+            "--distill_teacher with --pipeline_parallel is unsupported: "
+            "the teacher forward is not staged over the pipe mesh (a "
+            "replicated teacher inside one stage's program would hold "
+            "the full teacher on every chip — defeating PP's memory "
+            "purpose)"
+        )
+    if args.distill_teacher and not 0.0 <= args.distill_alpha <= 1.0:
+        raise ValueError("--distill_alpha must be in [0, 1]")
+    if args.distill_teacher and args.distill_tau <= 0.0:
+        raise ValueError("--distill_tau must be > 0")
     if args.drop_path > 0.0 and args.pipeline_parallel > 1:
         raise ValueError(
             "--drop_path is per-block (timm linspace rates), but pipeline "
@@ -942,6 +1034,25 @@ def main(argv=None):
     else:
         params = init_params(jax.random.key(args.seed), config, dtype)
 
+    distill = None
+    teacher_params = None
+    if args.distill_teacher:
+        from .models.vit import adapt_config_to_params
+        from .params.io import load_params
+
+        teacher_cfg = get_config(args.distill_model)
+        teacher_params = load_params(args.distill_teacher, dtype=dtype)
+        teacher_cfg = adapt_config_to_params(teacher_cfg, teacher_params)
+        if teacher_cfg.img_size != config.img_size:
+            raise ValueError(
+                f"teacher resolution {teacher_cfg.img_size} != student "
+                f"{config.img_size} — both forwards share one batch"
+            )
+        distill = (args.distill_type, args.distill_alpha,
+                   args.distill_tau, teacher_cfg)
+        print(f"distilling from {args.distill_model} "
+              f"({args.distill_type}, alpha={args.distill_alpha})")
+
     # one optimizer for both branches — tx depends only on the flags
     tx = build_optimizer(
         args.lr, args.steps, args.weight_decay,
@@ -1025,7 +1136,9 @@ def main(argv=None):
                             switch_prob=args.mixup_switch_prob,
                             seed=args.seed,
                             remat=args.remat,
-                            drop_path=args.drop_path),
+                            drop_path=args.drop_path,
+                            distill=distill,
+                            teacher_params=teacher_params),
             donate_argnums=(0,),
         )
         tp_batch_sharding = batch_sharding(tp_mesh)
@@ -1045,7 +1158,9 @@ def main(argv=None):
                             switch_prob=args.mixup_switch_prob,
                             seed=args.seed,
                             remat=args.remat,
-                            drop_path=args.drop_path),
+                            drop_path=args.drop_path,
+                            distill=distill,
+                            teacher_params=teacher_params),
             donate_argnums=(0,),
         )
 

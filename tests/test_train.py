@@ -1458,3 +1458,115 @@ def test_train_cli_drop_path_resume(tmp_path):
         main(base + ["--steps", "1", "--pipeline_parallel", "2",
                      "--batch_size", "16",
                      "--output", str(tmp_path / "x.msgpack")])
+
+
+# --------------------------------------------------------------------------
+# Knowledge distillation (--distill_teacher, DeiT recipe)
+# --------------------------------------------------------------------------
+
+
+def test_distillation_loss_hard_and_soft(rng):
+    """hard = CE against the teacher argmax; soft = tau^2-scaled KL with
+    the DeiT repo's /numel normalization (losses.py) — zero when the
+    student matches the teacher exactly."""
+    from rajni_tpu.train import cross_entropy, distillation_loss
+
+    t = jnp.asarray(rng.standard_normal((8, 10)).astype(np.float32))
+    s = jnp.asarray(rng.standard_normal((8, 10)).astype(np.float32))
+
+    hard = distillation_loss(s, t, "hard")
+    np.testing.assert_allclose(
+        float(hard), float(cross_entropy(s, jnp.argmax(t, -1))), rtol=1e-6
+    )
+
+    # soft self-distillation is exactly zero
+    np.testing.assert_allclose(
+        float(distillation_loss(t, t, "soft", tau=3.0)), 0.0, atol=1e-7
+    )
+
+    # NumPy re-derivation of the DeiT normalization
+    tau = 2.0
+    tl = np.asarray(t, np.float64) / tau
+    sl = np.asarray(s, np.float64) / tau
+    tl = tl - np.log(np.exp(tl - tl.max(-1, keepdims=True)).sum(-1, keepdims=True)) - tl.max(-1, keepdims=True)
+    sl = sl - np.log(np.exp(sl - sl.max(-1, keepdims=True)).sum(-1, keepdims=True)) - sl.max(-1, keepdims=True)
+    want = (tau * tau) * float((np.exp(tl) * (tl - sl)).sum()) / t.size
+    np.testing.assert_allclose(
+        float(distillation_loss(s, t, "soft", tau=tau)), want, rtol=1e-5
+    )
+
+
+def test_distill_step_trains_dist_head(rng):
+    """With distillation on, gradient reaches the dist head (it is
+    otherwise dead weight: inference averages it but labels never touch
+    it), and the combined loss actually depends on the teacher."""
+    import dataclasses
+
+    from rajni_tpu.train import create_train_state, make_train_step
+
+    student_cfg = dataclasses.replace(CFG, distilled=True)
+    sparams = init_params(jax.random.key(0), student_cfg)
+    tparams = init_params(jax.random.key(9), CFG)
+    state, tx = create_train_state(sparams, learning_rate=1e-3)
+    x, y = _batch(rng, 8)
+
+    step = jax.jit(make_train_step(
+        student_cfg, SCHED, tx,
+        distill=("hard", 0.5, 1.0, CFG), teacher_params=tparams,
+    ))
+    new_state, metrics = step(state, x, y)
+    assert np.isfinite(float(metrics["loss"]))
+    delta = np.abs(
+        np.asarray(new_state.params["head_dist"]["kernel"])
+        - np.asarray(state.params["head_dist"]["kernel"])
+    ).max()
+    assert delta > 0, "dist head got no distillation gradient"
+
+    # teacher dependence: a different teacher changes the loss
+    step2 = jax.jit(make_train_step(
+        student_cfg, SCHED, tx,
+        distill=("hard", 0.5, 1.0, CFG),
+        teacher_params=init_params(jax.random.key(10), CFG),
+    ))
+    _, m2 = step2(state, x, y)
+    assert float(m2["loss"]) != float(metrics["loss"])
+
+
+def test_train_cli_distill(tmp_path):
+    """End-to-end: train a distilled DeiT student against a frozen ViT
+    teacher checkpoint; plain students fall back to single-head
+    distillation; flag validation fails fast."""
+    import json as _json
+
+    from rajni_tpu.models.vit import get_config
+    from rajni_tpu.params.io import save_params
+    from rajni_tpu.train import main
+
+    sched = tmp_path / "s.json"
+    sched.write_text(_json.dumps({"1": {"keep_ratio": 0.6}}))
+    teacher = tmp_path / "teacher.msgpack"
+    save_params(str(teacher),
+                init_params(jax.random.key(1),
+                            get_config("vit_tiny_patch16_64")))
+
+    base = ["--synthetic", "--schedule", str(sched), "--batch_size", "4",
+            "--steps", "2", "--log_every", "1",
+            "--distill_teacher", str(teacher),
+            "--distill_model", "vit_tiny_patch16_64"]
+
+    # distilled student (dist token + dual head)
+    state = main(base + ["--model", "deit_tiny_distilled_patch16_64",
+                         "--output", str(tmp_path / "st.msgpack")])
+    assert int(state.step) == 2
+    # plain student (single-head fallback), soft variant
+    main(base + ["--model", "vit_tiny_patch16_64",
+                 "--distill_type", "soft", "--distill_tau", "3.0",
+                 "--output", str(tmp_path / "st2.msgpack")])
+
+    with pytest.raises(ValueError, match="distill_model"):
+        main(base[:-2] + ["--model", "vit_tiny_patch16_64",
+                          "--output", str(tmp_path / "x.msgpack")])
+    with pytest.raises(ValueError, match="alpha"):
+        main(base + ["--model", "vit_tiny_patch16_64",
+                     "--distill_alpha", "1.5",
+                     "--output", str(tmp_path / "x.msgpack")])
