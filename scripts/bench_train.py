@@ -50,6 +50,10 @@ def main() -> None:
     p.add_argument("--remat", action="store_true",
                    help="per-block jax.checkpoint in the backward "
                         "(the train CLI's --remat)")
+    p.add_argument("--drop_path", type=float, default=0.0,
+                   help="stochastic depth rate (the train CLI's "
+                        "--drop_path); measures the regularizer's "
+                        "step-time cost")
     p.add_argument("--out", default=None,
                    help="merge rows into this JSON artifact (by config key)")
     p.add_argument("--probe_timeout", type=int, default=600,
@@ -88,7 +92,8 @@ def main() -> None:
         state = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
         # no donation: each timing loop restarts from the same live state
         step = jax.jit(
-            make_train_step(config, schedule, tx, remat=args.remat)
+            make_train_step(config, schedule, tx, remat=args.remat,
+                            drop_path=args.drop_path)
         )
         for _ in range(2):  # compile + cache warmup
             state, metrics = step(state, images, labels)
@@ -115,7 +120,8 @@ def main() -> None:
 
     row = {
         "config": f"{args.model}_train_schedulejson"
-                  + ("_remat" if args.remat else ""),
+                  + ("_remat" if args.remat else "")
+                  + ("_droppath" if args.drop_path else ""),
         "batch": args.batch,
         "dtype": args.dtype,
         "img_per_s": round(pruned, 1),

@@ -1570,3 +1570,32 @@ def test_train_cli_distill(tmp_path):
         main(base + ["--model", "vit_tiny_patch16_64",
                      "--distill_alpha", "1.5",
                      "--output", str(tmp_path / "x.msgpack")])
+
+
+def test_train_cli_dp_drop_path_distill_compose(tmp_path):
+    """The regularizers compose with single-host DP: one CLI run with
+    --data_parallel, --drop_path and --distill_teacher together (the
+    realistic recipe) runs on the 8-device mesh and checkpoints."""
+    import json as _json
+
+    from rajni_tpu.models.vit import get_config
+    from rajni_tpu.params.io import load_params, save_params
+    from rajni_tpu.train import main
+
+    sched = tmp_path / "s.json"
+    sched.write_text(_json.dumps({"1": {"keep_ratio": 0.6}}))
+    teacher = tmp_path / "teacher.msgpack"
+    save_params(str(teacher),
+                init_params(jax.random.key(1),
+                            get_config("vit_tiny_patch16_64")))
+    out = tmp_path / "st.msgpack"
+    state = main([
+        "--synthetic", "--model", "deit_tiny_distilled_patch16_64",
+        "--schedule", str(sched), "--batch_size", "8", "--steps", "2",
+        "--data_parallel", "--drop_path", "0.2",
+        "--distill_teacher", str(teacher),
+        "--distill_model", "vit_tiny_patch16_64",
+        "--log_every", "1", "--output", str(out),
+    ])
+    assert int(jax.device_get(state.step)) == 2
+    assert load_params(str(out))["head_dist"] is not None
