@@ -410,9 +410,11 @@ def _layer_scale(out: jax.Array, block: Params, name: str) -> jax.Array:
 def drop_path_rates(rate: float, depth: int) -> tuple[float, ...]:
     """timm's stochastic-depth schedule: ``linspace(0, rate, depth)`` —
     the first block is never dropped, the last drops at the full rate
-    (timm vision_transformer.py builds ``dpr`` exactly this way)."""
+    (timm vision_transformer.py builds ``dpr`` exactly this way;
+    ``torch.linspace(0, rate, 1)`` is ``[0.0]``, so a depth-1 model is
+    never dropped either)."""
     if depth == 1:
-        return (rate,)
+        return (0.0,)
     return tuple(rate * i / (depth - 1) for i in range(depth))
 
 
@@ -584,8 +586,9 @@ def vit_forward(
     return_dist: bool = False,
     _tap=None,
     _sel_tap=None,
-) -> jax.Array:
-    """Pruned ViT forward: ``[B, H, W, 3] -> [B, num_classes]`` logits.
+) -> jax.Array | tuple[jax.Array, jax.Array]:
+    """Pruned ViT forward: ``[B, H, W, 3] -> [B, num_classes]`` logits
+    (a ``(cls_logits, dist_logits)`` pair under ``return_dist=True``).
 
     ``config``, ``schedule``, ``impl`` (and ``act_scales`` when used) must
     be static when jitted::
@@ -1052,7 +1055,7 @@ def classifier_head(
     act_scales=None,
     impl: str = "xla",
     return_dist: bool = False,
-) -> jax.Array:
+) -> jax.Array | tuple[jax.Array, jax.Array]:
     """Final norm + pooling + head (reference model.py:65-66 reads CLS
     only; extended pooled-head variants follow timm's ``forward_head``).
 

@@ -20,8 +20,12 @@ Numerical contract (verified against the reference semantics):
     ranked by the selector.
 
 Everything here is a pure function of its inputs: no RNG, no state, fully
-jittable, differentiable (the reference wraps this in ``no_grad``; in JAX we
-simply don't request gradients — callers that train through it may).
+jittable. Scores are returned under ``lax.stop_gradient`` — the reference
+computes them in ``no_grad`` (importance.py:4), and downstream they feed
+only ``top_k`` index selection, so their backward chain is structurally
+zero anyway; the explicit stop makes XLA's dead-code elimination of the
+scoring backward unconditional instead of relying on the compiler to prove
+the zero.
 """
 
 from __future__ import annotations
@@ -100,7 +104,10 @@ def compute_importance(
     std = jnp.std(v_norm, axis=1, keepdims=True, ddof=1) + eps
     z = jax.nn.sigmoid((v_norm - mu) / std)
 
-    return a_cls * z
+    # Reference scoring runs under no_grad (importance.py:4); scores feed
+    # only index selection, so this changes no gradient — it just lets XLA
+    # drop the entire scoring backward without proving it dead.
+    return jax.lax.stop_gradient(a_cls * z)
 
 
 # ---------------------------------------------------------------------------
@@ -173,4 +180,6 @@ def importance_from_partials(
     mu = v_norm.mean(axis=1, keepdims=True)
     std = jnp.std(v_norm, axis=1, keepdims=True, ddof=1) + eps
     z = jax.nn.sigmoid((v_norm - mu) / std)
-    return a_cls * z
+    # Same no_grad contract as compute_importance: the zero cotangent here
+    # kills the backward of the partials *and* their completing psum.
+    return jax.lax.stop_gradient(a_cls * z)

@@ -1324,7 +1324,8 @@ def test_drop_path_rates_linspace():
 
     r = drop_path_rates(0.3, 4)
     np.testing.assert_allclose(r, [0.0, 0.1, 0.2, 0.3], atol=1e-12)
-    assert drop_path_rates(0.3, 1) == (0.3,)
+    # torch.linspace(0, rate, 1) == [0.0]: a depth-1 model never drops.
+    assert drop_path_rates(0.3, 1) == (0.0,)
 
 
 def test_stochastic_depth_mask_semantics():
