@@ -108,6 +108,23 @@ DEFAULT_SCHEDULE = {  # schedule.json's ratios (reference schedule.json:1-7)
     "7": {"keep_ratio": 0.95, "update": True},
 }
 
+# Drop-vs-compaction frontier (--frontier): progressively harsher
+# schedules on the 17-token model, each measured raw AND after the
+# prune-then-distill recovery — the honest curve the ≤0.5-pt claim sits
+# on (reference comparison protocol run.py:150-157 per point).
+FRONTIER_SCHEDULES = [
+    ("harsh_0p7x3", {  # 17 -> 12 -> 8 -> 5 tokens
+        "2": {"keep_ratio": 0.7, "update": True},
+        "4": {"keep_ratio": 0.7, "update": True},
+        "6": {"keep_ratio": 0.7, "update": True},
+    }),
+    ("extreme_0p5x3", {  # 17 -> 9 -> 5 -> 3 tokens
+        "1": {"keep_ratio": 0.5, "update": True},
+        "3": {"keep_ratio": 0.5, "update": True},
+        "5": {"keep_ratio": 0.5, "update": True},
+    }),
+]
+
 
 def main(argv=None):
     p = argparse.ArgumentParser("north-star accuracy demonstration")
@@ -121,10 +138,23 @@ def main(argv=None):
                         "eval; 0 skips the recovery experiment")
     p.add_argument("--batch_size", type=int, default=64)
     p.add_argument("--lr", type=float, default=5e-4)
+    # Recovery-recipe tuning knobs (pass-throughs to the train CLI).
+    p.add_argument("--finetune_lr", type=float, default=None,
+                   help="LR for both recovery fine-tunes (default: lr/10)")
+    p.add_argument("--layer_decay", type=float, default=None,
+                   help="LLRD factor for the recovery fine-tunes")
+    p.add_argument("--distill_type", choices=["hard", "soft"],
+                   default="hard")
+    p.add_argument("--distill_alpha", type=float, default=None)
+    p.add_argument("--distill_tau", type=float, default=None)
     p.add_argument("--schedule", default=None,
                    help="pruning schedule JSON path; default: the "
                         "reference schedule.json ratios")
     p.add_argument("--out", default="BENCH_ACC.json")
+    p.add_argument("--frontier", action="store_true",
+                   help="also measure the drop-vs-compaction frontier: "
+                        "each FRONTIER_SCHEDULES point evaluated raw and "
+                        "after prune-then-distill recovery")
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
 
@@ -227,6 +257,16 @@ def main(argv=None):
         "fixture": str(fix_path),
     }
 
+    ft_lr = args.finetune_lr if args.finetune_lr is not None \
+        else args.lr / 10
+    ft_extra = []
+    if args.layer_decay is not None:
+        ft_extra += ["--layer_decay", str(args.layer_decay)]
+    distill_extra = ["--distill_type", args.distill_type]
+    if args.distill_alpha is not None:
+        distill_extra += ["--distill_alpha", str(args.distill_alpha)]
+    if args.distill_tau is not None:
+        distill_extra += ["--distill_tau", str(args.distill_tau)]
     if args.finetune_steps:
         print(f"\n== fine-tuning THROUGH the schedule "
               f"({args.finetune_steps} steps) ==")
@@ -237,10 +277,10 @@ def main(argv=None):
                 "--checkpoint", str(ckpt), "--schedule", str(sched_path),
                 "--steps", str(args.finetune_steps),
                 "--batch_size", str(args.batch_size),
-                "--lr", str(args.lr / 10), "--lr_schedule", "cosine",
+                "--lr", str(ft_lr), "--lr_schedule", "cosine",
                 "--shuffle", "--seed", str(args.seed + 2),
                 "--output", str(ft), "--log_every", "20",
-            ])
+            ] + ft_extra)
         res_ft = eval_cli.main([
             "--data_path", str(val_dir), "--model", args.model,
             "--checkpoint", str(ft), "--schedule", str(sched_path),
@@ -249,6 +289,9 @@ def main(argv=None):
         ])
         record["finetuned_pruned_top1"] = round(res_ft["rajni"][0], 3)
         record["finetune_steps"] = args.finetune_steps
+        record["finetune_lr"] = ft_lr
+        if args.layer_decay is not None:
+            record["finetune_layer_decay"] = args.layer_decay
 
         # The prune-then-distill recovery recipe: same fine-tune, but the
         # UNPRUNED base checkpoint acts as a frozen teacher
@@ -264,12 +307,12 @@ def main(argv=None):
                 "--checkpoint", str(ckpt), "--schedule", str(sched_path),
                 "--steps", str(args.finetune_steps),
                 "--batch_size", str(args.batch_size),
-                "--lr", str(args.lr / 10), "--lr_schedule", "cosine",
+                "--lr", str(ft_lr), "--lr_schedule", "cosine",
                 "--shuffle", "--seed", str(args.seed + 2),
                 "--distill_teacher", str(ckpt),
                 "--distill_model", args.model,
                 "--output", str(ftd), "--log_every", "20",
-            ])
+            ] + ft_extra + distill_extra)
         res_ftd = eval_cli.main([
             "--data_path", str(val_dir), "--model", args.model,
             "--checkpoint", str(ftd), "--schedule", str(sched_path),
@@ -279,6 +322,57 @@ def main(argv=None):
         record["distill_finetuned_pruned_top1"] = round(
             res_ftd["rajni"][0], 3
         )
+        record["distill_type"] = args.distill_type
+
+    if args.frontier:
+        frontier = []
+        for name, fsched in FRONTIER_SCHEDULES:
+            print(f"\n== frontier point {name} ==")
+            fs_path = work / f"sched_{name}.json"
+            fs_path.write_text(json.dumps(fsched))
+            res_raw = eval_cli.main([
+                "--data_path", str(val_dir), "--model", args.model,
+                "--checkpoint", str(ckpt), "--schedule", str(fs_path),
+                "--batch_size", str(args.batch_size),
+                "--dtype", "float32", "--warmup", "1",
+            ])
+            point = {
+                "name": name,
+                "schedule": fsched,
+                "pruned_top1": round(res_raw["rajni"][0], 3),
+                "top1_drop_pct": round(
+                    record["base_top1"] - res_raw["rajni"][0], 3
+                ),
+            }
+            if args.finetune_steps:
+                ftf = work / f"ft_distill_{name}.msgpack"
+                if not ftf.exists():
+                    train_cli.main([
+                        "--data_path", str(train_dir), "--model",
+                        args.model, "--checkpoint", str(ckpt),
+                        "--schedule", str(fs_path),
+                        "--steps", str(args.finetune_steps),
+                        "--batch_size", str(args.batch_size),
+                        "--lr", str(ft_lr), "--lr_schedule", "cosine",
+                        "--shuffle", "--seed", str(args.seed + 2),
+                        "--distill_teacher", str(ckpt),
+                        "--distill_model", args.model,
+                        "--output", str(ftf), "--log_every", "50",
+                    ] + ft_extra + distill_extra)
+                res_rec = eval_cli.main([
+                    "--data_path", str(val_dir), "--model", args.model,
+                    "--checkpoint", str(ftf), "--schedule", str(fs_path),
+                    "--batch_size", str(args.batch_size),
+                    "--dtype", "float32", "--warmup", "1",
+                ])
+                point["distill_recovered_top1"] = round(
+                    res_rec["rajni"][0], 3
+                )
+                point["recovered_drop_pct"] = round(
+                    record["base_top1"] - res_rec["rajni"][0], 3
+                )
+            frontier.append(point)
+        record["frontier"] = frontier
 
     out_path = Path(args.out)
     if out_path.exists():
