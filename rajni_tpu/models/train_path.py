@@ -1,0 +1,381 @@
+"""Fused-kernel TRAINING forward: pallas primal, residual-fed XLA backward.
+
+The inference kernel path (``vit_forward(impl="pallas")``) defines no VJP —
+its kernels keep every intermediate in VMEM, so there is nothing for a
+backward to read. This module gives the training pillar a kernel path
+without writing backward kernels:
+
+  * the **forward** runs the residual-emitting fused kernels of
+    :mod:`rajni_tpu.kernels.train` (same math as the inference kernels,
+    ~70% MFU, plus HBM writes of the packed ``qkv`` and pre-GELU ``h``);
+  * the **backward** is a :func:`jax.custom_vjp` rule built from *segment*
+    VJPs of the XLA block math evaluated at the saved boundaries
+    ``(x, qkv, x1, h)``. Each segment's unused primal output (the QKV /
+    fc1 / fc2 / proj matmuls — the forward's FLOPs) is dead code XLA
+    eliminates, so the backward costs only the true backward GEMMs (which
+    XLA runs at ~50%+ MFU, they are large-K weight-gradient shapes) plus
+    cheap elementwise recompute (two LayerNorms, ``gelu``, the O(N²C)
+    SDPA) — **not** a full forward recompute like ``jax.checkpoint``.
+
+Per-block cost vs alternatives (ViT-B/224 per-image estimates):
+
+  ========================  =========  ==========================
+  step                      plain XLA  kernel path (this module)
+  ========================  =========  ==========================
+  forward                   ~39% MFU   ~70% MFU (fused kernels)
+  backward                  ~52% MFU   same GEMMs + tiny recompute
+  extra fwd recompute       none       none
+  ========================  =========  ==========================
+
+Gradient semantics: identical math to ``vit_forward(impl="xla")`` up to
+the saved-boundary roundings (qkv, h stored in the activation dtype) and
+the kernels' fp32-accumulated matmuls — tolerance-level, pinned by
+``tests/test_train_kernels.py``. Importance scores keep the reference's
+``no_grad`` contract (`/root/reference/rajni/wrapper/importance.py:4`):
+the pruned op's backward returns a zero cotangent for the score thread.
+
+Not supported here (callers fall back to ``impl="xla"``): stochastic
+depth (mask application sits inside the fused kernels' residual adds),
+quantized params, extended variants (qk-norm / registers / pooled heads),
+and configs whose weights exceed the VMEM residency budgets
+(:func:`train_kernels_supported` reports the reason).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..kernels.train import (
+    _train_attn_fits,
+    train_attn_block,
+    train_ln_mlp,
+    train_mlp_fits,
+)
+from ..ops.attention import _sdpa
+from ..ops.pruning import (
+    gather_tokens_matmul,
+    keep_count,
+    onehot_matrix,
+    select_tokens_dense,
+)
+from ..utils.schedule import normalize_schedule
+from .vit import (
+    ViTConfig,
+    classifier_head,
+    embed_tokens,
+    layer_norm,
+    pallas_compilable,
+    stock_block,
+)
+
+Params = dict
+
+
+# --------------------------------------------------------------------------
+# XLA backward segments. Each is the exact XLA-path math between two saved
+# boundaries; only their *VJPs* ever run (the primal outputs feeding the
+# next saved boundary are discarded, and XLA DCEs the forward matmuls).
+# --------------------------------------------------------------------------
+
+
+def _seg_qkv(ln1, qkvp, x, eps):
+    a = layer_norm(x, ln1, eps)
+    return a @ qkvp["kernel"] + qkvp["bias"]
+
+
+def _seg_fc1(ln2, fc1, x1, eps):
+    b = layer_norm(x1, ln2, eps)
+    return b @ fc1["kernel"] + fc1["bias"]
+
+
+def _seg_fc2(fc2, ls2, x1, h):
+    hg = jax.nn.gelu(h, approximate=False)
+    out = hg @ fc2["kernel"] + fc2["bias"]
+    if ls2 is not None:
+        out = out * ls2
+    return x1 + out
+
+
+def _seg_attn_tail(proj, ls1, x, qkv, keep_idx, num_heads, scale):
+    """SDPA + proj + residual; with ``keep_idx`` the pruned variant
+    (gather before SDPA, residual gathered before the add — reference
+    model.py:55-56).
+
+    Gathers are expressed as one-hot MXU matmuls (bit-exact,
+    :func:`rajni_tpu.ops.pruning.gather_tokens_matmul`) rather than
+    ``take_along_axis``: the matmul's transpose is another matmul
+    (``selᵀ @ cotangent`` — the exact scatter-add, on the MXU), where the
+    take_along_axis transpose lowers to a serial TPU scatter (the same
+    per-row-loop pathology as the forward gather, CLAUDE.md landmark)."""
+    if keep_idx is not None:
+        sel = onehot_matrix(keep_idx, x.shape[1], x.dtype)
+        qkv = gather_tokens_matmul(qkv, sel)
+        x = gather_tokens_matmul(x, sel)
+    out = _sdpa(qkv, num_heads, scale)
+    out = out @ proj["kernel"] + proj["bias"]
+    if ls1 is not None:
+        out = out * ls1
+    return x + out
+
+
+def _mlp_bwd(block, x1, h, g_y, eps):
+    """Backward through the MLP half from saved ``(x1, h)``. Returns
+    ``(d_x1, grads_dict_pieces)``."""
+    if "ls2" in block:
+        _, vjp4 = jax.vjp(
+            lambda fc2, ls2, x1, h: _seg_fc2(fc2, ls2, x1, h),
+            block["mlp"]["fc2"], block["ls2"], x1, h,
+        )
+        d_fc2, d_ls2, d_x1a, d_h = vjp4(g_y)
+    else:
+        _, vjp4 = jax.vjp(
+            lambda fc2, x1, h: _seg_fc2(fc2, None, x1, h),
+            block["mlp"]["fc2"], x1, h,
+        )
+        d_fc2, d_x1a, d_h = vjp4(g_y)
+        d_ls2 = None
+    _, vjp3 = jax.vjp(
+        lambda ln2, fc1, x1: _seg_fc1(ln2, fc1, x1, eps),
+        block["norm2"], block["mlp"]["fc1"], x1,
+    )
+    d_ln2, d_fc1, d_x1b = vjp3(d_h)
+    return d_x1a + d_x1b, (d_ln2, d_fc1, d_fc2, d_ls2)
+
+
+def _attn_bwd(block, x, qkv, keep_idx, d_x1, num_heads, scale, eps):
+    """Backward through the attention half from saved ``(x, qkv)``.
+    Returns ``(d_x, grads_dict_pieces)``."""
+    if "ls1" in block:
+        _, vjp2 = jax.vjp(
+            lambda proj, ls1, x, qkv: _seg_attn_tail(
+                proj, ls1, x, qkv, keep_idx, num_heads, scale
+            ),
+            block["attn"]["proj"], block["ls1"], x, qkv,
+        )
+        d_proj, d_ls1, d_xa, d_qkv = vjp2(d_x1)
+    else:
+        _, vjp2 = jax.vjp(
+            lambda proj, x, qkv: _seg_attn_tail(
+                proj, None, x, qkv, keep_idx, num_heads, scale
+            ),
+            block["attn"]["proj"], x, qkv,
+        )
+        d_proj, d_xa, d_qkv = vjp2(d_x1)
+        d_ls1 = None
+    _, vjp1 = jax.vjp(
+        lambda ln1, qkvp, x: _seg_qkv(ln1, qkvp, x, eps),
+        block["norm1"], block["attn"]["qkv"], x,
+    )
+    d_ln1, d_qkvp, d_xb = vjp1(d_qkv)
+    return d_xa + d_xb, (d_ln1, d_qkvp, d_proj, d_ls1)
+
+
+def _assemble_block_grads(block, attn_pieces, mlp_pieces):
+    """Cotangent tree with exactly the block's structure (classic keys +
+    optional layer-scales)."""
+    d_ln1, d_qkvp, d_proj, d_ls1 = attn_pieces
+    d_ln2, d_fc1, d_fc2, d_ls2 = mlp_pieces
+    g = {
+        "norm1": d_ln1,
+        "attn": {"qkv": d_qkvp, "proj": d_proj},
+        "norm2": d_ln2,
+        "mlp": {"fc1": d_fc1, "fc2": d_fc2},
+    }
+    if "ls1" in block:
+        g["ls1"] = d_ls1
+    if "ls2" in block:
+        g["ls2"] = d_ls2
+    return g
+
+
+# --------------------------------------------------------------------------
+# Stock block op
+# --------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _stock_block_op(static, block, x):
+    num_heads, scale, eps = static
+    x1, _ = train_attn_block(
+        x, block["norm1"], block["attn"], block.get("ls1"),
+        num_heads, scale, eps,
+    )
+    y, _ = train_ln_mlp(x1, block["norm2"], block["mlp"],
+                        block.get("ls2"), eps)
+    return y
+
+
+def _stock_block_fwd(static, block, x):
+    num_heads, scale, eps = static
+    x1, qkv = train_attn_block(
+        x, block["norm1"], block["attn"], block.get("ls1"),
+        num_heads, scale, eps,
+    )
+    y, h = train_ln_mlp(x1, block["norm2"], block["mlp"],
+                        block.get("ls2"), eps)
+    return y, (block, x, qkv, x1, h)
+
+
+def _stock_block_bwd(static, res, g_y):
+    num_heads, scale, eps = static
+    block, x, qkv, x1, h = res
+    d_x1, mlp_pieces = _mlp_bwd(block, x1, h, g_y, eps)
+    d_x, attn_pieces = _attn_bwd(
+        block, x, qkv, None, d_x1, num_heads, scale, eps
+    )
+    return _assemble_block_grads(block, attn_pieces, mlp_pieces), d_x
+
+
+_stock_block_op.defvjp(_stock_block_fwd, _stock_block_bwd)
+
+
+# --------------------------------------------------------------------------
+# Pruned block op (scores threaded, reference no_grad semantics)
+# --------------------------------------------------------------------------
+
+
+def _pruned_fwd_common(static, block, x, scores):
+    from ..kernels.block import fused_ln_qkv, fused_gather_sdpa_proj_residual
+
+    num_heads, scale, eps, keep, with_scores = static
+    qkv, new_scores = fused_ln_qkv(
+        x, block["norm1"], block["attn"]["qkv"], num_heads, eps,
+        with_scores,
+    )
+    scores_used = new_scores if with_scores else scores
+    keep_idx, sel = select_tokens_dense(scores_used, keep, x.dtype)
+    x1 = fused_gather_sdpa_proj_residual(
+        qkv, sel, x, block["attn"]["proj"], block.get("ls1"),
+        num_heads, scale,
+    )
+    next_scores = jnp.take_along_axis(scores_used, keep_idx, axis=1)
+    return qkv, keep_idx, x1, next_scores
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _pruned_block_op(static, block, x, scores):
+    eps = static[2]
+    _, _, x1, next_scores = _pruned_fwd_common(static, block, x, scores)
+    y, _ = train_ln_mlp(x1, block["norm2"], block["mlp"],
+                        block.get("ls2"), eps)
+    return y, next_scores
+
+
+def _pruned_block_fwd(static, block, x, scores):
+    eps = static[2]
+    qkv, keep_idx, x1, next_scores = _pruned_fwd_common(
+        static, block, x, scores
+    )
+    y, h = train_ln_mlp(x1, block["norm2"], block["mlp"],
+                        block.get("ls2"), eps)
+    return (y, next_scores), (block, x, scores, qkv, keep_idx, x1, h)
+
+
+def _pruned_block_bwd(static, res, cot):
+    num_heads, scale, eps, keep, with_scores = static
+    block, x, scores, qkv, keep_idx, x1, h = res
+    g_y, _g_scores = cot  # scores carry no gradient (reference no_grad)
+    d_x1, mlp_pieces = _mlp_bwd(block, x1, h, g_y, eps)
+    d_x, attn_pieces = _attn_bwd(
+        block, x, qkv, keep_idx, d_x1, num_heads, scale, eps
+    )
+    d_scores = None if scores is None else jnp.zeros_like(scores)
+    return (
+        _assemble_block_grads(block, attn_pieces, mlp_pieces),
+        d_x,
+        d_scores,
+    )
+
+
+_pruned_block_op.defvjp(_pruned_block_fwd, _pruned_block_bwd)
+
+
+# --------------------------------------------------------------------------
+# Full forward + support gate
+# --------------------------------------------------------------------------
+
+
+def train_kernels_supported(
+    config: ViTConfig, schedule, dtype=jnp.bfloat16
+) -> tuple[bool, str]:
+    """Whether :func:`vit_forward_train` can route this (config, schedule)
+    through the fused kernels. Returns ``(ok, reason)`` — the reason names
+    the first failing constraint (for CLI diagnostics)."""
+    from ..kernels.block import _gather_fits_fast
+
+    if not (config.kernel_path_supported and pallas_compilable(config)):
+        return False, "extended variant or lane-unaligned width"
+    itemsize = jnp.dtype(dtype).itemsize
+    C, hidden = config.embed_dim, config.mlp_hidden
+    if not train_mlp_fits(C, hidden, itemsize):
+        return False, "MLP weights exceed the train-kernel VMEM residency"
+    schedule = normalize_schedule(schedule, config.depth)
+    n = config.num_tokens
+    for spec in schedule:
+        if spec is None:
+            if not _train_attn_fits(n, C, itemsize):
+                return False, "attention half exceeds the VMEM budget"
+            continue
+        keep = keep_count(spec.keep_ratio, n, 1)
+        if not _gather_fits_fast(n, keep + 1, C, itemsize):
+            return False, f"pruned gather at N={n} exceeds the VMEM budget"
+        n = keep + 1
+    return True, ""
+
+
+def vit_forward_train(
+    params: Params,
+    images: jax.Array,
+    config: ViTConfig,
+    schedule=None,
+    return_dist: bool = False,
+    stock_impl: str = "xla",
+) -> jax.Array | tuple[jax.Array, jax.Array]:
+    """Training forward on the fused-kernel path: ``[B,H,W,3] → logits``,
+    differentiable via the residual-fed custom VJPs above.
+
+    Drop-in for ``vit_forward(..., impl="xla")`` inside
+    ``jax.value_and_grad`` — same semantics (scores/selection/compaction
+    per reference attention.py:17-60, model.py:55-63), tolerance-level
+    numerics. Callers must pre-check :func:`train_kernels_supported`.
+
+    Routing is MIXED by measured benefit (v5e, batch-128 ViT-B bf16):
+    pruned blocks take the kernel ops — the fused forward replaces the
+    XLA path's serial token gathers and the custom VJP's one-hot matmul
+    transpose replaces its backward scatters (all-kernel pruned step
+    900.8 img/s vs 858.5 plain) — while STOCK blocks default to the
+    native XLA block, whose jointly-optimized fwd+bwd beats the
+    segment-VJP form (817 vs 691 img/s all-stock: the segment backward
+    pays layout copies at the custom-call boundary that XLA's own
+    residual placement avoids). ``stock_impl="pallas"`` forces the kernel
+    stock op (tests pin its gradient parity; re-measure before routing
+    it by default).
+    """
+    schedule = normalize_schedule(schedule, config.depth)
+    x = embed_tokens(params, images, config)
+    scores = None
+    for spec, block in zip(schedule, params["blocks"]):
+        if spec is not None:
+            n = x.shape[1]
+            keep = keep_count(spec.keep_ratio, n, 1)
+            with_scores = spec.update or scores is None
+            static = (
+                config.num_heads, config.attn_scale,
+                config.layer_norm_eps, keep, with_scores,
+            )
+            x, scores = _pruned_block_op(static, block, x, scores)
+        elif stock_impl == "pallas":
+            static = (
+                config.num_heads, config.attn_scale, config.layer_norm_eps,
+            )
+            x = _stock_block_op(static, block, x)
+            scores = None  # stock block invalidates (model.py:63)
+        else:
+            x = stock_block(x, block, config, "xla")
+            scores = None  # stock block invalidates (model.py:63)
+    return classifier_head(
+        x, params, config, None, "xla", return_dist=return_dist
+    )

@@ -537,6 +537,41 @@ def stock_block(
     )
 
 
+def embed_tokens(
+    params: Params, images: jax.Array, config: "ViTConfig"
+) -> jax.Array:
+    """Patchify + prefix tokens + position embedding: the forward's
+    prologue, shared by :func:`vit_forward` and the training kernel path
+    (:mod:`rajni_tpu.models.train_path`). Returns ``[B, N, C]`` with the
+    prefix (CLS / dist / registers) already concatenated (reference
+    model.py:34-37)."""
+    B = images.shape[0]
+    dtype = params["cls_token"].dtype
+    x = patch_embed(images.astype(dtype), params["patch_embed"], config)
+    if config.no_embed_class:
+        # timm no_embed_class: pos-embed covers patches only, applied
+        # BEFORE the prefix concat (DINOv2 / register variants).
+        x = x + params["pos_embed"][:, : x.shape[1]]
+    prefix = [jnp.broadcast_to(params["cls_token"], (B, 1, config.embed_dim))]
+    if config.distilled:
+        prefix.append(
+            jnp.broadcast_to(params["dist_token"], (B, 1, config.embed_dim))
+        )
+    if config.reg_tokens:
+        prefix.append(
+            jnp.broadcast_to(
+                params["reg_token"],
+                (B, config.reg_tokens, config.embed_dim),
+            )
+        )
+    x = jnp.concatenate(prefix + [x], axis=1)
+    if not config.no_embed_class:
+        # pos_embed sliced to the live sequence length (reference
+        # model.py:37).
+        x = x + params["pos_embed"][:, : x.shape[1]]
+    return x
+
+
 # --------------------------------------------------------------------------
 # Full forward
 # --------------------------------------------------------------------------
@@ -670,29 +705,7 @@ def vit_forward(
             )
         dpr = drop_path_rates(drop_path, config.depth)
     n_prefix = config.num_prefix_tokens
-    dtype = params["cls_token"].dtype
-    x = patch_embed(images.astype(dtype), params["patch_embed"], config)
-    if config.no_embed_class:
-        # timm no_embed_class: pos-embed covers patches only, applied
-        # BEFORE the prefix concat (DINOv2 / register variants).
-        x = x + params["pos_embed"][:, : x.shape[1]]
-    prefix = [jnp.broadcast_to(params["cls_token"], (B, 1, config.embed_dim))]
-    if config.distilled:
-        prefix.append(
-            jnp.broadcast_to(params["dist_token"], (B, 1, config.embed_dim))
-        )
-    if config.reg_tokens:
-        prefix.append(
-            jnp.broadcast_to(
-                params["reg_token"],
-                (B, config.reg_tokens, config.embed_dim),
-            )
-        )
-    x = jnp.concatenate(prefix + [x], axis=1)
-    if not config.no_embed_class:
-        # pos_embed sliced to the live sequence length (reference
-        # model.py:37).
-        x = x + params["pos_embed"][:, : x.shape[1]]
+    x = embed_tokens(params, images, config)
 
     scores: jax.Array | None = None
     for blk_i, (spec, block) in enumerate(zip(schedule, params["blocks"])):

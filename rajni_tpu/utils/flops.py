@@ -83,3 +83,22 @@ def mfu(
         flops_per_image(config, token_counts) * img_per_s
         / (peak_tflops * 1e12)
     )
+
+
+def train_mfu(
+    config: ViTConfig,
+    token_counts: list[int] | None,
+    img_per_s: float,
+    peak_tflops: float = V5E_BF16_PEAK_TFLOPS,
+) -> float:
+    """Training-step MFU: the conventional 3× forward accounting (forward
+    + ~2× backward — each matmul's backward is two GEMMs of the forward's
+    shape). Remat recompute is deliberately NOT billed (MFU counts the
+    model's *required* FLOPs, so a rematerialized run reports lower MFU
+    for the same hardware utilization — that is the point of the metric).
+    The optimizer update is elementwise and excluded like every other
+    non-matmul op."""
+    return (
+        3.0 * flops_per_image(config, token_counts) * img_per_s
+        / (peak_tflops * 1e12)
+    )

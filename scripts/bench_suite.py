@@ -160,6 +160,26 @@ def main():
         results.append({"config": "vit_b16_identity_batch1_cpu",
                         "img_per_s": round(img_s, 2)})
 
+    # XLA-ops ViT-B schedule.json pair — the README headline table's
+    # "pruned, XLA ops" row needs an artifact source (VERDICT r3 #7:
+    # every README number must grep out of a committed artifact)
+    if on_tpu and wanted("vit_b16_schedulejson_xla"):
+        pruned, tokens = measure("vit_base_patch16_224", REFERENCE_SCHEDULE,
+                                 256, args.iters, "xla")
+        base, _ = measure("vit_base_patch16_224", None, 256, args.iters,
+                          "xla")
+        cfg = get_config("vit_base_patch16_224")
+        results.append({
+            "config": "vit_b16_schedulejson_xla",
+            "img_per_s": round(pruned, 1),
+            "base_img_per_s": round(base, 1),
+            "speedup": round(pruned / base, 4),
+            "mfu": round(mfu(cfg, tokens, pruned), 4),
+            "base_mfu": round(mfu(cfg, None, base), 4),
+            "token_counts": tokens,
+            "impl": "xla",
+        })
+
     # bf16 rows on the accelerator
     for key, model, sched, batch in BF16_ROWS:
         if not wanted(key):

@@ -54,6 +54,10 @@ def main() -> None:
                    help="stochastic depth rate (the train CLI's "
                         "--drop_path); measures the regularizer's "
                         "step-time cost")
+    p.add_argument("--kernels", default="xla", choices=["xla", "pallas"],
+                   help="student forward engine (the train CLI's "
+                        "--kernels): 'pallas' = fused training kernels "
+                        "with residual-fed XLA backward")
     p.add_argument("--out", default=None,
                    help="merge rows into this JSON artifact (by config key)")
     p.add_argument("--probe_timeout", type=int, default=600,
@@ -70,8 +74,9 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
-    from rajni_tpu.models.vit import get_config, init_params
+    from rajni_tpu.models.vit import get_config, init_params, model_stats
     from rajni_tpu.train import TrainState, build_optimizer, make_train_step
+    from rajni_tpu.utils.flops import train_mfu
     from rajni_tpu.utils.schedule import REFERENCE_SCHEDULE, normalize_schedule
     from rajni_tpu.utils.timing import fence
 
@@ -93,7 +98,7 @@ def main() -> None:
         # no donation: each timing loop restarts from the same live state
         step = jax.jit(
             make_train_step(config, schedule, tx, remat=args.remat,
-                            drop_path=args.drop_path)
+                            drop_path=args.drop_path, impl=args.kernels)
         )
         for _ in range(2):  # compile + cache warmup
             state, metrics = step(state, images, labels)
@@ -110,6 +115,16 @@ def main() -> None:
                        / max(time.time() - t0, 1e-9))
         return best
 
+    if args.kernels == "pallas":
+        from rajni_tpu.models.train_path import train_kernels_supported
+
+        ok, why = train_kernels_supported(
+            config, REFERENCE_SCHEDULE, dtype
+        )
+        if not ok:
+            log(f"FATAL: --kernels pallas unsupported here: {why}")
+            sys.exit(2)
+
     sched = normalize_schedule(REFERENCE_SCHEDULE, config.depth)
     log("compiling + measuring pruned train step (schedule.json)...")
     pruned = measure(sched)
@@ -118,15 +133,21 @@ def main() -> None:
     base = measure(None)
     log(f"base: {base:.1f} img/s")
 
+    trace = model_stats(config, sched)["token_counts"]
     row = {
         "config": f"{args.model}_train_schedulejson"
                   + ("_remat" if args.remat else "")
-                  + ("_droppath" if args.drop_path else ""),
+                  + ("_droppath" if args.drop_path else "")
+                  + ("_kernels" if args.kernels == "pallas" else ""),
         "batch": args.batch,
         "dtype": args.dtype,
         "img_per_s": round(pruned, 1),
         "base_img_per_s": round(base, 1),
         "speedup": round(pruned / base, 4),
+        # conventional 3x-forward accounting (utils/flops.train_mfu);
+        # remat recompute deliberately unbilled
+        "mfu": round(train_mfu(config, trace, pruned), 4),
+        "base_mfu": round(train_mfu(config, None, base), 4),
         "protocol": "fwd+bwd+adamw per step, chained, fenced per loop, "
                      f"best of {args.repeats}x{args.iters}",
     }

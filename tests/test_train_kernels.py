@@ -1,0 +1,232 @@
+"""Fused-kernel training path (models/train_path.py, kernels/train.py).
+
+Pins the custom-VJP contract: the pallas forward + residual-fed XLA
+backward must match ``vit_forward(impl="xla")`` under ``jax.value_and_grad``
+to fp32 tolerance — same selection, same compaction, same gradients
+(reference semantics: attention.py:17-60, model.py:55-63; scores carry no
+gradient, importance.py:4 ``no_grad``).
+"""
+
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rajni_tpu.models.train_path import (
+    train_kernels_supported,
+    vit_forward_train,
+)
+from rajni_tpu.models.vit import ViTConfig, get_config, init_params, vit_forward
+from rajni_tpu.utils.schedule import normalize_schedule
+
+SCHED = {"3": {"keep_ratio": 0.7, "update": True},
+         "4": {"keep_ratio": 0.7, "update": False},
+         "5": {"keep_ratio": 0.6, "update": True}}
+
+
+def _loss_pair(cfg, sched, params, x, labels, stock_impl="pallas"):
+    def loss(fwd):
+        def f(p):
+            lg = fwd(p).astype(jnp.float32)
+            return -jnp.mean(
+                jax.nn.log_softmax(lg)[jnp.arange(lg.shape[0]), labels]
+            )
+        return f
+
+    l_x, g_x = jax.jit(jax.value_and_grad(
+        loss(lambda p: vit_forward(p, x, cfg, sched, "xla"))
+    ))(params)
+    l_k, g_k = jax.jit(jax.value_and_grad(
+        loss(lambda p: vit_forward_train(p, x, cfg, sched,
+                                         stock_impl=stock_impl))
+    ))(params)
+    return (l_x, g_x), (l_k, g_k)
+
+
+def _worst_rel(g1, g2):
+    def rel(a, b):
+        return float(
+            jnp.max(jnp.abs(a - b)) / (jnp.max(jnp.abs(a)) + 1e-12)
+        )
+    return max(jax.tree_util.tree_leaves(
+        jax.tree_util.tree_map(rel, g1, g2)
+    ))
+
+
+@pytest.mark.parametrize("sched_dict,stock_impl", [
+    (None, "pallas"), (SCHED, "xla"), (SCHED, "pallas"),
+], ids=["stock-kernel", "pruned-mixed", "pruned-allkernel"])
+def test_grad_parity_fp32(sched_dict, stock_impl):
+    """Gradient parity vs the XLA path for every routing: the kernel
+    stock op (stock_impl='pallas' — not the default route, but its VJP
+    must stay correct), the default mixed route (pruned kernels + XLA
+    stock blocks), and the all-kernel route."""
+    cfg = get_config("vit_tiny_patch16_64")
+    sched = normalize_schedule(sched_dict, cfg.depth)
+    ok, why = train_kernels_supported(cfg, sched, jnp.float32)
+    assert ok, why
+    params = init_params(jax.random.key(0), cfg, jnp.float32)
+    x = jax.random.normal(jax.random.key(1), (4, 64, 64, 3), jnp.float32)
+    labels = jnp.array([0, 1, 2, 3])
+    (l_x, g_x), (l_k, g_k) = _loss_pair(
+        cfg, sched, params, x, labels, stock_impl=stock_impl
+    )
+    assert abs(float(l_x - l_k)) < 1e-4
+    assert _worst_rel(g_x, g_k) < 1e-3
+
+
+def test_grad_parity_layer_scale():
+    """Blocks carrying ls1/ls2 produce matching grads for them too (the
+    cotangent tree must mirror the optional keys)."""
+    cfg = ViTConfig(img_size=64, patch_size=16, embed_dim=64, depth=3,
+                    num_heads=4, num_classes=8, use_layer_scale=True,
+                    layer_scale_init=0.5)
+    sched = normalize_schedule({"1": {"keep_ratio": 0.7, "update": True}},
+                               cfg.depth)
+    params = init_params(jax.random.key(0), cfg, jnp.float32)
+    assert "ls1" in params["blocks"][0]
+    x = jax.random.normal(jax.random.key(1), (2, 64, 64, 3), jnp.float32)
+    labels = jnp.array([0, 1])
+    (l_x, g_x), (l_k, g_k) = _loss_pair(cfg, sched, params, x, labels)
+    assert abs(float(l_x - l_k)) < 1e-4
+    assert _worst_rel(g_x, g_k) < 1e-3
+    ls_grad = g_k["blocks"][0]["ls1"]
+    assert float(jnp.max(jnp.abs(ls_grad))) > 0.0
+
+
+def test_grad_parity_bf16():
+    """bf16 training numerics: the kernel path tracks XLA within the
+    rounding noise of the saved boundaries."""
+    cfg = get_config("vit_tiny_patch16_64")
+    sched = normalize_schedule(SCHED, cfg.depth)
+    params = init_params(jax.random.key(0), cfg, jnp.bfloat16)
+    x = jax.random.normal(jax.random.key(1), (4, 64, 64, 3), jnp.bfloat16)
+    labels = jnp.array([0, 1, 2, 3])
+    (l_x, g_x), (l_k, g_k) = _loss_pair(cfg, sched, params, x, labels)
+    assert abs(float(l_x) - float(l_k)) < 0.05
+    assert _worst_rel(
+        jax.tree_util.tree_map(lambda a: a.astype(jnp.float32), g_x),
+        jax.tree_util.tree_map(lambda a: a.astype(jnp.float32), g_k),
+    ) < 0.1
+
+
+def test_scores_carry_no_gradient():
+    """The pruned op's backward returns a zero cotangent for the score
+    thread (reference importance.py:4 no_grad): training through an
+    update=False chain must still produce finite, parity-level grads."""
+    cfg = get_config("vit_tiny_patch16_64")
+    sched = normalize_schedule(
+        {"2": {"keep_ratio": 0.8, "update": True},
+         "3": {"keep_ratio": 0.8, "update": False},
+         "4": {"keep_ratio": 0.8, "update": False}}, cfg.depth
+    )
+    params = init_params(jax.random.key(2), cfg, jnp.float32)
+    x = jax.random.normal(jax.random.key(3), (2, 64, 64, 3), jnp.float32)
+    labels = jnp.array([1, 5])
+    (_, g_x), (_, g_k) = _loss_pair(cfg, sched, params, x, labels)
+    assert _worst_rel(g_x, g_k) < 1e-3
+    finite = jax.tree_util.tree_map(
+        lambda a: bool(jnp.all(jnp.isfinite(a))), g_k
+    )
+    assert all(jax.tree_util.tree_leaves(finite))
+
+
+def test_supported_gate_rejects():
+    # extended variant: registers break the classic-prefix kernels
+    reg = get_config("vit_base_patch14_reg4_dinov2")
+    ok, why = train_kernels_supported(reg, None, jnp.bfloat16)
+    assert not ok and "variant" in why
+    # ViT-L bf16: MLP weights exceed the train-kernel VMEM residency
+    large = get_config("vit_large_patch16_224")
+    ok, why = train_kernels_supported(large, None, jnp.bfloat16)
+    assert not ok and "VMEM" in why
+    # the flagship config is supported
+    base = get_config("vit_base_patch16_224")
+    ok, why = train_kernels_supported(base, SCHED, jnp.bfloat16)
+    assert ok, why
+
+
+def test_train_cli_kernels_pallas(tmp_path):
+    """End-to-end: --kernels pallas trains (loss drops) and tracks the
+    XLA path's loss trajectory on identical synthetic batches."""
+    from rajni_tpu import train as train_cli
+
+    outs = {}
+    for impl in ("xla", "pallas"):
+        out = tmp_path / f"{impl}.msgpack"
+        train_cli.main([
+            "--synthetic", "--model", "vit_tiny_patch16_64",
+            "--steps", "6", "--batch_size", "8", "--lr", "1e-3",
+            "--seed", "0", "--output", str(out), "--log_every", "2",
+            "--kernels", impl,
+        ])
+        assert out.exists()
+        outs[impl] = out
+    from rajni_tpu.params.io import load_params
+
+    p_x = load_params(str(outs["xla"]))
+    p_k = load_params(str(outs["pallas"]))
+    # same data, same seed, tolerance-level numerics → params land close
+    for a, b in zip(jax.tree_util.tree_leaves(p_x),
+                    jax.tree_util.tree_leaves(p_k)):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32),
+            atol=5e-3,
+        )
+
+
+def test_train_cli_kernels_pallas_with_schedule_and_distill(tmp_path):
+    """The kernel path composes with pruning schedules and the DeiT
+    distillation loss (return_dist through classifier_head)."""
+    from rajni_tpu import train as train_cli
+
+    sched = tmp_path / "sched.json"
+    sched.write_text(json.dumps(
+        {"3": {"keep_ratio": 0.7, "update": True}}
+    ))
+    teacher = tmp_path / "teacher.msgpack"
+    train_cli.main([
+        "--synthetic", "--model", "vit_tiny_patch16_64",
+        "--steps", "2", "--batch_size", "8",
+        "--output", str(teacher),
+    ])
+    out = tmp_path / "student.msgpack"
+    train_cli.main([
+        "--synthetic", "--model", "vit_tiny_patch16_64",
+        "--schedule", str(sched), "--steps", "3", "--batch_size", "8",
+        "--kernels", "pallas",
+        "--distill_teacher", str(teacher),
+        "--distill_model", "vit_tiny_patch16_64",
+        "--output", str(out),
+    ])
+    assert out.exists()
+
+
+@pytest.mark.parametrize("extra", [
+    ["--drop_path", "0.1"],
+    ["--remat"],
+    ["--data_parallel"],
+    ["--tensor_parallel", "2"],
+], ids=["drop_path", "remat", "dp", "tp"])
+def test_train_cli_kernels_pallas_rejections(extra):
+    from rajni_tpu import train as train_cli
+
+    with pytest.raises(ValueError):
+        train_cli.main([
+            "--synthetic", "--model", "vit_tiny_patch16_64",
+            "--steps", "1", "--batch_size", "8",
+            "--kernels", "pallas", *extra,
+        ])
+
+
+def test_train_cli_kernels_pallas_unsupported_config():
+    from rajni_tpu import train as train_cli
+
+    with pytest.raises(ValueError, match="unsupported"):
+        train_cli.main([
+            "--synthetic", "--model", "vit_large_patch16_224",
+            "--steps", "1", "--batch_size", "2", "--dtype", "bfloat16",
+            "--kernels", "pallas",
+        ])
