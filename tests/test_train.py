@@ -1455,10 +1455,17 @@ def test_train_cli_drop_path_resume(tmp_path):
     with pytest.raises(ValueError, match="drop_path"):
         main(base + ["--steps", "1", "--drop_path", "1.0",
                      "--output", str(tmp_path / "x.msgpack")])
-    with pytest.raises(ValueError, match="stacks"):
-        main(base + ["--steps", "1", "--pipeline_parallel", "2",
-                     "--batch_size", "16",
-                     "--output", str(tmp_path / "x.msgpack")])
+    # PP composes with --drop_path AND --layer_decay since r4 (the old
+    # stacked-leaves rejections are gone): stage branches draw the
+    # single-device mask stream, factors map as stacked columns
+    out_pp = tmp_path / "pp_dp.msgpack"
+    state = main(base + ["--steps", "2", "--pipeline_parallel", "2",
+                         "--batch_size", "16", "--layer_decay", "0.65",
+                         "--output", str(out_pp)])
+    assert int(state.step) == 2
+    assert load_params(str(out_pp))["blocks"][0]["attn"]["qkv"][
+        "kernel"
+    ].ndim == 2
 
 
 # --------------------------------------------------------------------------
