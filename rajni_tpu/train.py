@@ -1041,13 +1041,15 @@ def main(argv=None):
             "deadlock the other controllers. Use msgpack (the state is "
             "replicated; one host's device_get covers it)."
         )
-    if args.eval_data and (args.distributed or args.pipeline_parallel > 1
-                           or args.tensor_parallel > 1):
+    if args.eval_data and (args.distributed or args.pipeline_parallel > 1):
         raise ValueError(
-            "--eval_data composes with plain single-controller training "
-            "only (the in-training eval forward reads the canonical param "
-            "layout); for distributed/pipeline/TP runs evaluate saved "
-            "checkpoints with python -m rajni_tpu.run"
+            "--eval_data composes with single-controller, non-pipelined "
+            "training (TP/DP included — the eval canonicalizes the "
+            "repacked tree per checkpoint); multi-host runs would need "
+            "per-process eval shards (score saved checkpoints with "
+            "python -m rajni_tpu.run --distributed), and a PP run's "
+            "un-stacked eval tree would materialize the full over-HBM "
+            "model on one chip"
         )
 
     if args.kernels == "pallas":
@@ -1401,6 +1403,20 @@ def main(argv=None):
             batch_size=eb,
         )
         eval_fwd = jax.jit(lambda p, x: vit_forward(p, x, config, schedule))
+
+        def eval_tree(tree):
+            """Canonicalize a candidate tree for the eval forward: under
+            TP the live params carry the head-aligned [C, 3, C] QKV
+            repack — the save path's unrepack applies (VERDICT r3 #6);
+            replicated DP (model=1) trees pass through as-is."""
+            if tp_mesh is not None and args.tensor_parallel > 1:
+                from .parallel.mesh import unrepack_qkv_heads
+
+                tree = jax.device_put(
+                    unrepack_qkv_heads(jax.device_get(tree))
+                )
+            return tree
+
         best_acc = -1.0
         if args.resume and os.path.exists(f"{args.output}.best"):
             # don't let a resumed run clobber a better pre-interruption
@@ -1426,11 +1442,14 @@ def main(argv=None):
                                    get_ema_params(state.opt_state,
                                                   like=state.params)))
             for tag, tree in candidates:
+                tree = eval_tree(tree)
                 acc = _eval_top1(eval_fwd, tree, eval_loader, eb,
                                  args.eval_batches)
                 print(f"step {at_step:6d}  val_top1{tag} {acc:.2f}%")
                 if acc > best_acc:
                     best_acc = acc
+                    # the canonicalized tree — .best stays a canonical
+                    # checkpoint under TP too
                     _save_params(f"{args.output}.best", tree)
                     print(f"new best ({acc:.2f}%{tag}) -> "
                           f"{args.output}.best")

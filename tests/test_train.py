@@ -694,6 +694,49 @@ def test_train_cli_eval_during_training(tmp_path, capsys):
     assert (tmp_path / "ft_ema.msgpack.best").exists()
 
 
+def test_train_cli_eval_during_tp_training(tmp_path, capsys):
+    """--eval_data under --tensor_parallel (VERDICT r3 #6): the eval
+    canonicalizes the head-aligned QKV repack per checkpoint, scores the
+    same top-1 as an identically-seeded single-device run, and .best is
+    saved in the canonical layout."""
+    import json as _json
+    import re
+
+    from PIL import Image
+
+    from rajni_tpu.params.io import load_params
+    from rajni_tpu.train import main
+
+    data = tmp_path / "val"
+    rng = np.random.default_rng(0)
+    for cls in ("a", "b"):
+        d = data / cls
+        d.mkdir(parents=True)
+        for i in range(2):
+            arr = rng.integers(0, 256, (96, 96, 3), dtype=np.uint8)
+            Image.fromarray(arr, "RGB").save(d / f"{i}.png")
+    sched = tmp_path / "s.json"
+    sched.write_text(_json.dumps({"1": {"keep_ratio": 0.6}}))
+
+    accs = {}
+    for mode, extra in (("plain", []), ("tp", ["--tensor_parallel", "2"])):
+        out = tmp_path / f"{mode}.msgpack"
+        main([
+            "--synthetic", "--model", "vit_tiny_patch16_64",
+            "--schedule", str(sched), "--steps", "2", "--batch_size", "8",
+            "--seed", "0", "--output", str(out), "--log_every", "1",
+            "--eval_data", str(data), "--eval_every", "1",
+        ] + extra)
+        printed = capsys.readouterr().out
+        accs[mode] = re.findall(r"val_top1 ([\d.]+)%", printed)
+        assert accs[mode], printed
+        best = load_params(str(tmp_path / f"{mode}.msgpack.best"))
+        assert best["blocks"][0]["attn"]["qkv"]["kernel"].ndim == 2
+    # same data, same seed: TP tracks single-device to psum tolerance,
+    # and on a 4-image val set the top-1 decisions are identical
+    assert accs["tp"] == accs["plain"], accs
+
+
 def test_train_cli_eval_flag_validation(tmp_path):
     import json as _json
 
