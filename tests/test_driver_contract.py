@@ -61,3 +61,17 @@ def test_graft_entry_lowers_single_chip():
     out_aval = lowered.out_info
     shape = jax.tree_util.tree_leaves(out_aval)[0].shape
     assert shape == (args[1].shape[0], 1000)
+
+
+def test_readme_tables_match_artifacts():
+    """'The table IS the artifact' (VERDICT r2/r3/r4): README's
+    performance tables must be exactly what scripts/readme_tables.py
+    renders from the committed bench JSONs."""
+    import subprocess
+    import sys
+
+    res = subprocess.run(
+        [sys.executable, "scripts/readme_tables.py", "--check"],
+        cwd=REPO, capture_output=True, text=True,
+    )
+    assert res.returncode == 0, res.stderr or res.stdout
