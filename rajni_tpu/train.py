@@ -760,6 +760,14 @@ def main(argv=None):
                    help="with --augment: decode canvas side; images larger "
                         "than this are pre-downscaled to fit "
                         "(data.pipeline.decode_to_canvas)")
+    p.add_argument("--repeated_aug", type=int, default=0, metavar="N",
+                   help="repeated augmentation (DeiT's RASampler): each "
+                        "step draws ceil(batch/N) unique images and "
+                        "repeats each N times consecutively — the copies "
+                        "diverge only through the in-graph augmentation "
+                        "(per-row keys), so requires --augment. The data "
+                        "stream consumes ceil(batch/N) samples per step "
+                        "and --resume replays it exactly")
     p.add_argument("--rand_augment", type=str, default=None, metavar="CFG",
                    help="with --augment: timm RandAugment config string "
                         "(e.g. 'rand-m9-mstd0.5-inc1'), applied IN-GRAPH to "
@@ -1010,6 +1018,14 @@ def main(argv=None):
         raise ValueError(
             "--rand_augment/--reprob extend the in-graph augmentation "
             "pipeline — they require --augment"
+        )
+    if args.repeated_aug < 0 or args.repeated_aug == 1:
+        raise ValueError("--repeated_aug must be 0 (off) or >= 2 repeats")
+    if args.repeated_aug > 1 and not args.augment:
+        raise ValueError(
+            "--repeated_aug requires --augment: without the in-graph "
+            "augmentation the N copies of each image are identical and "
+            "the step degenerates to a smaller effective batch"
         )
     if args.rand_augment:
         from .data.randaug import parse_rand_augment
@@ -1324,13 +1340,20 @@ def main(argv=None):
                                   output="canvas", canvas=args.canvas)
         else:
             dataset = ImageFolder(args.data_path, img_size=config.img_size)
-        if len(dataset) < local_batch:
+        # repeated augmentation: the loader yields ceil(B/N) unique images
+        # per step; batches() repeats each N× consecutively (timm
+        # RASampler order) and truncates to the batch — the copies
+        # diverge through the per-row augment keys
+        sub_batch = local_batch
+        if args.repeated_aug > 1:
+            sub_batch = -(-local_batch // args.repeated_aug)
+        if len(dataset) < sub_batch:
             # the full-batch-only filter in batches() below would spin
             # forever otherwise (single-host hang; distributed deadlock)
             raise ValueError(
                 f"dataset ({len(dataset)} images) smaller than the "
                 f"{'local ' if args.distributed else ''}batch "
-                f"({local_batch}) — no full batch can ever be formed"
+                f"({sub_batch}) — no full batch can ever be formed"
             )
         if args.distributed and jax.process_count() > 1:
             # Every host must be able to fill a full local batch or its
@@ -1338,22 +1361,25 @@ def main(argv=None):
             # controllers block in the gradient all-reduce. Check against
             # the SMALLEST shard using the pre-shard length, so every
             # host raises together instead of one deadlocking the rest.
-            if len(dataset) // jax.process_count() < local_batch:
+            if len(dataset) // jax.process_count() < sub_batch:
                 raise ValueError(
                     f"dataset too small for distributed training: the "
                     f"smallest per-host shard "
                     f"({len(dataset) // jax.process_count()} images) "
-                    f"cannot fill a local batch of {local_batch}"
+                    f"cannot fill a local batch of {sub_batch}"
                 )
             # interleaved per-process shard (the distributed-sampler split)
             from .parallel import multihost as _mh
             dataset.samples = _mh.shard_samples(dataset.samples)
-        loader = DataLoader(dataset, batch_size=local_batch)
+        loader = DataLoader(dataset, batch_size=sub_batch)
         print(f"training on {len(dataset)} images, "
-              f"{len(dataset.classes)} classes")
+              f"{len(dataset.classes)} classes"
+              + (f", {args.repeated_aug}x repeated augmentation "
+                 f"({sub_batch} unique/step)"
+                 if args.repeated_aug > 1 else ""))
 
         base_samples = list(dataset.samples)
-        bpe = max(len(dataset) // local_batch, 1)  # full batches per pass
+        bpe = max(len(dataset) // sub_batch, 1)  # full batches per pass
         # with --shuffle each pass has its own order, so resume must also
         # restart the generator at the interrupted PASS (unshuffled passes
         # are identical, so pass 0 suffices there)
@@ -1374,8 +1400,16 @@ def main(argv=None):
                 for im, lb in loader:
                     # canvas mode yields (canvas, sizes) tuples
                     lead = im[0] if isinstance(im, tuple) else im
-                    if lead.shape[0] == local_batch:  # static shapes only
-                        yield im, lb.astype(np.int32)
+                    if lead.shape[0] != sub_batch:  # static shapes only
+                        continue
+                    if args.repeated_aug > 1:
+                        rep = lambda a: np.repeat(  # noqa: E731
+                            np.asarray(a), args.repeated_aug, axis=0
+                        )[:local_batch]
+                        im = (tuple(rep(a) for a in im)
+                              if isinstance(im, tuple) else rep(im))
+                        lb = rep(lb)
+                    yield im, lb.astype(np.int32)
                 pass_idx += 1
         batch_iter = batches()
 

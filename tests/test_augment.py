@@ -313,3 +313,65 @@ def test_train_cli_augment_data_parallel(tmp_path, capsys):
     assert len(plain) == len(dp) == 2
     for a, b in zip(plain, dp):
         assert abs(a - b) < 5e-3 * max(1.0, abs(a)), (plain, dp)
+
+
+def test_train_cli_repeated_aug_resume_exact(tmp_path, capsys):
+    """--repeated_aug (DeiT RASampler, VERDICT r3 #8): each step draws
+    ceil(B/N) unique images repeated N× consecutively, copies diverging
+    only through the per-row augment keys. The stream consumes
+    ceil(B/N) samples per step and --resume replays it bit-exactly
+    (incl. across the shuffled pass boundary)."""
+    import json as _json
+
+    from PIL import Image
+
+    from rajni_tpu.params.io import load_params
+    from rajni_tpu.train import main
+
+    data = tmp_path / "train"
+    rng = np.random.default_rng(9)
+    for cls in ("a", "b"):
+        d = data / cls
+        d.mkdir(parents=True)
+        for i in range(3):
+            arr = rng.integers(0, 256, (80, 80, 3), dtype=np.uint8)
+            Image.fromarray(arr, "RGB").save(d / f"{i}.png")
+    sched = tmp_path / "s.json"
+    sched.write_text(_json.dumps({"1": {"keep_ratio": 0.6}}))
+    base = ["--model", "vit_tiny_patch16_64", "--data_path", str(data),
+            "--schedule", str(sched), "--batch_size", "6",
+            "--augment", "--canvas", "96", "--repeated_aug", "3",
+            "--shuffle", "--seed", "1", "--log_every", "1"]
+
+    out_a = tmp_path / "a.msgpack"
+    main(base + ["--steps", "4", "--output", str(out_a)])
+    printed = capsys.readouterr().out
+    # 6 images / 2 unique per step = 3 batches per pass; step 4 crosses
+    # the pass boundary, and the banner reports the unique-per-step count
+    assert "3x repeated augmentation (2 unique/step)" in printed
+
+    out_b = tmp_path / "b.msgpack"
+    st = tmp_path / "b.state"
+    main(base + ["--steps", "2", "--output", str(out_b),
+                 "--save_state_every", "2", "--state_path", str(st)])
+    main(base + ["--steps", "4", "--output", str(out_b),
+                 "--resume", str(st)])
+
+    for la, lb in zip(
+        jax.tree_util.tree_leaves(load_params(str(out_a))),
+        jax.tree_util.tree_leaves(load_params(str(out_b))),
+    ):
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+
+
+def test_train_cli_repeated_aug_validation(tmp_path):
+    from rajni_tpu.train import main
+
+    with pytest.raises(ValueError, match="repeated_aug requires"):
+        main(["--model", "vit_tiny_patch16_64", "--data_path",
+              str(tmp_path), "--steps", "1", "--repeated_aug", "3",
+              "--output", str(tmp_path / "o.msgpack")])
+    with pytest.raises(ValueError, match="repeated_aug must"):
+        main(["--synthetic", "--model", "vit_tiny_patch16_64",
+              "--steps", "1", "--repeated_aug", "1",
+              "--output", str(tmp_path / "o.msgpack")])
