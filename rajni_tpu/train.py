@@ -585,6 +585,7 @@ def make_train_step(
     distill: tuple | None = None,
     teacher_params=None,
     impl: str = "xla",
+    dp_mesh=None,
 ):
     """Build the full train step: forward (with pruning) → loss → grad →
     optimizer update. ``config``/``schedule`` are static closures.
@@ -624,7 +625,15 @@ def make_train_step(
     (:func:`rajni_tpu.models.train_path.vit_forward_train`: pallas primal,
     residual-fed XLA backward via custom VJPs); callers must pre-check
     :func:`rajni_tpu.models.train_path.train_kernels_supported` and it
-    excludes ``drop_path``/``remat`` (the CLI validates)."""
+    excludes ``drop_path``/``remat`` (the CLI validates).
+
+    ``dp_mesh`` — a 1-D ``(data,)`` mesh — runs the grad computation under
+    ``shard_map`` (per-shard forward/backward on the local batch, pmean'd
+    loss/grads). Required for data-parallel ``impl="pallas"``: pallas
+    custom calls need manual sharding, the same rule as the inference DP
+    path (:func:`rajni_tpu.parallel.mesh.sharded_forward`). Batch mixing
+    still happens on the GLOBAL batch before the shard split (the mixup
+    pairing reverses the whole batch)."""
     mixing = mixup_alpha > 0.0 or cutmix_alpha > 0.0
     if impl == "pallas":
         from .models.train_path import vit_forward_train
@@ -686,9 +695,32 @@ def make_train_step(
                 jax.random.fold_in(jax.random.key(seed), _DROPPATH_TAG),
                 state.step,
             )
-        (loss, acc), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, images, labels, lam, dp_rng
-        )
+        if dp_mesh is None:
+            (loss, acc), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params, images, labels, lam, dp_rng
+            )
+        else:
+            from jax.sharding import PartitionSpec as P
+
+            def shard_grads(params, images, labels, lam):
+                (loss, acc), g = jax.value_and_grad(
+                    loss_fn, has_aux=True
+                )(params, images, labels, lam, dp_rng)
+                # equal shards → mean-of-means is the global mean; grads
+                # come from a mean loss, so pmean IS the global gradient
+                return (jax.lax.pmean(loss, "data"),
+                        jax.lax.pmean(acc, "data"),
+                        jax.lax.pmean(g, "data"))
+
+            loss, acc, grads = jax.shard_map(
+                shard_grads,
+                mesh=dp_mesh,
+                in_specs=(P(), P("data"), P("data"), P()),
+                out_specs=(P(), P(), P()),
+                # pallas_call out_shapes carry no varying-mesh-axes
+                # metadata (same rule as parallel.mesh's kernel branches)
+                check_vma=False,
+            )(state.params, images, labels, lam)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         return (
@@ -1069,14 +1101,13 @@ def main(argv=None):
         )
 
     if args.kernels == "pallas":
-        parallel_flags = (args.distributed or args.data_parallel
-                          or args.tensor_parallel > 1
+        parallel_flags = (args.distributed or args.tensor_parallel > 1
                           or args.pipeline_parallel > 1)
         if parallel_flags:
             raise ValueError(
-                "--kernels pallas trains on the plain single-controller "
-                "path (the fused kernels' custom VJPs are not yet routed "
-                "through the parallel train steps)"
+                "--kernels pallas composes with plain and --data_parallel "
+                "training (the DP step shard_maps the kernel forward/"
+                "backward); TP/PP/multi-host kernel training is not wired"
             )
         if args.drop_path > 0.0:
             raise ValueError(
@@ -1153,7 +1184,7 @@ def main(argv=None):
         if train_impl == "auto":
             # same backend rule as inference resolve_impl: the kernels pay
             # off on TPU; CPU/interpret mode stays XLA
-            parallel_flags = (args.distributed or args.data_parallel
+            parallel_flags = (args.distributed
                               or args.tensor_parallel > 1
                               or args.pipeline_parallel > 1)
             train_impl = "pallas" if (
@@ -1262,7 +1293,12 @@ def main(argv=None):
                             remat=args.remat,
                             drop_path=args.drop_path,
                             distill=distill,
-                            teacher_params=teacher_params),
+                            teacher_params=teacher_params,
+                            impl=train_impl,
+                            # pallas custom calls need manual sharding —
+                            # the XLA path keeps automatic partitioning
+                            dp_mesh=(tp_mesh if train_impl == "pallas"
+                                     else None)),
             donate_argnums=(0,),
         )
         tp_batch_sharding = batch_sharding(tp_mesh)

@@ -204,12 +204,39 @@ def test_train_cli_kernels_pallas_with_schedule_and_distill(tmp_path):
     assert out.exists()
 
 
+def test_train_cli_kernels_pallas_data_parallel(tmp_path, capsys):
+    """--kernels pallas + --data_parallel: the grad computation shard_maps
+    over the data mesh (pallas custom calls need manual sharding) and the
+    loss trajectory matches the unsharded kernel run on the same batches
+    (pmean of equal shards = the global mean)."""
+    import re
+
+    from rajni_tpu import train as train_cli
+
+    losses = {}
+    for mode, extra in (("plain", []), ("dp", ["--data_parallel"])):
+        out = tmp_path / f"{mode}.msgpack"
+        train_cli.main([
+            "--synthetic", "--model", "vit_tiny_patch16_64",
+            "--steps", "3", "--batch_size", "16", "--lr", "1e-3",
+            "--seed", "0", "--output", str(out), "--log_every", "1",
+            "--kernels", "pallas", *extra,
+        ])
+        losses[mode] = [
+            float(m) for m in re.findall(
+                r"loss (\d+\.\d+)", capsys.readouterr().out
+            )
+        ]
+    assert losses["plain"] and len(losses["plain"]) == len(losses["dp"])
+    np.testing.assert_allclose(losses["dp"], losses["plain"],
+                               rtol=1e-4, atol=1e-5)
+
+
 @pytest.mark.parametrize("extra", [
     ["--drop_path", "0.1"],
     ["--remat"],
-    ["--data_parallel"],
     ["--tensor_parallel", "2"],
-], ids=["drop_path", "remat", "dp", "tp"])
+], ids=["drop_path", "remat", "tp"])
 def test_train_cli_kernels_pallas_rejections(extra):
     from rajni_tpu import train as train_cli
 
