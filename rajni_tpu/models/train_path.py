@@ -37,8 +37,12 @@ the pruned op's backward returns a zero cotangent for the score thread.
 Not supported here (callers fall back to ``impl="xla"``): stochastic
 depth (mask application sits inside the fused kernels' residual adds),
 quantized params, extended variants (qk-norm / registers / pooled heads),
-and configs whose weights exceed the VMEM residency budgets
-(:func:`train_kernels_supported` reports the reason).
+and schedules whose pruned-gather working set exceeds VMEM
+(:func:`train_kernels_supported` reports the reason). Width alone is NOT
+a blocker: the MLP half falls back to the same math in XLA when its
+weights exceed residency (:func:`_mlp_half`), so ViT-L-class models
+kernel-train — compose with ``remat=True`` when their activations
+exceed HBM (the checkpoint recompute re-runs the pallas forward).
 """
 
 from __future__ import annotations
@@ -203,8 +207,7 @@ def _stock_block_op(static, block, x):
         x, block["norm1"], block["attn"], block.get("ls1"),
         num_heads, scale, eps,
     )
-    y, _ = train_ln_mlp(x1, block["norm2"], block["mlp"],
-                        block.get("ls2"), eps)
+    y, _ = _mlp_half(x1, block, eps)
     return y
 
 
@@ -214,8 +217,7 @@ def _stock_block_fwd(static, block, x):
         x, block["norm1"], block["attn"], block.get("ls1"),
         num_heads, scale, eps,
     )
-    y, h = train_ln_mlp(x1, block["norm2"], block["mlp"],
-                        block.get("ls2"), eps)
+    y, h = _mlp_half(x1, block, eps)
     return y, (block, x, qkv, x1, h)
 
 
@@ -235,6 +237,21 @@ _stock_block_op.defvjp(_stock_block_fwd, _stock_block_bwd)
 # --------------------------------------------------------------------------
 # Pruned block op (scores threaded, reference no_grad semantics)
 # --------------------------------------------------------------------------
+
+
+def _mlp_half(x1, block, eps):
+    """MLP half returning ``(y, h)``: the residual-emitting kernel when
+    the weights fit VMEM residency, the same math in XLA otherwise
+    (ViT-L-class widths — the forward loses fusion but the custom VJP and
+    its saved-``h`` backward stay identical)."""
+    w1 = block["mlp"]["fc1"]["kernel"]
+    if train_mlp_fits(w1.shape[0], w1.shape[1],
+                      jnp.dtype(x1.dtype).itemsize):
+        return train_ln_mlp(x1, block["norm2"], block["mlp"],
+                            block.get("ls2"), eps)
+    h = _seg_fc1(block["norm2"], block["mlp"]["fc1"], x1, eps)
+    y = _seg_fc2(block["mlp"]["fc2"], block.get("ls2"), x1, h)
+    return y, h
 
 
 def _pruned_fwd_common(static, block, x, scores):
@@ -259,8 +276,7 @@ def _pruned_fwd_common(static, block, x, scores):
 def _pruned_block_op(static, block, x, scores):
     eps = static[2]
     _, _, x1, next_scores = _pruned_fwd_common(static, block, x, scores)
-    y, _ = train_ln_mlp(x1, block["norm2"], block["mlp"],
-                        block.get("ls2"), eps)
+    y, _ = _mlp_half(x1, block, eps)
     return y, next_scores
 
 
@@ -269,8 +285,7 @@ def _pruned_block_fwd(static, block, x, scores):
     qkv, keep_idx, x1, next_scores = _pruned_fwd_common(
         static, block, x, scores
     )
-    y, h = train_ln_mlp(x1, block["norm2"], block["mlp"],
-                        block.get("ls2"), eps)
+    y, h = _mlp_half(x1, block, eps)
     return (y, next_scores), (block, x, scores, qkv, keep_idx, x1, h)
 
 
@@ -309,20 +324,22 @@ def train_kernels_supported(
     if not (config.kernel_path_supported and pallas_compilable(config)):
         return False, "extended variant or lane-unaligned width"
     itemsize = jnp.dtype(dtype).itemsize
-    C, hidden = config.embed_dim, config.mlp_hidden
-    if not train_mlp_fits(C, hidden, itemsize):
-        return False, "MLP weights exceed the train-kernel VMEM residency"
+    C = config.embed_dim
+    # NOTE: the MLP half needs no gate — _mlp_half falls back to the same
+    # math in XLA when the weights exceed VMEM residency (ViT-L-class
+    # widths), and stock blocks route native XLA anyway (mixed routing).
     schedule = normalize_schedule(schedule, config.depth)
     n = config.num_tokens
+    any_pruned = False
     for spec in schedule:
         if spec is None:
-            if not _train_attn_fits(n, C, itemsize):
-                return False, "attention half exceeds the VMEM budget"
             continue
+        any_pruned = True
         keep = keep_count(spec.keep_ratio, n, 1)
         if not _gather_fits_fast(n, keep + 1, C, itemsize):
             return False, f"pruned gather at N={n} exceeds the VMEM budget"
         n = keep + 1
+    del any_pruned  # all-stock runs route to XLA under mixed policy
     return True, ""
 
 
@@ -333,9 +350,17 @@ def vit_forward_train(
     schedule=None,
     return_dist: bool = False,
     stock_impl: str = "xla",
+    remat: bool = False,
 ) -> jax.Array | tuple[jax.Array, jax.Array]:
     """Training forward on the fused-kernel path: ``[B,H,W,3] → logits``,
     differentiable via the residual-fed custom VJPs above.
+
+    ``remat`` wraps each block (kernel op or XLA stock block) in
+    ``jax.checkpoint``: the backward re-runs the block's FORWARD RULE —
+    i.e. the pallas kernels, not an XLA recompute — then the custom
+    backward, so memory drops to remat's O(depth · block-inputs) while
+    the recompute runs at fused-kernel speed. This is what makes over-HBM
+    configs (ViT-L/256 and up) kernel-trainable at all.
 
     Drop-in for ``vit_forward(..., impl="xla")`` inside
     ``jax.value_and_grad`` — same semantics (scores/selection/compaction
@@ -366,15 +391,27 @@ def vit_forward_train(
                 config.num_heads, config.attn_scale,
                 config.layer_norm_eps, keep, with_scores,
             )
-            x, scores = _pruned_block_op(static, block, x, scores)
+            op = functools.partial(_pruned_block_op, static)
+            if remat:
+                op = jax.checkpoint(op)
+            x, scores = op(block, x, scores)
         elif stock_impl == "pallas":
             static = (
                 config.num_heads, config.attn_scale, config.layer_norm_eps,
             )
-            x = _stock_block_op(static, block, x)
+            op = functools.partial(_stock_block_op, static)
+            if remat:
+                op = jax.checkpoint(op)
+            x = op(block, x)
             scores = None  # stock block invalidates (model.py:63)
         else:
-            x = stock_block(x, block, config, "xla")
+
+            def op(block, x):
+                return stock_block(x, block, config, "xla")
+
+            if remat:
+                op = jax.checkpoint(op)
+            x = op(block, x)
             scores = None  # stock block invalidates (model.py:63)
     return classifier_head(
         x, params, config, None, "xla", return_dist=return_dist

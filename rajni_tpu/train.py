@@ -640,7 +640,8 @@ def make_train_step(
 
         def student_fwd(params, images, dp_rng, return_dist=False):
             return vit_forward_train(
-                params, images, config, schedule, return_dist=return_dist
+                params, images, config, schedule,
+                return_dist=return_dist, remat=remat,
             )
     else:
 
@@ -884,8 +885,9 @@ def main(argv=None):
                         "kernel MFU, residual-fed XLA backward — "
                         "models/train_path.py); 'auto' picks pallas on TPU "
                         "when the (model, schedule) supports it. Plain "
-                        "single-controller runs only; excludes --drop_path "
-                        "and --remat")
+                        "and --data_parallel runs; excludes --drop_path. "
+                        "Composes with --remat (the checkpoint recompute "
+                        "re-runs the pallas forward)")
     p.add_argument("--dtype", type=str, default="float32",
                    choices=["float32", "bfloat16"],
                    help="Param dtype (fp32 default: optimizer stability)")
@@ -1115,12 +1117,6 @@ def main(argv=None):
                 "depth masks apply inside the fused kernels' residual "
                 "adds, which the training kernels do not model"
             )
-        if args.remat:
-            raise ValueError(
-                "--remat is redundant with --kernels pallas: the kernel "
-                "path already frees every intermediate except the saved "
-                "(qkv, x1, h) residuals (models/train_path.py)"
-            )
 
     mesh = None
     if args.distributed:
@@ -1189,7 +1185,6 @@ def main(argv=None):
                               or args.pipeline_parallel > 1)
             train_impl = "pallas" if (
                 ok and not parallel_flags and args.drop_path == 0.0
-                and not args.remat
                 and jax.default_backend() == "tpu"
             ) else "xla"
     if train_impl == "pallas":

@@ -131,6 +131,8 @@ _TRAIN_LABELS = [
      "ViT-B/16 schedule.json, batch 128, `--remat`"),
     ("vit_large_patch16_224_train_schedulejson_remat",
      "ViT-L/16 schedule.json, batch 256, `--remat`"),
+    ("vit_large_patch16_224_train_schedulejson_remat_kernels",
+     "ViT-L/16 schedule.json, batch 256, `--remat --kernels pallas`"),
 ]
 
 

@@ -138,14 +138,64 @@ def test_supported_gate_rejects():
     reg = get_config("vit_base_patch14_reg4_dinov2")
     ok, why = train_kernels_supported(reg, None, jnp.bfloat16)
     assert not ok and "variant" in why
-    # ViT-L bf16: MLP weights exceed the train-kernel VMEM residency
-    large = get_config("vit_large_patch16_224")
-    ok, why = train_kernels_supported(large, None, jnp.bfloat16)
+    # N=577 at keep 0.95: the pruned gather kernel exceeds VMEM
+    b384 = get_config("vit_base_patch16_384")
+    ok, why = train_kernels_supported(
+        b384, {"1": {"keep_ratio": 0.95, "update": True}}, jnp.bfloat16
+    )
     assert not ok and "VMEM" in why
+    # ViT-L IS supported since the MLP half grew an XLA fallback
+    # (the _mlp_half residency routing, r4)
+    large = get_config("vit_large_patch16_224")
+    ok, why = train_kernels_supported(large, SCHED, jnp.bfloat16)
+    assert ok, why
     # the flagship config is supported
     base = get_config("vit_base_patch16_224")
     ok, why = train_kernels_supported(base, SCHED, jnp.bfloat16)
     assert ok, why
+
+
+def test_grad_parity_remat():
+    """--kernels pallas + --remat: jax.checkpoint over the custom-VJP
+    block ops (the recompute re-runs the pallas forward rule) — grads
+    identical to the non-remat kernel path."""
+    cfg = get_config("vit_tiny_patch16_64")
+    sched = normalize_schedule(SCHED, cfg.depth)
+    params = init_params(jax.random.key(0), cfg, jnp.float32)
+    x = jax.random.normal(jax.random.key(1), (4, 64, 64, 3), jnp.float32)
+    labels = jnp.array([0, 1, 2, 3])
+
+    def loss(remat):
+        def f(p):
+            lg = vit_forward_train(
+                p, x, cfg, sched, remat=remat
+            ).astype(jnp.float32)
+            return -jnp.mean(
+                jax.nn.log_softmax(lg)[jnp.arange(4), labels]
+            )
+        return f
+
+    l_a, g_a = jax.jit(jax.value_and_grad(loss(False)))(params)
+    l_b, g_b = jax.jit(jax.value_and_grad(loss(True)))(params)
+    assert abs(float(l_a - l_b)) < 1e-6
+    assert _worst_rel(g_a, g_b) < 1e-5
+
+
+def test_grad_parity_mlp_xla_fallback(monkeypatch):
+    """ViT-L-class routing: when the MLP weights exceed VMEM residency,
+    _mlp_half runs the same math in XLA (h still saved) — gradients stay
+    at parity with the full XLA path."""
+    import rajni_tpu.models.train_path as tp
+
+    monkeypatch.setattr(tp, "train_mlp_fits", lambda *a, **k: False)
+    cfg = get_config("vit_tiny_patch16_64")
+    sched = normalize_schedule(SCHED, cfg.depth)
+    params = init_params(jax.random.key(0), cfg, jnp.float32)
+    x = jax.random.normal(jax.random.key(1), (4, 64, 64, 3), jnp.float32)
+    labels = jnp.array([0, 1, 2, 3])
+    (l_x, g_x), (l_k, g_k) = _loss_pair(cfg, sched, params, x, labels)
+    assert abs(float(l_x - l_k)) < 1e-4
+    assert _worst_rel(g_x, g_k) < 1e-3
 
 
 def test_train_cli_kernels_pallas(tmp_path):
@@ -234,9 +284,8 @@ def test_train_cli_kernels_pallas_data_parallel(tmp_path, capsys):
 
 @pytest.mark.parametrize("extra", [
     ["--drop_path", "0.1"],
-    ["--remat"],
     ["--tensor_parallel", "2"],
-], ids=["drop_path", "remat", "tp"])
+], ids=["drop_path", "tp"])
 def test_train_cli_kernels_pallas_rejections(extra):
     from rajni_tpu import train as train_cli
 
@@ -248,12 +297,17 @@ def test_train_cli_kernels_pallas_rejections(extra):
         ])
 
 
-def test_train_cli_kernels_pallas_unsupported_config():
+def test_train_cli_kernels_pallas_unsupported_config(tmp_path):
+    import json
+
     from rajni_tpu import train as train_cli
 
+    sched = tmp_path / "s.json"
+    sched.write_text(json.dumps({"1": {"keep_ratio": 0.95}}))
     with pytest.raises(ValueError, match="unsupported"):
         train_cli.main([
-            "--synthetic", "--model", "vit_large_patch16_224",
+            "--synthetic", "--model", "vit_base_patch16_384",
+            "--schedule", str(sched),
             "--steps", "1", "--batch_size", "2", "--dtype", "bfloat16",
             "--kernels", "pallas",
         ])
