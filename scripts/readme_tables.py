@@ -129,6 +129,8 @@ _TRAIN_LABELS = [
      "ViT-B/16 schedule.json, batch 128, `--drop_path 0.1`"),
     ("vit_base_patch16_224_train_schedulejson_remat",
      "ViT-B/16 schedule.json, batch 128, `--remat`"),
+    ("vit_base_patch16_224_train_schedulejson_remat_kernels",
+     "ViT-B/16 schedule.json, batch 128, `--remat --kernels pallas`"),
     ("vit_large_patch16_224_train_schedulejson_remat",
      "ViT-L/16 schedule.json, batch 256, `--remat`"),
     ("vit_large_patch16_224_train_schedulejson_remat_kernels",
