@@ -135,6 +135,10 @@ _TRAIN_LABELS = [
      "ViT-L/16 schedule.json, batch 256, `--remat`"),
     ("vit_large_patch16_224_train_schedulejson_remat_kernels",
      "ViT-L/16 schedule.json, batch 256, `--remat --kernels pallas`"),
+    ("deit_small_patch16_224_train_schedulejson",
+     "DeiT-S schedule.json, batch 256"),
+    ("deit_small_patch16_224_train_schedulejson_kernels",
+     "DeiT-S schedule.json, batch 256, `--kernels pallas`"),
 ]
 
 
