@@ -103,6 +103,27 @@ def _seg_fc2(fc2, ls2, x1, h):
     return x1 + out
 
 
+def _sdpa_hmajor(qkv, num_heads, scale):
+    """SDPA with ONE explicit up-front head-major transpose (A/B
+    experiment vs :func:`_sdpa`'s in-einsum head indexing — the backward
+    of the default form pays ~10-15 ms/step of layout-permute copies
+    where its einsums consume the saved qkv). MEASURED A WASH: 992.6 vs
+    1000.1 img/s on the ViT-B batch-128 kernel train bench — the explicit
+    transpose just moves the same copies. Kept selectable
+    (``RAJNI_TRAIN_SDPA=hmajor`` at trace time) so nobody re-litigates
+    it blindly; the copies are intrinsic to feeding einsums from a
+    custom-call output's fixed layout."""
+    B, K = qkv.shape[:2]
+    C = qkv.shape[-1] // 3
+    D = C // num_heads
+    qkv = qkv.reshape(B, K, 3, num_heads, D).transpose(2, 0, 3, 1, 4)
+    q, k, v = qkv[0], qkv[1], qkv[2]  # [B, H, K, D]
+    attn = jnp.einsum("bhqd,bhkd->bhqk", q, k) * scale
+    attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(v.dtype)
+    out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+    return out.transpose(0, 2, 1, 3).reshape(B, K, C)
+
+
 def _seg_attn_tail(proj, ls1, x, qkv, keep_idx, num_heads, scale):
     """SDPA + proj + residual; with ``keep_idx`` the pruned variant
     (gather before SDPA, residual gathered before the add — reference
@@ -118,7 +139,12 @@ def _seg_attn_tail(proj, ls1, x, qkv, keep_idx, num_heads, scale):
         sel = onehot_matrix(keep_idx, x.shape[1], x.dtype)
         qkv = gather_tokens_matmul(qkv, sel)
         x = gather_tokens_matmul(x, sel)
-    out = _sdpa(qkv, num_heads, scale)
+    import os
+
+    if os.environ.get("RAJNI_TRAIN_SDPA") == "hmajor":
+        out = _sdpa_hmajor(qkv, num_heads, scale)
+    else:
+        out = _sdpa(qkv, num_heads, scale)
     out = out @ proj["kernel"] + proj["bias"]
     if ls1 is not None:
         out = out * ls1
