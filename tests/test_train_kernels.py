@@ -311,3 +311,22 @@ def test_train_cli_kernels_pallas_unsupported_config(tmp_path):
             "--steps", "1", "--batch_size", "2", "--dtype", "bfloat16",
             "--kernels", "pallas",
         ])
+
+
+def test_train_cli_kernels_pallas_regularizer_stack(tmp_path):
+    """--kernels pallas composes with the recipe knobs that live outside
+    the forward: mixup/CutMix + label smoothing (mixing happens on the
+    global batch before the step), grad clip, LLRD, EMA, grad accum."""
+    from rajni_tpu import train as train_cli
+
+    out = tmp_path / "k.msgpack"
+    state = train_cli.main([
+        "--synthetic", "--model", "vit_tiny_patch16_64",
+        "--steps", "4", "--batch_size", "8", "--kernels", "pallas",
+        "--mixup", "0.3", "--cutmix", "1.0", "--label_smoothing", "0.1",
+        "--grad_clip", "1.0", "--layer_decay", "0.65", "--ema", "0.9",
+        "--grad_accum", "2", "--lr_schedule", "cosine",
+        "--warmup_steps", "2", "--output", str(out), "--log_every", "1",
+    ])
+    assert int(state.step) == 4
+    assert out.exists() and (tmp_path / "k.msgpack.ema").exists()
