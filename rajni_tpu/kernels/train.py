@@ -204,8 +204,9 @@ _MLP_TOKEN_CHUNK = 128  # token-axis tile of the train MLP kernel
 def train_mlp_fits(C: int, hidden: int, itemsize: int) -> bool:
     """Weights fully VMEM-resident + double-buffered token-chunk IO incl.
     the h output. The hidden-streamed variant is not implemented for
-    training — configs past this budget (ViT-L bf16 and up) take the XLA
-    train path."""
+    training — past this budget (ViT-L bf16 and up) the MLP half runs the
+    same math in XLA with ``h`` still saved
+    (:func:`rajni_tpu.models.train_path._mlp_half`)."""
     rc = _MLP_TOKEN_CHUNK
     weights = 2 * C * hidden * itemsize
     io = 2 * (2 * rc * C + rc * hidden) * itemsize

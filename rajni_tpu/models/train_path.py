@@ -48,6 +48,7 @@ exceed HBM (the checkpoint recompute re-runs the pallas forward).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -139,8 +140,6 @@ def _seg_attn_tail(proj, ls1, x, qkv, keep_idx, num_heads, scale):
         sel = onehot_matrix(keep_idx, x.shape[1], x.dtype)
         qkv = gather_tokens_matmul(qkv, sel)
         x = gather_tokens_matmul(x, sel)
-    import os
-
     if os.environ.get("RAJNI_TRAIN_SDPA") == "hmajor":
         out = _sdpa_hmajor(qkv, num_heads, scale)
     else:
