@@ -9,6 +9,7 @@ Public API surface mirrors the reference package
 
 from .attest import check_fixture, load_fixture, save_fixture
 from .eval import evaluate_model
+from .models.train_path import train_kernels_supported, vit_forward_train
 from .models.wrapper import RAJNIViT
 from .models.vit import (
     VARIANTS,
@@ -30,7 +31,7 @@ from .quant import (
     dequantize_weight,
     quantize_params,
 )
-from .utils.flops import flops_per_image, mfu
+from .utils.flops import flops_per_image, mfu, train_mfu
 from .utils.schedule import (
     PruneSpec,
     load_schedule,
@@ -75,5 +76,8 @@ __all__ = [
     "schedule_to_dict",
     "select_tokens",
     "token_count_trace",
+    "train_kernels_supported",
+    "train_mfu",
     "vit_forward",
+    "vit_forward_train",
 ]
