@@ -214,6 +214,135 @@ def train_mlp_fits(C: int, hidden: int, itemsize: int) -> bool:
     return weights + io + live <= _VMEM_BUDGET
 
 
+# --------------------------------------------------------------------------
+# Fused SDPA backward (flash-attention-style saved-qkv backward)
+# --------------------------------------------------------------------------
+
+
+def _sdpa_bwd_kernel(
+    qkv_ref, dout_ref, ao_ref, dqkv_ref, *, num_heads: int, scale: float
+):
+    """Per-image SDPA forward-recompute + backward, everything in VMEM.
+
+    Differentiates exactly the fused forward kernels' SDPA math
+    (:func:`rajni_tpu.kernels.block._mha`): fp32 logits/softmax, bf16
+    probability matrix into the AV matmul. Emits the recomputed attention
+    output (the proj weight-grad needs it) and the packed ``d_qkv`` —
+    both already in the ``[K, 3C]`` layout the surrounding XLA GEMMs
+    consume, so none of the ``[B, K, 3, H, D]`` relayout copies of the
+    XLA einsum backward appear (profiled at ~13 ms/step on the batch-128
+    ViT-B kernel train step — scripts/profile_train.py)."""
+    qkv = qkv_ref[0]
+    dout = dout_ref[0]
+    three_c = qkv.shape[1]
+    C = three_c // 3
+    D = C // num_heads
+    outs, dqs, dks, dvs = [], [], [], []
+    for h in range(num_heads):
+        q = qkv[:, h * D:(h + 1) * D]
+        k = qkv[:, C + h * D:C + (h + 1) * D]
+        v = qkv[:, 2 * C + h * D:2 * C + (h + 1) * D]
+        do = dout[:, h * D:(h + 1) * D]
+        logits = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        e = jnp.exp(logits - m)
+        p32 = e * (1.0 / jnp.sum(e, axis=-1, keepdims=True))
+        pb = p32.astype(qkv.dtype)
+        outs.append(jax.lax.dot_general(
+            pb, v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ))
+        # dv = pbᵀ @ do ; dp = do @ vᵀ ; softmax vjp in fp32
+        dvs.append(jax.lax.dot_general(
+            pb, do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ))
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ds = p32 * (dp - jnp.sum(dp * p32, axis=-1, keepdims=True))
+        dsb = (ds * scale).astype(qkv.dtype)
+        dqs.append(jax.lax.dot_general(
+            dsb, k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ))
+        dks.append(jax.lax.dot_general(
+            dsb, q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ))
+    ao_ref[0] = jnp.concatenate(outs, axis=-1).astype(ao_ref.dtype)
+    dqkv_ref[0] = jnp.concatenate(
+        dqs + dks + dvs, axis=-1
+    ).astype(dqkv_ref.dtype)
+
+
+def train_sdpa_bwd_fits(K: int, C: int, itemsize: int) -> bool:
+    """VMEM estimate: double-buffered IO (qkv + dout in, ao + dqkv out) +
+    the fp32 per-head [K, K] live set + the across-head fp32 result lists.
+    N=197 classes fit easily (~8 MB); N=577 does not (~28 MB) — callers
+    fall back to the XLA einsum backward."""
+    io = 2 * (2 * K * 3 * C + 2 * K * C) * itemsize
+    lists = 4 * K * C * 4
+    live = 5 * K * K * 4
+    return io + lists + live <= _VMEM_BUDGET
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads", "scale"))
+def train_sdpa_bwd(
+    qkv: jax.Array,
+    dout: jax.Array,
+    num_heads: int,
+    scale: float,
+) -> tuple[jax.Array, jax.Array]:
+    """Fused SDPA fwd-recompute + backward: ``(qkv [B,K,3C], d_out
+    [B,K,C]) -> (attn_out [B,K,C], d_qkv [B,K,3C])``.
+
+    ``d_out`` is the cotangent at the SDPA output (after the proj
+    backward GEMM); ``attn_out`` is the recomputed forward output the
+    caller's proj weight-grad consumes. Callers must pre-check
+    :func:`train_sdpa_bwd_fits`."""
+    B, K, three_c = qkv.shape
+    C = three_c // 3
+    return pl.pallas_call(
+        functools.partial(
+            _sdpa_bwd_kernel, num_heads=num_heads, scale=scale
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, K, C), qkv.dtype),
+            jax.ShapeDtypeStruct((B, K, three_c), qkv.dtype),
+        ),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, K, three_c), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, K, C), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, K, C), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, K, three_c), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        cost_estimate=pl.CostEstimate(
+            # 7 [K,K]x[K,D]-class matmuls per head: qk, av recompute,
+            # dv, dp, dq, dk (+ the ds elementwise pass)
+            flops=2 * 6 * B * num_heads * K * K * (C // num_heads),
+            bytes_accessed=2 * (B * K * 3 * C + B * K * C)
+            * qkv.dtype.itemsize,
+            transcendentals=B * num_heads * K * K,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
+        interpret=_use_interpret(),
+    )(qkv, dout)
+
+
 @functools.partial(jax.jit, static_argnames=("eps",))
 def train_ln_mlp(
     x: jax.Array,

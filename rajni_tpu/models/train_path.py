@@ -58,6 +58,8 @@ from ..kernels.train import (
     train_attn_block,
     train_ln_mlp,
     train_mlp_fits,
+    train_sdpa_bwd,
+    train_sdpa_bwd_fits,
 )
 from ..ops.attention import _sdpa
 from ..ops.pruning import (
@@ -174,9 +176,73 @@ def _mlp_bwd(block, x1, h, g_y, eps):
     return d_x1a + d_x1b, (d_ln2, d_fc1, d_fc2, d_ls2)
 
 
+def _attn_bwd_pallas(block, x, qkv, keep_idx, d_x1, num_heads, scale, eps):
+    """Attention-half backward with the fused Pallas SDPA-backward kernel.
+
+    Hand-written vjp of :func:`_seg_attn_tail` (same math, term by term):
+    the SDPA recompute + its backward run inside
+    :func:`rajni_tpu.kernels.train.train_sdpa_bwd` — qkv stays in its
+    packed ``[B, K, 3C]`` custom-call layout end to end, so the ~13 ms/step
+    of ``[B,K,3,H,D]`` relayout copies the XLA einsum backward pays
+    (profile_train.py attribution) never exist. Everything around the
+    kernel is the same XLA GEMMs the vjp path runs (proj dgrad/wgrad, the
+    one-hot gather transposes, the ln1+qkv segment vjp)."""
+    proj = block["attn"]["proj"]
+    ls1 = block.get("ls1")
+    if keep_idx is not None:
+        sel = onehot_matrix(keep_idx, x.shape[1], x.dtype)
+        qkv_g = gather_tokens_matmul(qkv, sel)
+    else:
+        sel = None
+        qkv_g = qkv
+    # tail: out = x_g + t,  t = ls1 * (ao @ Wp + bp)
+    d_t = d_x1 * ls1 if ls1 is not None else d_x1
+    d_ao = jnp.einsum("bkc,dc->bkd", d_t, proj["kernel"])
+    ao, d_qkv_g = train_sdpa_bwd(qkv_g, d_ao, num_heads, scale)
+    d_wp = jnp.einsum("bkd,bkc->dc", ao, d_t)
+    d_bp = d_t.astype(jnp.float32).sum((0, 1)).astype(proj["bias"].dtype)
+    if ls1 is not None:
+        proj_out = ao @ proj["kernel"] + proj["bias"]
+        d_ls1 = (
+            (proj_out.astype(jnp.float32) * d_x1.astype(jnp.float32))
+            .sum((0, 1)).astype(ls1.dtype)
+        )
+    else:
+        d_ls1 = None
+    if sel is not None:
+        # gather transpose = scatter-add as a matmul (selᵀ @ cotangent)
+        d_qkv = jnp.einsum("bkn,bkc->bnc", sel, d_qkv_g)
+        d_x_res = jnp.einsum("bkn,bkc->bnc", sel, d_x1)
+    else:
+        d_qkv = d_qkv_g
+        d_x_res = d_x1
+    _, vjp1 = jax.vjp(
+        lambda ln1, qkvp, x: _seg_qkv(ln1, qkvp, x, eps),
+        block["norm1"], block["attn"]["qkv"], x,
+    )
+    d_ln1, d_qkvp, d_xb = vjp1(d_qkv)
+    d_proj = {"kernel": d_wp, "bias": d_bp}
+    return d_x_res + d_xb, (d_ln1, d_qkvp, d_proj, d_ls1)
+
+
 def _attn_bwd(block, x, qkv, keep_idx, d_x1, num_heads, scale, eps):
     """Backward through the attention half from saved ``(x, qkv)``.
-    Returns ``(d_x, grads_dict_pieces)``."""
+    Returns ``(d_x, grads_dict_pieces)``.
+
+    Routes the fused Pallas SDPA backward (:func:`_attn_bwd_pallas`) when
+    the per-image working set fits VMEM — the default after measurement;
+    ``RAJNI_TRAIN_ATTN_BWD=xla`` (trace-time) forces the XLA einsum vjp
+    (also the long-sequence fallback, e.g. N=577)."""
+    K = qkv.shape[1] if keep_idx is None else keep_idx.shape[1]
+    if (
+        os.environ.get("RAJNI_TRAIN_ATTN_BWD", "pallas") == "pallas"
+        and train_sdpa_bwd_fits(
+            K, x.shape[-1], jnp.dtype(x.dtype).itemsize
+        )
+    ):
+        return _attn_bwd_pallas(
+            block, x, qkv, keep_idx, d_x1, num_heads, scale, eps
+        )
     if "ls1" in block:
         _, vjp2 = jax.vjp(
             lambda proj, ls1, x, qkv: _seg_attn_tail(
@@ -374,7 +440,7 @@ def vit_forward_train(
     config: ViTConfig,
     schedule=None,
     return_dist: bool = False,
-    stock_impl: str = "xla",
+    stock_impl: str | None = None,
     remat: bool = False,
 ) -> jax.Array | tuple[jax.Array, jax.Array]:
     """Training forward on the fused-kernel path: ``[B,H,W,3] → logits``,
@@ -392,21 +458,45 @@ def vit_forward_train(
     per reference attention.py:17-60, model.py:55-63), tolerance-level
     numerics. Callers must pre-check :func:`train_kernels_supported`.
 
-    Routing is MIXED by measured benefit (v5e, batch-128 ViT-B bf16):
-    pruned blocks take the kernel ops — the fused forward replaces the
-    XLA path's serial token gathers and the custom VJP's one-hot matmul
-    transpose replaces its backward scatters (all-kernel pruned step
-    900.8 img/s vs 858.5 plain) — while STOCK blocks default to the
-    native XLA block, whose jointly-optimized fwd+bwd beats the
-    segment-VJP form (817 vs 691 img/s all-stock: the segment backward
-    pays layout copies at the custom-call boundary that XLA's own
-    residual placement avoids). ``stock_impl="pallas"`` forces the kernel
-    stock op (tests pin its gradient parity; re-measure before routing
-    it by default).
+    Routing (v5e, batch-128 ViT-B bf16): pruned blocks always take the
+    kernel ops — the fused forward replaces the XLA path's serial token
+    gathers and the custom VJP's one-hot matmul transpose replaces its
+    backward scatters. STOCK blocks route per-block by ``stock_impl``:
+
+      * ``"auto"`` (default): the kernel stock op wherever the forward
+        kernel AND the fused SDPA backward (:func:`rajni_tpu.kernels.
+        train.train_sdpa_bwd`) both fit VMEM, XLA otherwise. With the
+        pallas backward the kernel stock op WINS (912.8 vs 822.2 img/s
+        all-stock); with the XLA einsum backward it loses (691 — the
+        relayout copies at the custom-call boundary, the r4 measurement
+        that set the old XLA-stock default, now routed around).
+      * ``"pallas"`` / ``"xla"`` force one route (A/B instrument;
+        ``RAJNI_TRAIN_STOCK`` overrides the default at trace time).
+
+    Measured end-to-end (schedule.json): mixed-with-XLA-stock 1000.1
+    img/s (r4) → 1082.0 with the pallas backward on pruned blocks only →
+    1127.8 all-kernel (this default). Unpruned: 822.2 XLA → 912.8.
     """
+    if stock_impl is None:
+        stock_impl = os.environ.get("RAJNI_TRAIN_STOCK", "auto")
     schedule = normalize_schedule(schedule, config.depth)
     x = embed_tokens(params, images, config)
     scores = None
+
+    def stock_kernel_ok(n: int) -> bool:
+        """Per-block auto routing: the kernel stock op wins ONLY with the
+        fused SDPA backward (912.8 vs 822.2 img/s XLA; with the XLA einsum
+        backward it LOSES, 691 — the r4 measurement that set the old
+        mixed default). Requires both the forward kernel and the
+        SDPA-backward working set to fit VMEM at this block's N."""
+        if stock_impl != "auto":
+            return stock_impl == "pallas"
+        itemsize = jnp.dtype(x.dtype).itemsize
+        return (
+            os.environ.get("RAJNI_TRAIN_ATTN_BWD", "pallas") == "pallas"
+            and train_sdpa_bwd_fits(n, config.embed_dim, itemsize)
+            and _train_attn_fits(n, config.embed_dim, itemsize)
+        )
     for spec, block in zip(schedule, params["blocks"]):
         if spec is not None:
             n = x.shape[1]
@@ -420,7 +510,7 @@ def vit_forward_train(
             if remat:
                 op = jax.checkpoint(op)
             x, scores = op(block, x, scores)
-        elif stock_impl == "pallas":
+        elif stock_kernel_ok(x.shape[1]):
             static = (
                 config.num_heads, config.attn_scale, config.layer_norm_eps,
             )

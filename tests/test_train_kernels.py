@@ -330,3 +330,46 @@ def test_train_cli_kernels_pallas_regularizer_stack(tmp_path):
     ])
     assert int(state.step) == 4
     assert out.exists() and (tmp_path / "k.msgpack.ema").exists()
+
+
+def test_attn_bwd_route_parity(monkeypatch):
+    """The fused pallas SDPA-backward kernel (kernels/train.py
+    train_sdpa_bwd, the default attention-half backward) matches the XLA
+    einsum vjp route gradient-for-gradient — same saved boundaries, same
+    math, only the relayout copies differ (profile_train.py attribution:
+    ~13 ms/step of [B,K,3,H,D] data-formatting on the XLA route)."""
+    cfg = get_config("vit_tiny_patch16_64")
+    sched = normalize_schedule(SCHED, cfg.depth)
+    params = init_params(jax.random.key(0), cfg, jnp.float32)
+    x = jax.random.normal(jax.random.key(1), (4, 64, 64, 3), jnp.float32)
+    labels = jnp.array([0, 1, 2, 3])
+
+    def grads(route, stock_impl):
+        monkeypatch.setenv("RAJNI_TRAIN_ATTN_BWD", route)
+
+        def loss(p):
+            lg = vit_forward_train(
+                p, x, cfg, sched, stock_impl=stock_impl
+            ).astype(jnp.float32)
+            return -jnp.mean(
+                jax.nn.log_softmax(lg)[jnp.arange(lg.shape[0]), labels]
+            )
+
+        # fresh jit per route: the env var is read at trace time
+        return jax.jit(jax.value_and_grad(loss))(params)
+
+    for stock_impl in ("xla", "pallas"):
+        l_p, g_p = grads("pallas", stock_impl)
+        l_x, g_x = grads("xla", stock_impl)
+        assert abs(float(l_p - l_x)) < 1e-6  # same primal either way
+        assert _worst_rel(g_x, g_p) < 1e-4
+
+
+def test_attn_bwd_fits_gate():
+    """Long sequences (N=577 ViT-B/384 class) exceed the SDPA-backward
+    kernel's VMEM estimate and must route the XLA fallback."""
+    from rajni_tpu.kernels.train import train_sdpa_bwd_fits
+
+    assert train_sdpa_bwd_fits(197, 768, 2)       # ViT-B/224 stock
+    assert train_sdpa_bwd_fits(150, 768, 2)       # pruned widths
+    assert not train_sdpa_bwd_fits(577, 768, 2)   # ViT-B/384
