@@ -172,7 +172,7 @@ def train_attn_block(
 
 def _train_ln_mlp_kernel(
     x_ref, ln_scale_ref, ln_bias_ref, w1_ref, b1_ref, w2_ref, b2_ref,
-    ls_ref, out_ref, h_ref, *, eps: float,
+    ls_ref, out_ref, h_ref, *, eps: float, add_residual: bool = True,
 ):
     x32 = x_ref[0].astype(jnp.float32)  # [RC, C] token chunk (LN is per-row)
     mean = jnp.mean(x32, axis=-1, keepdims=True)
@@ -195,7 +195,7 @@ def _train_ln_mlp_kernel(
     out = (out + b2_ref[:].astype(jnp.float32)) * ls_ref[:].astype(
         jnp.float32
     )
-    out_ref[0] = (x32 + out).astype(out_ref.dtype)
+    out_ref[0] = ((x32 + out) if add_residual else out).astype(out_ref.dtype)
 
 
 _MLP_TOKEN_CHUNK = 128  # token-axis tile of the train MLP kernel
@@ -343,17 +343,22 @@ def train_sdpa_bwd(
     )(qkv, dout)
 
 
-@functools.partial(jax.jit, static_argnames=("eps",))
+@functools.partial(jax.jit, static_argnames=("eps", "add_residual"))
 def train_ln_mlp(
     x: jax.Array,
     ln_params,
     mlp_params,
     ls: jax.Array | None = None,
     eps: float = 1e-6,
+    add_residual: bool = True,
 ) -> tuple[jax.Array, jax.Array]:
     """``x + ls·mlp(ln2(x))`` returning ``(y, h)`` with ``h`` the pre-GELU
     fc1 output ``[B, N, hidden]`` (stored in the activation dtype — the
     backward's ``gelu'`` is evaluated on exactly these rounded values).
+    ``add_residual=False`` returns the branch only (a tensor-parallel
+    shard's PARTIAL sum when called with local fc1/fc2 shards and a
+    zeroed fc2 bias — the residual, real bias and layer-scale apply once
+    after the psum, :mod:`rajni_tpu.parallel.tp_train`).
 
     Grid is ``(B, token-chunks)`` on the native ``[B, N, C]`` layout —
     unlike the inference kernel's row-flattening, no ``[B,N,C] → [B·N,C]``
@@ -381,7 +386,8 @@ def train_ln_mlp(
         (1, C), lambda b, r: (0, 0), memory_space=pltpu.VMEM
     )
     y, h = pl.pallas_call(
-        functools.partial(_train_ln_mlp_kernel, eps=eps),
+        functools.partial(_train_ln_mlp_kernel, eps=eps,
+                          add_residual=add_residual),
         out_shape=(
             jax.ShapeDtypeStruct((B, N, C), x.dtype),
             jax.ShapeDtypeStruct((B, N, hidden), x.dtype),

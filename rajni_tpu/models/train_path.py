@@ -72,6 +72,7 @@ from ..utils.schedule import normalize_schedule
 from .vit import (
     ViTConfig,
     classifier_head,
+    drop_path_rates,
     embed_tokens,
     layer_norm,
     pallas_compilable,
@@ -291,35 +292,72 @@ def _assemble_block_grads(block, attn_pieces, mlp_pieces):
 # --------------------------------------------------------------------------
 
 
+def _dp_mask(key, rate: float, batch: int, dtype):
+    """Scaled stochastic-depth mask — the same draw as
+    :func:`rajni_tpu.models.vit._stochastic_depth` (timm DropPath):
+    per-sample Bernoulli(keep), survivors scaled by ``1/keep``. The
+    kernel ops apply it OUTSIDE the fused kernel as
+    ``x + m·(y − x)`` (the kernels return ``y = x + branch``), which
+    equals the XLA path's ``x + branch·m`` up to bf16 rounding of the
+    subtraction."""
+    keep = 1.0 - rate
+    return (
+        jax.random.bernoulli(key, keep, (batch, 1, 1)).astype(dtype) / keep
+    )
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _stock_block_op(static, block, x):
+def _stock_block_op(static, block, x, dp):
     num_heads, scale, eps = static
     x1, _ = train_attn_block(
         x, block["norm1"], block["attn"], block.get("ls1"),
         num_heads, scale, eps,
     )
+    if dp is not None:
+        x1 = x + dp[0] * (x1 - x)
     y, _ = _mlp_half(x1, block, eps)
+    if dp is not None:
+        y = x1 + dp[1] * (y - x1)
     return y
 
 
-def _stock_block_fwd(static, block, x):
+def _stock_block_fwd(static, block, x, dp):
     num_heads, scale, eps = static
     x1, qkv = train_attn_block(
         x, block["norm1"], block["attn"], block.get("ls1"),
         num_heads, scale, eps,
     )
+    if dp is not None:
+        x1 = x + dp[0] * (x1 - x)
     y, h = _mlp_half(x1, block, eps)
-    return y, (block, x, qkv, x1, h)
+    if dp is not None:
+        y = x1 + dp[1] * (y - x1)
+    return y, (block, x, qkv, x1, h, dp)
 
 
 def _stock_block_bwd(static, res, g_y):
     num_heads, scale, eps = static
-    block, x, qkv, x1, h = res
-    d_x1, mlp_pieces = _mlp_bwd(block, x1, h, g_y, eps)
-    d_x, attn_pieces = _attn_bwd(
-        block, x, qkv, None, d_x1, num_heads, scale, eps
+    block, x, qkv, x1, h, dp = res
+    if dp is None:
+        d_x1, mlp_pieces = _mlp_bwd(block, x1, h, g_y, eps)
+        d_x, attn_pieces = _attn_bwd(
+            block, x, qkv, None, d_x1, num_heads, scale, eps
+        )
+        d_dp = None
+    else:
+        # y = x1 + m2·branch2(x1): the branch vjp sees m2·g_y, the
+        # residual identity sees the full g_y — add the (1−m2) part back.
+        m1, m2 = dp
+        d_x1, mlp_pieces = _mlp_bwd(block, x1, h, m2 * g_y, eps)
+        d_x1 = d_x1 + (1.0 - m2) * g_y
+        d_x, attn_pieces = _attn_bwd(
+            block, x, qkv, None, m1 * d_x1, num_heads, scale, eps
+        )
+        d_x = d_x + (1.0 - m1) * d_x1
+        d_dp = (jnp.zeros_like(m1), jnp.zeros_like(m2))
+    return (
+        _assemble_block_grads(block, attn_pieces, mlp_pieces), d_x, d_dp
     )
-    return _assemble_block_grads(block, attn_pieces, mlp_pieces), d_x
 
 
 _stock_block_op.defvjp(_stock_block_fwd, _stock_block_bwd)
@@ -345,7 +383,7 @@ def _mlp_half(x1, block, eps):
     return y, h
 
 
-def _pruned_fwd_common(static, block, x, scores):
+def _pruned_fwd_common(static, block, x, scores, dp):
     from ..kernels.block import fused_ln_qkv, fused_gather_sdpa_proj_residual
 
     num_heads, scale, eps, keep, with_scores = static
@@ -359,40 +397,66 @@ def _pruned_fwd_common(static, block, x, scores):
         qkv, sel, x, block["attn"]["proj"], block.get("ls1"),
         num_heads, scale,
     )
+    if dp is not None:
+        # drop-path on the branch only: the kernel returned
+        # x_g + branch; re-derive the gathered residual to blend
+        x_g = gather_tokens_matmul(x, sel)
+        x1 = x_g + dp[0] * (x1 - x_g)
     next_scores = jnp.take_along_axis(scores_used, keep_idx, axis=1)
     return qkv, keep_idx, x1, next_scores
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _pruned_block_op(static, block, x, scores):
+def _pruned_block_op(static, block, x, scores, dp):
     eps = static[2]
-    _, _, x1, next_scores = _pruned_fwd_common(static, block, x, scores)
+    _, _, x1, next_scores = _pruned_fwd_common(static, block, x, scores, dp)
     y, _ = _mlp_half(x1, block, eps)
+    if dp is not None:
+        y = x1 + dp[1] * (y - x1)
     return y, next_scores
 
 
-def _pruned_block_fwd(static, block, x, scores):
+def _pruned_block_fwd(static, block, x, scores, dp):
     eps = static[2]
     qkv, keep_idx, x1, next_scores = _pruned_fwd_common(
-        static, block, x, scores
+        static, block, x, scores, dp
     )
     y, h = _mlp_half(x1, block, eps)
-    return (y, next_scores), (block, x, scores, qkv, keep_idx, x1, h)
+    if dp is not None:
+        y = x1 + dp[1] * (y - x1)
+    return (y, next_scores), (block, x, scores, qkv, keep_idx, x1, h, dp)
 
 
 def _pruned_block_bwd(static, res, cot):
     num_heads, scale, eps, keep, with_scores = static
-    block, x, scores, qkv, keep_idx, x1, h = res
+    block, x, scores, qkv, keep_idx, x1, h, dp = res
     g_y, _g_scores = cot  # scores carry no gradient (reference no_grad)
-    d_x1, mlp_pieces = _mlp_bwd(block, x1, h, g_y, eps)
-    d_x, attn_pieces = _attn_bwd(
-        block, x, qkv, keep_idx, d_x1, num_heads, scale, eps
-    )
+    if dp is None:
+        d_x1, mlp_pieces = _mlp_bwd(block, x1, h, g_y, eps)
+        d_x, attn_pieces = _attn_bwd(
+            block, x, qkv, keep_idx, d_x1, num_heads, scale, eps
+        )
+        d_dp = None
+    else:
+        m1, m2 = dp
+        d_x1, mlp_pieces = _mlp_bwd(block, x1, h, m2 * g_y, eps)
+        d_x1 = d_x1 + (1.0 - m2) * g_y
+        d_x, attn_pieces = _attn_bwd(
+            block, x, qkv, keep_idx, m1 * d_x1, num_heads, scale, eps
+        )
+        # the gathered-residual identity path saw only the m1-scaled
+        # cotangent inside _attn_bwd — scatter the (1−m1) part back
+        sel = onehot_matrix(keep_idx, x.shape[1], x.dtype)
+        d_x = d_x + jnp.einsum(
+            "bkn,bkc->bnc", sel, (1.0 - m1) * d_x1
+        )
+        d_dp = (jnp.zeros_like(m1), jnp.zeros_like(m2))
     d_scores = None if scores is None else jnp.zeros_like(scores)
     return (
         _assemble_block_grads(block, attn_pieces, mlp_pieces),
         d_x,
         d_scores,
+        d_dp,
     )
 
 
@@ -442,9 +506,18 @@ def vit_forward_train(
     return_dist: bool = False,
     stock_impl: str | None = None,
     remat: bool = False,
+    drop_path: float = 0.0,
+    rng: jax.Array | None = None,
 ) -> jax.Array | tuple[jax.Array, jax.Array]:
     """Training forward on the fused-kernel path: ``[B,H,W,3] → logits``,
     differentiable via the residual-fed custom VJPs above.
+
+    ``drop_path`` + ``rng`` enable stochastic depth with the SAME key
+    schedule as ``vit_forward`` (fold_in per block, split per branch,
+    timm linspace rates): the per-branch masks are drawn outside the
+    ops and blended around the fused kernels as ``x + m·(y − x)`` —
+    the kernels stay mask-free, the custom backwards apply the exact
+    chain-rule corrections. A resumed run replays identical drops.
 
     ``remat`` wraps each block (kernel op or XLA stock block) in
     ``jax.checkpoint``: the backward re-runs the block's FORWARD RULE —
@@ -479,6 +552,14 @@ def vit_forward_train(
     """
     if stock_impl is None:
         stock_impl = os.environ.get("RAJNI_TRAIN_STOCK", "auto")
+    dpr = None
+    if drop_path > 0.0:
+        if rng is None:
+            raise ValueError(
+                "drop_path > 0 requires an rng key (train-time only; "
+                "pass rng=fold_in(key, step) from the train step)"
+            )
+        dpr = drop_path_rates(drop_path, config.depth)
     schedule = normalize_schedule(schedule, config.depth)
     x = embed_tokens(params, images, config)
     scores = None
@@ -497,8 +578,19 @@ def vit_forward_train(
             and train_sdpa_bwd_fits(n, config.embed_dim, itemsize)
             and _train_attn_fits(n, config.embed_dim, itemsize)
         )
-    for spec, block in zip(schedule, params["blocks"]):
+    for blk_i, (spec, block) in enumerate(zip(schedule, params["blocks"])):
+        keys = None
+        if dpr is not None and dpr[blk_i] > 0.0:
+            # one fold per block, split into the two branch keys — the
+            # exact schedule of vit_forward's XLA drop-path (vit.py)
+            keys = jax.random.split(jax.random.fold_in(rng, blk_i))
         if spec is not None:
+            dp = None
+            if keys is not None:
+                dp = (
+                    _dp_mask(keys[0], dpr[blk_i], x.shape[0], x.dtype),
+                    _dp_mask(keys[1], dpr[blk_i], x.shape[0], x.dtype),
+                )
             n = x.shape[1]
             keep = keep_count(spec.keep_ratio, n, 1)
             with_scores = spec.update or scores is None
@@ -509,20 +601,32 @@ def vit_forward_train(
             op = functools.partial(_pruned_block_op, static)
             if remat:
                 op = jax.checkpoint(op)
-            x, scores = op(block, x, scores)
+            x, scores = op(block, x, scores, dp)
         elif stock_kernel_ok(x.shape[1]):
+            dp = None
+            if keys is not None:
+                dp = (
+                    _dp_mask(keys[0], dpr[blk_i], x.shape[0], x.dtype),
+                    _dp_mask(keys[1], dpr[blk_i], x.shape[0], x.dtype),
+                )
             static = (
                 config.num_heads, config.attn_scale, config.layer_norm_eps,
             )
             op = functools.partial(_stock_block_op, static)
             if remat:
                 op = jax.checkpoint(op)
-            x = op(block, x)
+            x = op(block, x, dp)
             scores = None  # stock block invalidates (model.py:63)
         else:
+            droppath = (
+                None if keys is None
+                else (keys[0], keys[1], dpr[blk_i])
+            )
 
-            def op(block, x):
-                return stock_block(x, block, config, "xla")
+            def op(block, x, droppath=droppath):
+                return stock_block(
+                    x, block, config, "xla", droppath=droppath
+                )
 
             if remat:
                 op = jax.checkpoint(op)

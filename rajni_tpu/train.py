@@ -623,9 +623,12 @@ def make_train_step(
     ``impl`` — ``"xla"`` (default) or ``"pallas"`` — selects the student's
     forward engine. ``"pallas"`` routes the fused training kernels
     (:func:`rajni_tpu.models.train_path.vit_forward_train`: pallas primal,
-    residual-fed XLA backward via custom VJPs); callers must pre-check
-    :func:`rajni_tpu.models.train_path.train_kernels_supported` and it
-    excludes ``drop_path``/``remat`` (the CLI validates).
+    residual-fed backward — fused SDPA-backward kernel where it fits,
+    XLA segment vjps otherwise); callers must pre-check
+    :func:`rajni_tpu.models.train_path.train_kernels_supported`. It
+    composes with ``remat`` (the checkpoint recompute re-runs the pallas
+    forward) and with ``drop_path`` (masks blended around the kernels,
+    same key schedule as the XLA path).
 
     ``dp_mesh`` — a 1-D ``(data,)`` mesh — runs the grad computation under
     ``shard_map`` (per-shard forward/backward on the local batch, pmean'd
@@ -642,6 +645,7 @@ def make_train_step(
             return vit_forward_train(
                 params, images, config, schedule,
                 return_dist=return_dist, remat=remat,
+                drop_path=drop_path, rng=dp_rng,
             )
     else:
 
@@ -704,9 +708,19 @@ def make_train_step(
             from jax.sharding import PartitionSpec as P
 
             def shard_grads(params, images, labels, lam):
+                rng = dp_rng
+                if rng is not None:
+                    # decorrelate the per-shard stochastic-depth masks:
+                    # each shard draws (B_local, 1, 1) masks, so without
+                    # this fold every data shard would repeat the same
+                    # drop rows (statistically dependent across the
+                    # global batch)
+                    rng = jax.random.fold_in(
+                        rng, jax.lax.axis_index("data")
+                    )
                 (loss, acc), g = jax.value_and_grad(
                     loss_fn, has_aux=True
-                )(params, images, labels, lam, dp_rng)
+                )(params, images, labels, lam, rng)
                 # equal shards → mean-of-means is the global mean; grads
                 # come from a mean loss, so pmean IS the global gradient
                 return (jax.lax.pmean(loss, "data"),
@@ -1103,20 +1117,35 @@ def main(argv=None):
         )
 
     if args.kernels == "pallas":
-        parallel_flags = (args.distributed or args.tensor_parallel > 1
-                          or args.pipeline_parallel > 1)
-        if parallel_flags:
+        if args.distributed or args.pipeline_parallel > 1:
             raise ValueError(
-                "--kernels pallas composes with plain and --data_parallel "
-                "training (the DP step shard_maps the kernel forward/"
-                "backward); TP/PP/multi-host kernel training is not wired"
+                "--kernels pallas composes with plain, --data_parallel "
+                "and --tensor_parallel training (shard_mapped kernel "
+                "forward/backward); PP/multi-host kernel training is "
+                "not wired"
             )
-        if args.drop_path > 0.0:
-            raise ValueError(
-                "--kernels pallas excludes --drop_path: the stochastic-"
-                "depth masks apply inside the fused kernels' residual "
-                "adds, which the training kernels do not model"
-            )
+        if args.tensor_parallel > 1:
+            if args.remat:
+                raise ValueError(
+                    "--kernels pallas --tensor_parallel excludes --remat "
+                    "(jax.checkpoint over the TP shard ops is not wired; "
+                    "the XLA TP path composes with --remat)"
+                )
+            if args.drop_path > 0.0:
+                raise ValueError(
+                    "--kernels pallas --tensor_parallel excludes "
+                    "--drop_path for now (masks are not threaded through "
+                    "the TP shard ops; the XLA TP path composes)"
+                )
+            if args.distill_teacher:
+                raise ValueError(
+                    "--kernels pallas --tensor_parallel excludes "
+                    "--distill_teacher (the teacher forward is not "
+                    "shard_mapped; the XLA TP path composes)"
+                )
+        # --drop_path composes: the per-branch masks blend around the
+        # fused kernels (x + m·(y − x)) with exact backward corrections
+        # (models/train_path.py), same key schedule as the XLA path
 
     mesh = None
     if args.distributed:
@@ -1184,7 +1213,7 @@ def main(argv=None):
                               or args.tensor_parallel > 1
                               or args.pipeline_parallel > 1)
             train_impl = "pallas" if (
-                ok and not parallel_flags and args.drop_path == 0.0
+                ok and not parallel_flags
                 and jax.default_backend() == "tpu"
             ) else "xla"
     if train_impl == "pallas":
@@ -1278,24 +1307,57 @@ def main(argv=None):
         del params
         state = TrainState(sharded, tx.init(sharded),
                            jnp.zeros((), jnp.int32))
-        step_fn = jax.jit(
-            make_train_step(config, schedule, tx,
-                            label_smoothing=args.label_smoothing,
-                            mixup_alpha=args.mixup,
-                            cutmix_alpha=args.cutmix,
-                            switch_prob=args.mixup_switch_prob,
-                            seed=args.seed,
-                            remat=args.remat,
-                            drop_path=args.drop_path,
-                            distill=distill,
-                            teacher_params=teacher_params,
-                            impl=train_impl,
-                            # pallas custom calls need manual sharding —
-                            # the XLA path keeps automatic partitioning
-                            dp_mesh=(tp_mesh if train_impl == "pallas"
-                                     else None)),
-            donate_argnums=(0,),
-        )
+        if train_impl == "pallas" and args.tensor_parallel > 1:
+            # Megatron TP over the per-chip train kernels: manual
+            # shard_map with custom-vjp f/g collectives
+            # (parallel/tp_train.py); the XLA path below keeps
+            # automatic jit-sharding partitioning
+            from .parallel.mesh import param_pspecs
+            from .parallel.tp_train import (
+                make_tp_train_step,
+                tp_kernels_train_supported,
+            )
+
+            ok, why = tp_kernels_train_supported(
+                config, schedule, args.tensor_parallel, dtype
+            )
+            if not ok:
+                raise ValueError(
+                    f"--kernels pallas --tensor_parallel unsupported "
+                    f"for this run: {why}"
+                )
+            step_fn = jax.jit(
+                make_tp_train_step(
+                    config, schedule, tx, tp_mesh, param_pspecs(sharded),
+                    label_smoothing=args.label_smoothing,
+                    mixup_alpha=args.mixup,
+                    cutmix_alpha=args.cutmix,
+                    switch_prob=args.mixup_switch_prob,
+                    seed=args.seed,
+                ),
+                donate_argnums=(0,),
+            )
+        else:
+            step_fn = jax.jit(
+                make_train_step(config, schedule, tx,
+                                label_smoothing=args.label_smoothing,
+                                mixup_alpha=args.mixup,
+                                cutmix_alpha=args.cutmix,
+                                switch_prob=args.mixup_switch_prob,
+                                seed=args.seed,
+                                remat=args.remat,
+                                drop_path=args.drop_path,
+                                distill=distill,
+                                teacher_params=teacher_params,
+                                impl=train_impl,
+                                # pallas custom calls need manual
+                                # sharding — the XLA path keeps
+                                # automatic partitioning
+                                dp_mesh=(tp_mesh
+                                         if train_impl == "pallas"
+                                         else None)),
+                donate_argnums=(0,),
+            )
         tp_batch_sharding = batch_sharding(tp_mesh)
         if args.tensor_parallel > 1:
             print(f"TP training: mesh {dict(tp_mesh.shape)} "

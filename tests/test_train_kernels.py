@@ -283,9 +283,11 @@ def test_train_cli_kernels_pallas_data_parallel(tmp_path, capsys):
 
 
 @pytest.mark.parametrize("extra", [
-    ["--drop_path", "0.1"],
-    ["--tensor_parallel", "2"],
-], ids=["drop_path", "tp"])
+    ["--pipeline_parallel", "2"],
+    ["--tensor_parallel", "2"],            # heads=3 not divisible by 2
+    ["--tensor_parallel", "2", "--remat"],
+    ["--tensor_parallel", "2", "--drop_path", "0.1"],
+], ids=["pp", "tp-indivisible", "tp-remat", "tp-drop-path"])
 def test_train_cli_kernels_pallas_rejections(extra):
     from rajni_tpu import train as train_cli
 
@@ -373,3 +375,165 @@ def test_attn_bwd_fits_gate():
     assert train_sdpa_bwd_fits(197, 768, 2)       # ViT-B/224 stock
     assert train_sdpa_bwd_fits(150, 768, 2)       # pruned widths
     assert not train_sdpa_bwd_fits(577, 768, 2)   # ViT-B/384
+
+
+def test_grad_parity_drop_path():
+    """--kernels pallas + --drop_path: the per-branch masks blended
+    around the fused ops (x + m*(y - x), backward corrections in
+    _pruned_block_bwd/_stock_block_bwd) match the XLA path's stochastic
+    depth gradient-for-gradient — same fold_in/split key schedule, so
+    the drop decisions are identical across engines."""
+    cfg = get_config("vit_tiny_patch16_64")
+    sched = normalize_schedule(SCHED, cfg.depth)
+    params = init_params(jax.random.key(0), cfg, jnp.float32)
+    x = jax.random.normal(jax.random.key(1), (4, 64, 64, 3), jnp.float32)
+    labels = jnp.array([0, 1, 2, 3])
+    rng = jax.random.fold_in(jax.random.key(7), 3)
+
+    def loss(fwd):
+        def f(p):
+            lg = fwd(p).astype(jnp.float32)
+            return -jnp.mean(
+                jax.nn.log_softmax(lg)[jnp.arange(4), labels]
+            )
+        return f
+
+    l_x, g_x = jax.jit(jax.value_and_grad(loss(
+        lambda p: vit_forward(p, x, cfg, sched, "xla",
+                              drop_path=0.3, rng=rng)
+    )))(params)
+    # both stock routes: the kernel stock op and the XLA stock_block
+    for stock_impl in ("pallas", "xla"):
+        l_k, g_k = jax.jit(jax.value_and_grad(loss(
+            lambda p: vit_forward_train(p, x, cfg, sched,
+                                        stock_impl=stock_impl,
+                                        drop_path=0.3, rng=rng)
+        )))(params)
+        assert abs(float(l_x - l_k)) < 1e-4
+        assert _worst_rel(g_x, g_k) < 1e-3
+
+
+def test_grad_parity_drop_path_remat():
+    """drop_path + remat on the kernel path: the checkpoint recompute
+    reuses the mask INPUTS (drawn outside the ops), so grads are
+    identical to the non-remat kernel run."""
+    cfg = get_config("vit_tiny_patch16_64")
+    sched = normalize_schedule(SCHED, cfg.depth)
+    params = init_params(jax.random.key(0), cfg, jnp.float32)
+    x = jax.random.normal(jax.random.key(1), (4, 64, 64, 3), jnp.float32)
+    labels = jnp.array([0, 1, 2, 3])
+    rng = jax.random.key(11)
+
+    def loss(remat):
+        def f(p):
+            lg = vit_forward_train(
+                p, x, cfg, sched, remat=remat, drop_path=0.2, rng=rng
+            ).astype(jnp.float32)
+            return -jnp.mean(
+                jax.nn.log_softmax(lg)[jnp.arange(4), labels]
+            )
+        return f
+
+    l_a, g_a = jax.jit(jax.value_and_grad(loss(False)))(params)
+    l_b, g_b = jax.jit(jax.value_and_grad(loss(True)))(params)
+    assert abs(float(l_a - l_b)) < 1e-6
+    assert _worst_rel(g_a, g_b) < 1e-5
+
+
+def test_train_cli_kernels_pallas_drop_path(tmp_path):
+    """The CLI rejection is lifted: --kernels pallas --drop_path trains
+    (composed with --remat to cover the checkpoint route too)."""
+    from rajni_tpu import train as train_cli
+
+    out = tmp_path / "k.msgpack"
+    state = train_cli.main([
+        "--synthetic", "--model", "vit_tiny_patch16_64",
+        "--steps", "2", "--batch_size", "8", "--kernels", "pallas",
+        "--drop_path", "0.1", "--remat",
+        "--output", str(out), "--log_every", "1",
+    ])
+    assert int(state.step) == 2
+    assert out.exists()
+
+
+def test_tp_kernels_grad_parity():
+    """Megatron TP over the train kernels (parallel/tp_train.py): the
+    shard_mapped (data, model) step — custom-vjp pallas segments, f/g
+    psum pairs, norm-leaf gradient completion — tracks the single-device
+    kernel path's loss trajectory (tolerance: psum reduction order)."""
+    from rajni_tpu.parallel.mesh import (
+        make_mesh,
+        param_pspecs,
+        shard_params,
+    )
+    from rajni_tpu.parallel.tp_train import (
+        make_tp_train_step,
+        tp_kernels_train_supported,
+    )
+    from rajni_tpu.train import TrainState, build_optimizer, make_train_step
+
+    cfg = get_config("deit_small_patch16_64")
+    sched = normalize_schedule(
+        {"1": {"keep_ratio": 0.6, "update": True},
+         "2": {"keep_ratio": 0.9, "update": False}}, cfg.depth
+    )
+    ok, why = tp_kernels_train_supported(cfg, sched, 2, jnp.float32)
+    assert ok, why
+    params = init_params(jax.random.key(0), cfg, jnp.float32)
+    x = jax.random.normal(jax.random.key(1), (8, 64, 64, 3), jnp.float32)
+    labels = jnp.arange(8) % cfg.num_classes
+
+    tx = build_optimizer(1e-3, total_steps=10)
+    state = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
+    step = jax.jit(make_train_step(cfg, sched, tx, impl="pallas"))
+    ref_losses = []
+    for _ in range(3):
+        state, m = step(state, x, labels)
+        ref_losses.append(float(m["loss"]))
+
+    mesh = make_mesh(model=2)
+    sharded = shard_params(params, mesh)
+    tstate = TrainState(sharded, tx.init(sharded), jnp.zeros((), jnp.int32))
+    tp_step = jax.jit(
+        make_tp_train_step(cfg, sched, tx, mesh, param_pspecs(sharded))
+    )
+    tp_losses = []
+    for _ in range(3):
+        tstate, m = tp_step(tstate, x, labels)
+        tp_losses.append(float(m["loss"]))
+    np.testing.assert_allclose(tp_losses, ref_losses, rtol=2e-3, atol=1e-4)
+
+
+def test_train_cli_kernels_tensor_parallel(tmp_path, capsys):
+    """--kernels pallas --tensor_parallel on the CLI: trajectory matches
+    the plain kernel run and the checkpoint saves canonical."""
+    import re
+
+    from rajni_tpu.params.io import load_params
+    from rajni_tpu.train import main
+
+    sched = tmp_path / "s.json"
+    sched.write_text(json.dumps({"1": {"keep_ratio": 0.6}}))
+    base = ["--synthetic", "--model", "deit_small_patch16_64",
+            "--schedule", str(sched), "--steps", "2", "--batch_size", "8",
+            "--log_every", "1", "--lr", "1e-3", "--kernels", "pallas"]
+
+    def losses(text):
+        return [float(m) for m in re.findall(r"loss (\d+\.\d+)", text)]
+
+    out_plain = tmp_path / "plain.msgpack"
+    main(base + ["--output", str(out_plain)])
+    plain = losses(capsys.readouterr().out)
+
+    out_tp = tmp_path / "tp.msgpack"
+    state = main(base + ["--output", str(out_tp),
+                         "--tensor_parallel", "2"])
+    printed = capsys.readouterr().out
+    tp = losses(printed)
+    assert int(state.step) == 2
+    assert len(plain) == len(tp) == 2
+    for a, b in zip(plain, tp):
+        assert abs(a - b) < 5e-3 * max(1.0, abs(a)), (plain, tp)
+
+    p = load_params(str(out_tp))
+    assert p["blocks"][0]["attn"]["qkv"]["kernel"].ndim == 2  # canonical
