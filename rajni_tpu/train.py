@@ -892,16 +892,19 @@ def main(argv=None):
                    help="clip the gradient to this global L2 norm before "
                         "AdamW (0 = off); with --grad_accum the clip "
                         "applies to the K-step mean gradient")
-    p.add_argument("--kernels", type=str, default="xla",
+    p.add_argument("--kernels", type=str, default="auto",
                    choices=["xla", "pallas", "auto"],
                    help="student forward engine: 'pallas' routes the fused "
                         "training kernels (pallas forward at inference-"
-                        "kernel MFU, residual-fed XLA backward — "
-                        "models/train_path.py); 'auto' picks pallas on TPU "
-                        "when the (model, schedule) supports it. Plain "
-                        "and --data_parallel runs; excludes --drop_path. "
-                        "Composes with --remat (the checkpoint recompute "
-                        "re-runs the pallas forward)")
+                        "kernel MFU, fused SDPA-backward kernel + XLA "
+                        "segment vjps — models/train_path.py, measured "
+                        ">=1.13x everywhere supported); 'auto' (default, "
+                        "matching the eval CLI's backend dispatch) picks "
+                        "pallas on TPU when the (model, schedule) supports "
+                        "it and no parallel flag needs the XLA partitioner. "
+                        "Composes with --remat, --drop_path, "
+                        "--data_parallel and --tensor_parallel "
+                        "(parallel/tp_train.py)")
     p.add_argument("--dtype", type=str, default="float32",
                    choices=["float32", "bfloat16"],
                    help="Param dtype (fp32 default: optimizer stability)")
