@@ -92,8 +92,10 @@ def main():
         if e.get("ph") != "X" or e.get("pid") not in dev_pids:
             continue
         name = e.get("name", "?")
-        if name.startswith("jit_train_step"):
-            continue  # the whole-program envelope double-counts its ops
+        if name.startswith("jit_train_step") or name.isdigit():
+            # whole-program envelopes (the bare-numeric names are the
+            # per-step module executions) double-count their inner ops
+            continue
         dur = e.get("dur", 0) / 1e3  # ms
         # collapse numeric suffixes only: "fusion.123" -> "fusion"
         parts = name.rsplit(".", 1)
