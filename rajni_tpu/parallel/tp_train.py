@@ -37,8 +37,10 @@ psums never see cotangents.
 
 Scope: bf16/fp32 classic configs (the train-kernel gate plus the TP
 divisibility rules); the recipe knobs that act outside the forward
-(mixing, smoothing, grad-accum/EMA/LLRD/clip wrapping ``tx``) compose;
-``remat``/``drop_path``/distillation are CLI-rejected for now.
+(mixing, smoothing, grad-accum/EMA/LLRD/clip wrapping ``tx``) compose,
+and so does ``drop_path`` (the residual adds are outer jax math here, so
+the masks differentiate without custom corrections);
+``remat``/distillation are CLI-rejected for now.
 """
 
 from __future__ import annotations
@@ -267,11 +269,24 @@ _tp_mlp_op.defvjp(_tp_mlp_fwd, _tp_mlp_bwd)
 # --------------------------------------------------------------------------
 
 
-def tp_train_forward(p, images, config: ViTConfig, schedule, tp: int):
+def tp_train_forward(p, images, config: ViTConfig, schedule, tp: int,
+                     drop_path: float = 0.0, rng=None):
     """Per-shard training forward (runs INSIDE shard_map): mirrors
     :func:`rajni_tpu.parallel.mesh.tp_pallas_forward`'s ``chip`` with the
     residual-emitting train ops above. ``p`` is the head-aligned repacked
-    local tree; returns replicated logits."""
+    local tree; returns replicated logits.
+
+    ``drop_path`` + ``rng``: stochastic depth with the standard key
+    schedule (fold_in per block, split per branch). Unlike the
+    single-device kernel ops, the residual adds here live in OUTER jax
+    math (after the psum), so the per-branch masks compose through plain
+    autodiff — no custom backward corrections. ``rng`` must already be
+    data-shard-decorrelated (the step folds ``axis_index("data")``;
+    model peers within a data shard share it, keeping the replicated
+    program identical across the model axis)."""
+    from ..models.train_path import _dp_mask
+    from ..models.vit import drop_path_rates
+
     heads_l = config.num_heads // tp
     eps = config.layer_norm_eps
     C = config.embed_dim
@@ -282,8 +297,18 @@ def tp_train_forward(p, images, config: ViTConfig, schedule, tp: int):
     x = jnp.concatenate([cls, x], axis=1)
     x = x + p["pos_embed"][:, : x.shape[1]]
 
+    dpr = None
+    if drop_path > 0.0:
+        if rng is None:
+            raise ValueError("drop_path > 0 requires an rng key")
+        dpr = drop_path_rates(drop_path, config.depth)
     scores = None
-    for spec, block in zip(schedule, p["blocks"]):
+    for blk_i, (spec, block) in enumerate(zip(schedule, p["blocks"])):
+        m1 = m2 = None
+        if dpr is not None and dpr[blk_i] > 0.0:
+            keys = jax.random.split(jax.random.fold_in(rng, blk_i))
+            m1 = _dp_mask(keys[0], dpr[blk_i], B, jnp.float32)
+            m2 = _dp_mask(keys[1], dpr[blk_i], B, jnp.float32)
         qkv_loc = block["attn"]["qkv"]
         qkv_flat = {
             "kernel": qkv_loc["kernel"].reshape(C, -1),
@@ -304,7 +329,10 @@ def tp_train_forward(p, images, config: ViTConfig, schedule, tp: int):
             out = _g_psum(part.astype(jnp.float32))
             if ls1 is not None:
                 out = out * ls1
-            x = (x.astype(jnp.float32) + out + b1term).astype(dtype)
+            branch = out + b1term
+            if m1 is not None:
+                branch = m1 * branch
+            x = (x.astype(jnp.float32) + branch).astype(dtype)
             scores = None  # stock block invalidates (model.py:63)
         else:
             n = x.shape[1]
@@ -329,7 +357,10 @@ def tp_train_forward(p, images, config: ViTConfig, schedule, tp: int):
             out = _g_psum(part.astype(jnp.float32))
             if ls1 is not None:
                 out = out * ls1
-            x = (x_g.astype(jnp.float32) + out + b1term).astype(dtype)
+            branch = out + b1term
+            if m1 is not None:
+                branch = m1 * branch
+            x = (x_g.astype(jnp.float32) + branch).astype(dtype)
             scores = jnp.take_along_axis(scores, idx, axis=1)
 
         b2 = block["mlp"]["fc2"]["bias"]
@@ -339,7 +370,10 @@ def tp_train_forward(p, images, config: ViTConfig, schedule, tp: int):
         out = _g_psum(part.astype(jnp.float32))
         if ls2 is not None:
             out = out * ls2
-        x = (x.astype(jnp.float32) + out + b2term).astype(dtype)
+        branch = out + b2term
+        if m2 is not None:
+            branch = m2 * branch
+        x = (x.astype(jnp.float32) + branch).astype(dtype)
 
     return classifier_head(x, p, config, None, "xla")
 
@@ -388,14 +422,19 @@ def make_tp_train_step(
     cutmix_alpha: float = 0.0,
     switch_prob: float = 0.5,
     seed: int = 0,
+    drop_path: float = 0.0,
 ):
     """Full TP-kernel train step: shard_mapped per-shard grads over the
     ``(data, model)`` mesh, optimizer applied outside on the sharded
     state (it inherits the param shardings, exactly like the XLA TP
     path). ``pspecs`` is ``param_pspecs`` of the repacked tree the state
     was built from. Batch mixing happens on the global batch before the
-    shard split (the mixup pairing reverses the whole batch)."""
+    shard split (the mixup pairing reverses the whole batch).
+    ``drop_path`` draws per-sample masks from the same
+    ``(seed, _DROPPATH_TAG, step)`` stream as every other train step
+    (resume-exact), decorrelated per data shard."""
     from ..train import (
+        _DROPPATH_TAG,
         TrainState,
         apply_batch_mix,
         cross_entropy,
@@ -406,8 +445,9 @@ def make_tp_train_step(
     tp = mesh.shape["model"]
     mixing = mixup_alpha > 0.0 or cutmix_alpha > 0.0
 
-    def loss_fn(params, images, labels, lam):
-        logits = tp_train_forward(params, images, config, schedule, tp)
+    def loss_fn(params, images, labels, lam, dp_rng):
+        logits = tp_train_forward(params, images, config, schedule, tp,
+                                  drop_path=drop_path, rng=dp_rng)
         if mixing:
             loss = mixed_cross_entropy(logits, labels, lam,
                                        label_smoothing)
@@ -416,9 +456,15 @@ def make_tp_train_step(
         acc = (jnp.argmax(logits, -1) == labels).mean()
         return loss, acc
 
-    def shard_grads(params, images, labels, lam):
+    def shard_grads(params, images, labels, lam, dp_rng):
+        if dp_rng is not None:
+            # independent per-data-shard mask draws; model peers within a
+            # data shard share the key (replicated program invariant)
+            dp_rng = jax.random.fold_in(
+                dp_rng, jax.lax.axis_index("data")
+            )
         (loss, acc), g = jax.value_and_grad(loss_fn, has_aux=True)(
-            params, images, labels, lam
+            params, images, labels, lam, dp_rng
         )
         pmean = functools.partial(jax.lax.pmean, axis_name="data")
         g = _psum_partial_leaves(jax.tree_util.tree_map(pmean, g))
@@ -432,15 +478,23 @@ def make_tp_train_step(
             )
         else:
             lam = jnp.float32(1.0)
+        dp_rng = None
+        if drop_path > 0.0:
+            dp_rng = jax.random.fold_in(
+                jax.random.fold_in(
+                    jax.random.key(seed), _DROPPATH_TAG
+                ),
+                state.step,
+            )
         loss, acc, grads = jax.shard_map(
             shard_grads,
             mesh=mesh,
-            in_specs=(pspecs, P("data"), P("data"), P()),
+            in_specs=(pspecs, P("data"), P("data"), P(), P()),
             out_specs=(P(), P(), pspecs),
             # pallas_call out_shapes carry no varying-mesh-axes metadata
             # (same rule as every pallas shard_map in parallel.mesh)
             check_vma=False,
-        )(state.params, images, labels, lam)
+        )(state.params, images, labels, lam, dp_rng)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         return (

@@ -1134,12 +1134,6 @@ def main(argv=None):
                     "(jax.checkpoint over the TP shard ops is not wired; "
                     "the XLA TP path composes with --remat)"
                 )
-            if args.drop_path > 0.0:
-                raise ValueError(
-                    "--kernels pallas --tensor_parallel excludes "
-                    "--drop_path for now (masks are not threaded through "
-                    "the TP shard ops; the XLA TP path composes)"
-                )
             if args.distill_teacher:
                 raise ValueError(
                     "--kernels pallas --tensor_parallel excludes "
@@ -1337,6 +1331,7 @@ def main(argv=None):
                     cutmix_alpha=args.cutmix,
                     switch_prob=args.mixup_switch_prob,
                     seed=args.seed,
+                    drop_path=args.drop_path,
                 ),
                 donate_argnums=(0,),
             )

@@ -286,8 +286,7 @@ def test_train_cli_kernels_pallas_data_parallel(tmp_path, capsys):
     ["--pipeline_parallel", "2"],
     ["--tensor_parallel", "2"],            # heads=3 not divisible by 2
     ["--tensor_parallel", "2", "--remat"],
-    ["--tensor_parallel", "2", "--drop_path", "0.1"],
-], ids=["pp", "tp-indivisible", "tp-remat", "tp-drop-path"])
+], ids=["pp", "tp-indivisible", "tp-remat"])
 def test_train_cli_kernels_pallas_rejections(extra):
     from rajni_tpu import train as train_cli
 
@@ -537,3 +536,46 @@ def test_train_cli_kernels_tensor_parallel(tmp_path, capsys):
 
     p = load_params(str(out_tp))
     assert p["blocks"][0]["attn"]["qkv"]["kernel"].ndim == 2  # canonical
+
+
+def test_tp_kernels_drop_path():
+    """drop_path composes with TP kernel training: masks apply in the
+    outer (post-psum) residual adds, so gradients need no corrections.
+    rate=0 is bit-identical to no-drop-path; a high rate changes the
+    trajectory; a fixed (seed, step) replays the same masks."""
+    from rajni_tpu.parallel.mesh import (
+        make_mesh,
+        param_pspecs,
+        shard_params,
+    )
+    from rajni_tpu.parallel.tp_train import make_tp_train_step
+    from rajni_tpu.train import TrainState, build_optimizer
+
+    cfg = get_config("deit_small_patch16_64")
+    sched = normalize_schedule({"1": {"keep_ratio": 0.6}}, cfg.depth)
+    params = init_params(jax.random.key(0), cfg, jnp.float32)
+    x = jax.random.normal(jax.random.key(1), (8, 64, 64, 3), jnp.float32)
+    labels = jnp.arange(8) % cfg.num_classes
+    mesh = make_mesh(model=2)
+    sharded = shard_params(params, mesh)
+    tx = build_optimizer(1e-3, total_steps=10)
+    pspecs = param_pspecs(sharded)
+
+    def run(drop_path):
+        st = TrainState(sharded, tx.init(sharded),
+                        jnp.zeros((), jnp.int32))
+        step = jax.jit(make_tp_train_step(
+            cfg, sched, tx, mesh, pspecs, drop_path=drop_path
+        ))
+        out = []
+        for _ in range(2):
+            st, m = step(st, x, labels)
+            out.append(float(m["loss"]))
+        return out
+
+    base = run(0.0)
+    dropped = run(0.9)
+    replay = run(0.9)
+    assert all(np.isfinite(base)) and all(np.isfinite(dropped))
+    assert dropped == replay                 # same (seed, step) stream
+    assert abs(dropped[1] - base[1]) > 1e-6  # masks actually bite
